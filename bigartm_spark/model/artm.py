@@ -1,0 +1,191 @@
+"""ARTM — the MasterModel facade (SURVEY.md §1.1, G5/G6/G4/G12).
+
+Reference lifecycle (master_component.cc:1575-1642 FitOffline): per pass
+ProcessBatches -> Regularize -> Normalize -> snapshot scores. Here each
+pass is one Spark job graph; phi is checkpointed per pass to break
+lineage (the distributed analogue of the reference's in-place matrix
+swap, master_component.cc:1047-1088).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bigartm_spark.model import estep, mstep
+from bigartm_spark.model.init import initialize_phi
+from bigartm_spark.model.phi import PhiMatrix
+from bigartm_spark.model.regularizers import (
+    PhiRegularizer,
+    RegularizeContext,
+    regularize,
+)
+
+
+class ARTM:
+    """Additive-regularization topic model on Spark DataFrames.
+
+    Parity surface of python/artm/artm_model.py (reference) re-expressed:
+    named DataFrames instead of in-process matrices, no threads.
+    """
+
+    def __init__(
+        self,
+        num_topics: int | None = None,
+        topic_names: list[str] | None = None,
+        num_document_passes: int = 10,
+        seed: int = 0,
+        class_weights: dict[str, float] | None = None,
+        phi_regularizers: list[PhiRegularizer] | None = None,
+        theta_agents: list | None = None,
+        cache_theta: bool = False,
+    ):
+        if topic_names is None:
+            topic_names = [f"topic_{i}" for i in range(num_topics or 10)]
+        self.topics = topic_names
+        self.num_document_passes = num_document_passes
+        self.seed = seed
+        self.class_weights = class_weights
+        self.phi_regularizers = phi_regularizers or []
+        self.theta_agents = theta_agents or []
+        self.cache_theta = cache_theta
+        self.pwt: PhiMatrix | None = None
+        self.nwt: PhiMatrix | None = None
+        self.theta: DataFrame | None = None
+        self.dictionary: DataFrame | None = None
+        self.score_tracker: dict[str, list[float]] = {}
+
+    # -- G1 -------------------------------------------------------------
+    def initialize(self, dictionary: DataFrame) -> "ARTM":
+        self.dictionary = dictionary.cache()
+        self.pwt = initialize_phi(
+            self.dictionary, self.topics, seed=self.seed
+        ).cache()
+        return self
+
+    # -- G5 ---------------------------------------------------------------
+    def fit_offline(self, docs: DataFrame, num_collection_passes: int = 1) -> "ARTM":
+        if self.pwt is None:
+            raise RuntimeError("call initialize(dictionary) first")
+        for _ in range(num_collection_passes):
+            self._one_pass(docs)
+        return self
+
+    def _one_pass(self, docs: DataFrame, decay_weight: float = 0.0, apply_weight: float = 1.0):
+        kernel_out = estep.process_batches(
+            docs,
+            self.pwt,
+            num_document_passes=self.num_document_passes,
+            class_weights=self.class_weights,
+            theta_agents=self.theta_agents,
+            emit_nwt=True,
+            emit_theta=self.cache_theta,
+            compute_scores=True,
+        ).cache()
+
+        nwt_df = estep.aggregate_nwt(kernel_out, len(self.topics))
+        nwt_new = PhiMatrix("nwt", self.topics, nwt_df)
+        if decay_weight != 0.0 and self.nwt is not None:
+            # G6 online merge: n_wt <- decay*n_wt + apply*n̂_wt (D6)
+            nwt_new = mstep.merge_nwt(
+                [(self.nwt, decay_weight), (nwt_new, apply_weight)], "nwt"
+            )
+        self.nwt = nwt_new
+
+        ctx = RegularizeContext(
+            dictionary=self.dictionary,
+            topic_totals=None,
+        )
+        rwt_df = regularize(self.pwt, self.nwt, self.phi_regularizers, ctx)
+        new_pwt = mstep.normalize(self.nwt, rwt_df, name="pwt")
+        # materialize + break lineage before the next pass reads it
+        self.pwt = new_pwt.checkpoint()
+
+        scores = estep.extract_scores(kernel_out)
+        if self.cache_theta:
+            self.theta = estep.extract_theta(kernel_out, self.topics)
+            self.theta = self.theta.localCheckpoint(eager=True)
+        kernel_out.unpersist()
+        for k, v in scores.items():
+            self.score_tracker.setdefault(k, []).append(v)
+
+    # -- G6 ---------------------------------------------------------------
+    def fit_online(
+        self,
+        doc_groups: list[DataFrame],
+        tau0: float = 1024.0,
+        kappa: float = 0.7,
+        update_every: int = 1,
+    ) -> "ARTM":
+        """Online EM: after each batch group, n_wt <- decay*n_wt + apply*n̂;
+        rho = (tau0 + t)^-kappa (python/artm/artm_model.py:652-659)."""
+        t = 0
+        for group in doc_groups:
+            t += update_every
+            rho = math.pow(tau0 + t, -kappa)
+            self._one_pass(group, decay_weight=1.0 - rho, apply_weight=rho)
+        return self
+
+    # -- G4 ---------------------------------------------------------------
+    def transform(self, docs: DataFrame) -> DataFrame:
+        """theta for new docs without touching nwt (pure E-step)."""
+        kernel_out = estep.process_batches(
+            docs,
+            self.pwt,
+            num_document_passes=self.num_document_passes,
+            class_weights=self.class_weights,
+            theta_agents=self.theta_agents,
+            emit_nwt=False,
+            emit_theta=True,
+            compute_scores=False,
+        )
+        return estep.extract_theta(kernel_out, self.topics)
+
+    def predict_class_id(self, docs: DataFrame, class_id: str) -> DataFrame:
+        """p(c|d) over label-modality tokens: theta ⋈ phi[label tokens] +
+        argmax (processor_helpers.cc:27-42)."""
+        from pyspark.sql import functions as F
+
+        theta = self.transform(docs)
+        labels = self.pwt.to_long().filter(F.col("class_id") == class_id)
+        scored = (
+            theta.join(F.broadcast(labels), "topic")
+            .groupBy("doc_id", "token")
+            .agg(F.sum(F.col("value") * F.col("value")).alias("p"))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy(F.desc("p"), F.asc("token"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", F.col("token").alias("predicted"), "p")
+        )
+
+    # -- retrieval (B6) ----------------------------------------------------
+    def get_phi(self, eps: float | None = None) -> DataFrame:
+        return self.pwt.to_long(eps=eps)
+
+    def get_theta(self) -> DataFrame:
+        if self.theta is None:
+            raise RuntimeError("cache_theta is off; use transform()")
+        return self.theta
+
+
+class LDA(ARTM):
+    """G12 facade: LDA = ARTM + SmoothSparsePhi(beta) + SmoothSparseTheta(alpha)
+    (python/artm/lda_model.py)."""
+
+    def __init__(self, num_topics: int, alpha: float = 0.01, beta: float = 0.01, **kw):
+        from bigartm_spark.model.regularizers import (
+            SmoothSparsePhi,
+            SmoothSparseTheta,
+        )
+
+        super().__init__(
+            num_topics=num_topics,
+            phi_regularizers=[SmoothSparsePhi(tau=beta)],
+            theta_agents=[SmoothSparseTheta(tau=alpha)],
+            **kw,
+        )

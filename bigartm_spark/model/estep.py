@@ -1,0 +1,284 @@
+"""G2 ProcessBatches — the E-step as one Spark job.
+
+Reference: /root/reference/src/artm/core/processor.cc:50-292 and
+processor_helpers.cc:261-590 (per-batch CSR build + inner theta passes +
+n_wt increments behind spin locks + cumulative scores).
+
+Spark shape (SURVEY.md §3.1):
+
+    docs ⋈ phi.compact                      -- broadcast when phi is small
+      → groupBy(doc-bucket).applyInPandas   -- vectorized inner EM per doc
+      → nwt partials + theta rows + score partials (one output relation)
+      → groupBy(token).sum / groupBy(score).sum   -- partial+final agg
+
+The kernel is the only Python in the hot path: it is Arrow-batched and
+fully vectorized across all docs of a bucket (numpy segment ops — the
+analogue of the reference's AVX loops, processor_helpers.cc:403-514).
+Buckets (hash of doc_id) keep Arrow batches large instead of one tiny
+group per document; the map-side per-bucket n_wt pre-aggregation mirrors
+the reference's per-batch partial n_wt, so the shuffle moves at most
+|vocab| rows per bucket, never one row per (token-occurrence × topic).
+Shared mutable n_wt + spin locks are replaced by an associative
+groupBy-sum (no locks, deterministic up to float addition order).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigartm_spark.model.phi import PhiMatrix
+
+THETA_EPS = 1e-37  # sparsity threshold, messages.proto:610
+
+KERNEL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),  # nwt | theta | score
+        T.StructField("key", T.StringType(), True),  # token or score name
+        T.StructField("class_id", T.StringType(), True),
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("values", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def _doc_kernel_factory(
+    num_topics: int,
+    num_document_passes: int,
+    theta_agents: list,
+    emit_nwt: bool,
+    emit_theta: bool,
+    compute_scores: bool,
+):
+    """Build the applyInPandas kernel. All captured state must pickle."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                columns=["kind", "key", "class_id", "doc_id", "values"]
+            )
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        w = pdf["weight"].to_numpy(dtype=np.float64)
+        phi_rows = np.stack(pdf["values"].to_numpy())  # (nnz, T)
+        doc_ids = pdf["doc_id"].to_numpy()
+        # segment boundaries: rows of one doc are contiguous after the sort
+        change = np.flatnonzero(doc_ids[1:] != doc_ids[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        seg = np.repeat(np.arange(len(starts)), np.diff(np.append(starts, len(doc_ids))))
+        n_docs = len(starts)
+        uniq_docs = doc_ids[starts]
+
+        T_ = num_topics
+        theta = np.full((n_docs, T_), 1.0 / T_)
+        # inner passes: regularize after each n_td recompute, normalize as
+        # the final agent (processor_helpers.cc:468-513, 169-171)
+        for p in range(num_document_passes):
+            num = phi_rows * theta[seg]  # (nnz, T)
+            z = num.sum(axis=1)
+            np.divide(num, z[:, None], out=num, where=z[:, None] > 0)
+            n_td = np.add.reduceat(w[:, None] * num, starts, axis=0)
+            for agent in theta_agents:
+                n_td = agent.apply(theta, n_td, p)
+            np.maximum(n_td, 0.0, out=n_td)
+            tot = n_td.sum(axis=1)
+            theta = np.divide(
+                n_td, tot[:, None], out=np.full_like(n_td, 1.0 / T_),
+                where=tot[:, None] > 0,
+            )
+
+        # final ptdw with the converged theta
+        num = phi_rows * theta[seg]
+        z = num.sum(axis=1)
+        ptdw = np.divide(num, z[:, None], out=num, where=z[:, None] > 0)
+
+        out_kind: list[str] = []
+        out_key: list = []
+        out_cls: list = []
+        out_doc: list = []
+        out_vals: list = []
+
+        if emit_nwt:
+            # map-side partial aggregation per (class_id, token)
+            contrib = w[:, None] * ptdw
+            cls_codes, cls_uniq = pd.factorize(pdf["class_id"], sort=False)
+            tok_codes, tok_uniq = pd.factorize(pdf["token"], sort=False)
+            pair = cls_codes.astype(np.int64) * len(tok_uniq) + tok_codes
+            codes, pair_uniq = pd.factorize(pair, sort=False)
+            nwt = np.zeros((len(pair_uniq), T_))
+            np.add.at(nwt, codes, contrib)
+            u_cls = np.asarray(cls_uniq)[(pair_uniq // len(tok_uniq)).astype(int)]
+            u_tok = np.asarray(tok_uniq)[(pair_uniq % len(tok_uniq)).astype(int)]
+            for i in range(len(pair_uniq)):
+                out_kind.append("nwt")
+                out_key.append(u_tok[i])
+                out_cls.append(u_cls[i])
+                out_doc.append(None)
+                out_vals.append(nwt[i])
+
+        if emit_theta:
+            for i in range(n_docs):
+                out_kind.append("theta")
+                out_key.append(None)
+                out_cls.append(None)
+                out_doc.append(int(uniq_docs[i]))
+                out_vals.append(theta[i])
+
+        if compute_scores:
+            # perplexity: sum w*ln p(w|d); zero-p fallback = document
+            # unigram n_dw/n_d (perplexity.cc:159-239 default model)
+            n_d = np.add.reduceat(w, starts)
+            pz = z.copy()
+            zero_mask = pz <= 0
+            if zero_mask.any():
+                pz[zero_mask] = (w / n_d[seg])[zero_mask]
+            raw = float(np.sum(w * np.log(np.maximum(pz, 1e-300))))
+            scores = {
+                "perplexity_raw": raw,
+                "perplexity_normalizer": float(w.sum()),
+                "perplexity_zero_words": float(zero_mask.sum()),
+                "sparsity_theta_zero": float((theta < THETA_EPS).sum()),
+                "sparsity_theta_total": float(theta.size),
+                "items_processed": float(n_docs),
+                "token_weight": float(w.sum()),
+            }
+            for k, v in scores.items():
+                out_kind.append("score")
+                out_key.append(k)
+                out_cls.append(None)
+                out_doc.append(None)
+                out_vals.append(np.array([v]))
+
+        return pd.DataFrame(
+            {
+                "kind": out_kind,
+                "key": out_key,
+                "class_id": out_cls,
+                "doc_id": out_doc,
+                "values": out_vals,
+            }
+        )
+
+    return kernel
+
+
+def apply_class_weights(
+    docs: DataFrame, class_weights: dict[str, float] | None
+) -> DataFrame:
+    """B2 modality weighting: weight *= class_weight[class_id]; 0 drops.
+
+    Literal CASE expression, not a join — the class map is a handful of
+    entries (processor_helpers.cc:180-215)."""
+    if not class_weights:
+        return docs
+    expr = F.lit(None).cast("double")
+    cw = F.col("class_id")
+    mapped = None
+    for cls, wt in class_weights.items():
+        cond = cw == F.lit(cls)
+        mapped = F.when(cond, F.lit(float(wt))) if mapped is None else mapped.when(
+            cond, F.lit(float(wt))
+        )
+    expr = mapped.otherwise(F.lit(0.0))
+    return (
+        docs.withColumn("weight", F.col("weight") * expr)
+        .filter(F.col("weight") > 0)
+    )
+
+
+def process_batches(
+    docs: DataFrame,
+    pwt: PhiMatrix,
+    num_document_passes: int = 10,
+    class_weights: dict[str, float] | None = None,
+    theta_agents: list | None = None,
+    emit_nwt: bool = True,
+    emit_theta: bool = False,
+    compute_scores: bool = True,
+    num_buckets: int | None = None,
+    broadcast_phi: bool = True,
+) -> DataFrame:
+    """One E-step pass over the corpus. Returns the kernel output relation
+    (kind, key, class_id, doc_id, values) — callers aggregate it.
+
+    broadcast_phi: phi has |vocab| rows (vocab x topics doubles). Up to
+    ~10^6 x 100 topics this fits the 64MB broadcast budget comfortably and
+    turns the join into a map-side hash join (C1: the reference's
+    token->phi-row unordered_map lookup). For larger models pass False and
+    let AQE plan a shuffle join on (class_id, token).
+    """
+    docs = apply_class_weights(docs, class_weights)
+    phi_df = F.broadcast(pwt.compact) if broadcast_phi else pwt.compact
+    joined = docs.select("doc_id", "class_id", "token", "weight").join(
+        phi_df, ["class_id", "token"]
+    )  # B5: inner join drops tokens absent from the model
+    if num_buckets is None:
+        num_buckets = max(
+            docs.sparkSession.sparkContext.defaultParallelism * 2, 8
+        )
+    kernel = _doc_kernel_factory(
+        pwt.num_topics,
+        num_document_passes,
+        theta_agents or [],
+        emit_nwt,
+        emit_theta,
+        compute_scores,
+    )
+    bucketed = joined.withColumn(
+        "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets))
+    )
+    return bucketed.groupBy("_bucket").applyInPandas(kernel, KERNEL_OUT_SCHEMA)
+
+
+def aggregate_nwt(kernel_out: DataFrame, num_topics: int, name: str = "nwt") -> PhiMatrix:
+    """Final aggregation of per-bucket n_wt partials: element-wise array sum
+    as T scalar aggregates (all JVM-side, single shuffle)."""
+    nwt = (
+        kernel_out.filter(F.col("kind") == "nwt")
+        .groupBy("class_id", F.col("key").alias("token"))
+        .agg(
+            F.array(
+                *[F.sum(F.col("values")[i]) for i in range(num_topics)]
+            ).alias("values")
+        )
+    )
+    return nwt
+
+
+def extract_theta(kernel_out: DataFrame, topics: list[str]) -> DataFrame:
+    """theta(doc_id, topic, value) from kernel output."""
+    tarr = F.array(*[F.lit(t) for t in topics])
+    return (
+        kernel_out.filter(F.col("kind") == "theta")
+        .select("doc_id", F.posexplode("values").alias("_i", "value"))
+        .select(
+            "doc_id",
+            F.element_at(tarr, F.col("_i") + 1).alias("topic"),
+            "value",
+        )
+    )
+
+
+def extract_scores(kernel_out: DataFrame) -> dict[str, float]:
+    """Associative merge of cumulative score partials (score_manager.cc
+    semantics: plain sums; final transforms applied by the caller)."""
+    rows = (
+        kernel_out.filter(F.col("kind") == "score")
+        .groupBy("key")
+        .agg(F.sum(F.col("values")[0]).alias("v"))
+        .collect()
+    )
+    out = {r["key"]: r["v"] for r in rows}
+    if "perplexity_raw" in out and out.get("perplexity_normalizer"):
+        out["perplexity"] = math.exp(
+            -out["perplexity_raw"] / out["perplexity_normalizer"]
+        )
+    if "sparsity_theta_total" in out and out["sparsity_theta_total"]:
+        out["sparsity_theta"] = (
+            out["sparsity_theta_zero"] / out["sparsity_theta_total"]
+        )
+    return out

@@ -1,0 +1,103 @@
+"""Dictionary operators: gather (D1), filter (B3), top-k (B4/E6).
+
+Reference semantics:
+- gather: /root/reference/src/artm/core/dictionary_operations.cc:254-332
+  per (class_id, token): tf = sum(weight), df = #distinct docs,
+  value = tf / class-total tf.
+- filter: dictionary_operations.cc:483-527 (min/max df, df_rate, tf;
+  optional value renormalization).
+- top-k by df: dictionary_operations.cc:530-542 (max_dictionary_size).
+
+All plain DataFrame aggregations — Catalyst plans partial+final hash
+aggregates, replacing the reference's per-batch token maps + final merge.
+The class-total tf uses a tiny groupBy+broadcast-join back instead of a
+window, so the big table is shuffled once, not twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gather_dictionary(docs: DataFrame) -> DataFrame:
+    """D1. dictionary(class_id, token, value, tf, df) from a long corpus."""
+    stats = docs.groupBy("class_id", "token").agg(
+        F.sum("weight").alias("tf"),
+        F.countDistinct("doc_id").cast("double").alias("df"),
+    )
+    class_tot = stats.groupBy("class_id").agg(F.sum("tf").alias("_class_tf"))
+    return (
+        stats.join(F.broadcast(class_tot), "class_id")
+        .withColumn("value", F.col("tf") / F.col("_class_tf"))
+        .select("class_id", "token", "value", "tf", "df")
+    )
+
+
+def num_items(docs: DataFrame) -> int:
+    """Scalar companion of D1 (num_items_in_collection)."""
+    return docs.select(F.countDistinct("doc_id")).collect()[0][0]
+
+
+def filter_dictionary(
+    dictionary: DataFrame,
+    num_items_in_collection: int | None = None,
+    class_id: str | None = None,
+    min_df: float | None = None,
+    max_df: float | None = None,
+    min_df_rate: float | None = None,
+    max_df_rate: float | None = None,
+    min_tf: float | None = None,
+    max_tf: float | None = None,
+    recalculate_value: bool = False,
+) -> DataFrame:
+    """B3. Predicate filter on token stats; rate thresholds are df/num_items.
+
+    With recalculate_value, value is renormalized to tf / class-total tf of
+    the *kept* tokens (dictionary_operations.cc:512-527).
+    """
+    cond = F.lit(True)
+    if class_id is not None:
+        # Thresholds apply within one class; other classes pass through
+        # (reference filters per requested class_id).
+        scoped = F.col("class_id") == class_id
+    else:
+        scoped = F.lit(True)
+    if min_df is not None:
+        cond &= F.col("df") >= min_df
+    if max_df is not None:
+        cond &= F.col("df") <= max_df
+    if min_df_rate is not None:
+        cond &= F.col("df") >= min_df_rate * num_items_in_collection
+    if max_df_rate is not None:
+        cond &= F.col("df") <= max_df_rate * num_items_in_collection
+    if min_tf is not None:
+        cond &= F.col("tf") >= min_tf
+    if max_tf is not None:
+        cond &= F.col("tf") <= max_tf
+    out = dictionary.filter(~scoped | cond)
+    if recalculate_value:
+        tot = out.groupBy("class_id").agg(F.sum("tf").alias("_class_tf"))
+        out = (
+            out.drop("value")
+            .join(F.broadcast(tot), "class_id")
+            .withColumn("value", F.col("tf") / F.col("_class_tf"))
+            .select("class_id", "token", "value", "tf", "df")
+        )
+    return out
+
+
+def top_k_by_df(dictionary: DataFrame, k: int) -> DataFrame:
+    """B4/E6. Keep the k most-document-frequent tokens per class.
+
+    Deterministic tiebreak on token so results are stable across runs
+    (the reference sorts then truncates). rank over a per-class window —
+    the dictionary is small (vocab-sized), so a single-partition-per-class
+    window is fine even at 100TB corpus scale.
+    """
+    w = Window.partitionBy("class_id").orderBy(F.desc("df"), F.asc("token"))
+    return (
+        dictionary.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
