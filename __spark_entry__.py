@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship query at sf0.001 — fit a small ARTM model and
+return the top-tokens-per-topic DataFrame.
+queries()/oracle_sql(): one entry per implemented operator from
+SURVEY.md §2, oracle-checked against DuckDB at sf0.01 (see
+bigartm_spark/plans/driver_queries.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: corpus -> dictionary -> init -> 2-pass EM fit -> top tokens."""
+    from bigartm_spark.corpus import docs_from_lineitem
+    from bigartm_spark.model.artm import ARTM
+    from bigartm_spark.operators.dictionary import gather_dictionary
+    from bigartm_spark.operators.topk import top_tokens
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = docs_from_lineitem(spark, sf_dir)
+    model = ARTM(num_topics=5, num_document_passes=5, seed=42)
+    model.initialize(gather_dictionary(docs))
+    model.fit_offline(docs, num_collection_passes=2)
+    return top_tokens(model.get_phi(), k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from bigartm_spark.plans.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from bigartm_spark.plans.driver_queries import ORACLES
+
+    return dict(ORACLES)

@@ -31,6 +31,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _occurrence_pos():
+    """Unique, deterministic within-doc position. (l_orderkey,
+    l_linenumber) is NOT unique in the driver testdata, so pos must be a
+    row_number with a total tiebreak — ties beyond the sort key are exact
+    duplicate rows, which are interchangeable."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_quantity"
+    )
+    return F.row_number().over(w).cast("int")
+
+
 def docs_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical corpus view over the driver testdata (FIXTURES.md §4).
 
@@ -45,8 +58,8 @@ def docs_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(DEFAULT_CLASS).alias("class_id"),
         F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("token"),
         F.col("l_quantity").cast("double").alias("weight"),
-        F.col("l_linenumber").cast("int").alias("pos"),
-        F.col("l_linenumber").cast("int").alias("transaction_id"),
+        _occurrence_pos().alias("pos"),
+        _occurrence_pos().alias("transaction_id"),
         F.lit(DEFAULT_TRANSACTION).alias("transaction_typename"),
     )
 
@@ -62,8 +75,8 @@ def docs_supplier_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("supp").alias("class_id"),
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("token"),
         F.lit(1.0).alias("weight"),
-        F.col("l_linenumber").cast("int").alias("pos"),
-        F.col("l_linenumber").cast("int").alias("transaction_id"),
+        _occurrence_pos().alias("pos"),
+        _occurrence_pos().alias("transaction_id"),
         F.lit(DEFAULT_TRANSACTION).alias("transaction_typename"),
     )
 
@@ -75,7 +88,12 @@ def docs_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB replicas (the driver pre-registers the raw tables as views).
-DOCS_CTE = """
+_POS_SQL = (
+    "CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey "
+    "ORDER BY l_linenumber, l_partkey, l_quantity) AS INT)"
+)
+
+DOCS_CTE = f"""
 docs AS (
   SELECT l_orderkey                           AS doc_id,
          CAST(l_orderkey AS VARCHAR)          AS title,
@@ -83,22 +101,22 @@ docs AS (
          '@default_class'                     AS class_id,
          'p' || CAST(l_partkey AS VARCHAR)    AS token,
          CAST(l_quantity AS DOUBLE)           AS weight,
-         CAST(l_linenumber AS INT)            AS pos,
-         CAST(l_linenumber AS INT)            AS transaction_id,
+         {_POS_SQL}                           AS pos,
+         {_POS_SQL}                           AS transaction_id,
          '@default_transaction'               AS transaction_typename
   FROM lineitem
 )
 """.strip()
 
-DOCS_MULTI_CTE = """
+DOCS_MULTI_CTE = f"""
 docs AS (
   SELECT l_orderkey AS doc_id, CAST(l_orderkey AS VARCHAR) AS title,
          CAST(l_orderkey % 64 AS VARCHAR) AS batch_id,
          '@default_class' AS class_id,
          'p' || CAST(l_partkey AS VARCHAR) AS token,
          CAST(l_quantity AS DOUBLE) AS weight,
-         CAST(l_linenumber AS INT) AS pos,
-         CAST(l_linenumber AS INT) AS transaction_id,
+         {_POS_SQL} AS pos,
+         {_POS_SQL} AS transaction_id,
          '@default_transaction' AS transaction_typename
   FROM lineitem
   UNION ALL
@@ -107,8 +125,8 @@ docs AS (
          'supp',
          's' || CAST(l_suppkey AS VARCHAR),
          1.0,
-         CAST(l_linenumber AS INT),
-         CAST(l_linenumber AS INT),
+         {_POS_SQL},
+         {_POS_SQL},
          '@default_transaction'
   FROM lineitem
 )

@@ -1,0 +1,646 @@
+"""Driver-facing query registry: each SURVEY.md §2 operator as a
+(spark_callable, duckdb_oracle_sql) pair over the driver testdata.
+
+The driver runs the Spark query and the oracle at sf0.01 and compares
+row-count + schema + order-insensitive value hash (CORRECTNESS_r{N}.json).
+Conventions keeping the hashes stable across engines:
+
+- every float output column is ROUND(x, 6) on BOTH sides;
+- counts are cast to bigint on both sides;
+- ranking windows always carry a deterministic tiebreak;
+- all randomness is the portable mod-prime generator
+  (functions/hashing.py), replayed in the oracle as plain integer SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigartm_spark.corpus import (
+    DOCS_CTE,
+    DOCS_MULTI_CTE,
+    docs_from_lineitem,
+    docs_multimodal,
+)
+from bigartm_spark.functions.hashing import unit_uniform_sql
+from bigartm_spark.model import estep, mstep
+from bigartm_spark.model.init import initialize_phi
+from bigartm_spark.operators.dictionary import (
+    filter_dictionary,
+    gather_dictionary,
+    top_k_by_df,
+)
+
+SEED = 42
+N_TOPICS = 5
+TOPICS = [f"topic_{i}" for i in range(N_TOPICS)]
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _r6(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c).cast("double"), 6))
+    return df
+
+
+# ---------------------------------------------------------------- SQL CTEs
+DICT_CTE = """
+dict AS (
+  SELECT class_id, token,
+         CAST(SUM(weight) AS DOUBLE) AS tf,
+         CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM docs GROUP BY class_id, token
+)
+""".strip()
+
+
+def _phi_cte(seed: int = SEED, n_topics: int = N_TOPICS) -> str:
+    """Oracle replica of model/init.py initialize_phi: per-token uniforms
+    (portable RNG) -> row-normalize -> column-normalize (D5)."""
+    u = unit_uniform_sql("class_id", "token", "topic_idx", seed=seed)
+    return f"""
+topics AS (SELECT UNNEST(range({n_topics})) AS topic_idx),
+raw AS (
+  SELECT d.class_id, d.token, t.topic_idx, {u} AS u
+  FROM dict d CROSS JOIN topics t
+),
+rown AS (
+  SELECT class_id, token, topic_idx,
+         u / SUM(u) OVER (PARTITION BY class_id, token) AS nwt
+  FROM raw
+),
+phi AS (
+  SELECT class_id, token, topic_idx,
+         nwt / SUM(nwt) OVER (PARTITION BY class_id, topic_idx) AS value
+  FROM rown
+)
+""".strip()
+
+
+def _spark_phi(spark: SparkSession, sf_dir: str, seed: int = SEED):
+    docs = docs_from_lineitem(spark, sf_dir)
+    d = gather_dictionary(docs)
+    return docs, d, initialize_phi(d, TOPICS, seed=seed)
+
+
+# ============================================================ D1: gather
+@register(
+    "d1_gather_dictionary",
+    f"""
+WITH {DOCS_CTE}, {DICT_CTE}
+SELECT class_id, token,
+       ROUND(tf / SUM(tf) OVER (PARTITION BY class_id), 6) AS value,
+       ROUND(tf, 6) AS tf, ROUND(df, 6) AS df
+FROM dict
+""",
+)
+def d1_gather_dictionary(spark, sf_dir):
+    docs = docs_from_lineitem(spark, sf_dir)
+    return _r6(gather_dictionary(docs), "value", "tf", "df")
+
+
+# ============================================================ B3: filter
+@register(
+    "b3_filter_dictionary",
+    f"""
+WITH {DOCS_CTE}, {DICT_CTE},
+kept AS (
+  SELECT * FROM dict
+  WHERE df >= 5 AND df <= 0.5 * (SELECT COUNT(DISTINCT doc_id) FROM docs)
+)
+SELECT class_id, token,
+       ROUND(tf / SUM(tf) OVER (PARTITION BY class_id), 6) AS value,
+       ROUND(tf, 6) AS tf, ROUND(df, 6) AS df
+FROM kept
+""",
+)
+def b3_filter_dictionary(spark, sf_dir):
+    docs = docs_from_lineitem(spark, sf_dir)
+    from bigartm_spark.operators.dictionary import num_items
+
+    d = gather_dictionary(docs)
+    out = filter_dictionary(
+        d,
+        num_items_in_collection=num_items(docs),
+        min_df=5,
+        max_df_rate=0.5,
+        recalculate_value=True,
+    )
+    return _r6(out, "value", "tf", "df")
+
+
+# ============================================================ B4: top-k df
+@register(
+    "b4_top_k_by_df",
+    f"""
+WITH {DOCS_CTE}, {DICT_CTE},
+v AS (SELECT class_id, token,
+             tf / SUM(tf) OVER (PARTITION BY class_id) AS value, tf, df
+      FROM dict),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY class_id
+                                   ORDER BY df DESC, token ASC) AS rn
+      FROM v)
+SELECT class_id, token, ROUND(value, 6) AS value,
+       ROUND(tf, 6) AS tf, ROUND(df, 6) AS df
+FROM r WHERE rn <= 50
+""",
+)
+def b4_top_k_by_df(spark, sf_dir):
+    docs = docs_from_lineitem(spark, sf_dir)
+    return _r6(top_k_by_df(gather_dictionary(docs), 50), "value", "tf", "df")
+
+
+# ============================================================ D15: stats
+@register(
+    "d15_parse_stats",
+    f"""
+WITH {DOCS_CTE}
+SELECT class_id,
+       CAST(COUNT(DISTINCT token) AS BIGINT) AS unique_tokens,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS num_docs,
+       ROUND(SUM(weight), 6) AS total_weight,
+       CAST(COUNT(*) AS BIGINT) AS nnz
+FROM docs GROUP BY class_id
+""",
+)
+def d15_parse_stats(spark, sf_dir):
+    docs = docs_from_lineitem(spark, sf_dir)
+    out = docs.groupBy("class_id").agg(
+        F.countDistinct("token").alias("unique_tokens"),
+        F.countDistinct("doc_id").alias("num_docs"),
+        F.sum("weight").alias("total_weight"),
+        F.count(F.lit(1)).alias("nnz"),
+    )
+    return _r6(out, "total_weight")
+
+
+# ============================================================ G1: init phi
+@register(
+    "g1_initialize_phi",
+    f"""
+WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()}
+SELECT class_id, token,
+       'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
+       ROUND(value, 6) AS value
+FROM phi
+""",
+)
+def g1_initialize_phi(spark, sf_dir):
+    _, _, phi = _spark_phi(spark, sf_dir)
+    return _r6(phi.to_long(), "value")
+
+
+# ============================================================ D4: n_t
+@register(
+    "d4_topic_totals",
+    f"""
+WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
+nwt AS (SELECT class_id, token, topic_idx, nwt AS value FROM rown)
+SELECT class_id, 'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
+       ROUND(SUM(GREATEST(value, 0)), 6) AS n_t
+FROM nwt GROUP BY class_id, topic_idx
+""",
+)
+def d4_topic_totals(spark, sf_dir):
+    docs = docs_from_lineitem(spark, sf_dir)
+    d = gather_dictionary(docs)
+    # the seeded, row-normalized n_wt (pre-column-normalization)
+    from bigartm_spark.functions.hashing import unit_uniform
+
+    vals = F.array(
+        *[unit_uniform("class_id", "token", i, seed=SEED) for i in range(N_TOPICS)]
+    )
+    norm = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+    nwt = d.select(
+        "class_id",
+        "token",
+        F.transform(vals, lambda x: x / norm).alias("values"),
+    )
+    from bigartm_spark.model.phi import PhiMatrix
+
+    totals = mstep.topic_totals(PhiMatrix("nwt", TOPICS, nwt))
+    out = totals.select(
+        "class_id",
+        F.posexplode("totals").alias("_i", "n_t"),
+    ).select(
+        "class_id",
+        F.concat(F.lit("topic_"), F.col("_i").cast("string")).alias("topic"),
+        "n_t",
+    )
+    return _r6(out, "n_t")
+
+
+# ============================================================ D6/F1: merge
+@register(
+    "d6_merge_models",
+    f"""
+WITH {DOCS_CTE}, {DICT_CTE},
+t1 AS (SELECT UNNEST(range({N_TOPICS})) AS topic_idx),
+rawa AS (SELECT class_id, token, topic_idx,
+         {unit_uniform_sql("class_id", "token", "topic_idx", seed=1)} AS u
+         FROM dict CROSS JOIN t1),
+rawb AS (SELECT class_id, token, topic_idx,
+         {unit_uniform_sql("class_id", "token", "topic_idx", seed=2)} AS u
+         FROM dict CROSS JOIN t1),
+na AS (SELECT class_id, token, topic_idx,
+       u / SUM(u) OVER (PARTITION BY class_id, token) AS v FROM rawa),
+nb AS (SELECT class_id, token, topic_idx,
+       u / SUM(u) OVER (PARTITION BY class_id, token) AS v FROM rawb)
+SELECT a.class_id, a.token,
+       'topic_' || CAST(a.topic_idx AS VARCHAR) AS topic,
+       ROUND(0.7 * a.v + 0.3 * b.v, 6) AS value
+FROM na a JOIN nb b
+  ON a.class_id = b.class_id AND a.token = b.token AND a.topic_idx = b.topic_idx
+""",
+)
+def d6_merge_models(spark, sf_dir):
+    docs = docs_from_lineitem(spark, sf_dir)
+    d = gather_dictionary(docs)
+    from bigartm_spark.functions.hashing import unit_uniform
+    from bigartm_spark.model.phi import PhiMatrix
+
+    def seeded_nwt(seed, name):
+        vals = F.array(
+            *[unit_uniform("class_id", "token", i, seed=seed) for i in range(N_TOPICS)]
+        )
+        norm = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+        return PhiMatrix(
+            name,
+            TOPICS,
+            d.select(
+                "class_id",
+                "token",
+                F.transform(vals, lambda x: x / norm).alias("values"),
+            ),
+        )
+
+    merged = mstep.merge_nwt(
+        [(seeded_nwt(1, "a"), 0.7), (seeded_nwt(2, "b"), 0.3)], "m"
+    )
+    return _r6(merged.to_long(), "value")
+
+
+# ============================================================ E1: top tokens
+@register(
+    "e1_top_tokens",
+    f"""
+WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY class_id, topic_idx
+                                   ORDER BY value DESC, token ASC) AS rn
+      FROM phi)
+SELECT 'topic_' || CAST(topic_idx AS VARCHAR) AS topic, token,
+       ROUND(value, 6) AS value, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= 10
+""",
+)
+def e1_top_tokens(spark, sf_dir):
+    _, _, phi = _spark_phi(spark, sf_dir)
+    w = Window.partitionBy("class_id", "topic").orderBy(
+        F.desc("value"), F.asc("token")
+    )
+    out = (
+        phi.to_long()
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("topic", "token", "value", "rank")
+    )
+    return _r6(out, "value")
+
+
+# ============================================================ E2: kernel
+@register(
+    "e2_topic_kernel",
+    f"""
+WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
+ptw AS (SELECT *, value / SUM(value) OVER (PARTITION BY class_id, token) AS p_tw
+        FROM phi),
+k AS (SELECT * FROM ptw WHERE p_tw > 0.25)
+SELECT 'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
+       CAST(COUNT(*) AS BIGINT) AS kernel_size,
+       ROUND(SUM(value), 6) AS purity,
+       ROUND(AVG(p_tw), 6) AS contrast
+FROM k GROUP BY topic_idx
+""",
+)
+def e2_topic_kernel(spark, sf_dir):
+    _, _, phi = _spark_phi(spark, sf_dir)
+    long = phi.to_long()
+    w = Window.partitionBy("class_id", "token")
+    ptw = long.withColumn("p_tw", F.col("value") / F.sum("value").over(w))
+    out = (
+        ptw.filter(F.col("p_tw") > 0.25)
+        .groupBy("topic")
+        .agg(
+            F.count(F.lit(1)).alias("kernel_size"),
+            F.sum("value").alias("purity"),
+            F.avg("p_tw").alias("contrast"),
+        )
+    )
+    return _r6(out, "purity", "contrast")
+
+
+# ============================================================ E4: sparse
+@register(
+    "e4_specified_sparse_phi",
+    f"""
+WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY class_id, token
+                                   ORDER BY value DESC, topic_idx ASC) AS rn
+      FROM phi)
+SELECT class_id, token, 'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
+       ROUND(value, 6) AS value
+FROM r WHERE rn <= 2
+""",
+)
+def e4_specified_sparse_phi(spark, sf_dir):
+    _, _, phi = _spark_phi(spark, sf_dir)
+    from bigartm_spark.operators.topk import specified_sparse
+
+    return _r6(specified_sparse(phi.to_long(), TOPICS, max_elements=2), "value")
+
+
+# ============================================================ E7: window
+@register(
+    "e7_moving_window_smooth",
+    f"""
+WITH {DOCS_CTE}
+SELECT doc_id, pos, token,
+       ROUND(AVG(weight) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6)
+         AS smoothed
+FROM docs
+""",
+)
+def e7_moving_window_smooth(spark, sf_dir):
+    docs = docs_from_lineitem(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-2, 2)
+    out = docs.select(
+        "doc_id", "pos", "token", F.avg("weight").over(w).alias("smoothed")
+    )
+    return _r6(out, "smoothed")
+
+
+# ============================================================ E9: lag
+@register(
+    "e9_lag_trend",
+    f"""
+WITH {DOCS_CTE}
+SELECT doc_id, pos, token,
+       CAST(SIGN(weight - COALESCE(LAG(weight) OVER (PARTITION BY doc_id
+                                                     ORDER BY pos), weight))
+            AS DOUBLE) AS trend
+FROM docs
+""",
+)
+def e9_lag_trend(spark, sf_dir):
+    docs = docs_from_lineitem(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    out = docs.select(
+        "doc_id",
+        "pos",
+        "token",
+        F.signum(
+            F.col("weight") - F.coalesce(F.lag("weight").over(w), F.col("weight"))
+        )
+        .cast("double")
+        .alias("trend"),
+    )
+    return out
+
+
+# ============================================================ D14: cooc
+@register(
+    "d14_cooc_ppmi",
+    f"""
+WITH {DOCS_CTE},
+pairs AS (
+  SELECT a.doc_id, a.token AS token_a, b.token AS token_b
+  FROM docs a JOIN docs b
+    ON a.doc_id = b.doc_id AND ABS(a.pos - b.pos) <= 2 AND a.token < b.token
+),
+cooc AS (
+  SELECT token_a, token_b, CAST(COUNT(*) AS DOUBLE) AS cooc_tf,
+         CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS cooc_df
+  FROM pairs GROUP BY token_a, token_b
+),
+marg AS (
+  SELECT token, SUM(cooc_tf) AS n_u FROM (
+    SELECT token_a AS token, cooc_tf FROM cooc
+    UNION ALL SELECT token_b, cooc_tf FROM cooc
+  ) GROUP BY token
+),
+tot AS (SELECT SUM(cooc_tf) * 2 AS n FROM cooc)
+SELECT c.token_a, c.token_b, ROUND(c.cooc_tf, 6) AS cooc_tf,
+       ROUND(c.cooc_df, 6) AS cooc_df,
+       ROUND(GREATEST(0.0, LN((SELECT n FROM tot) * c.cooc_tf
+                              / (ma.n_u * mb.n_u))), 6) AS ppmi
+FROM cooc c
+JOIN marg ma ON ma.token = c.token_a
+JOIN marg mb ON mb.token = c.token_b
+""",
+)
+def d14_cooc_ppmi(spark, sf_dir):
+    docs = docs_from_lineitem(spark, sf_dir)
+    from bigartm_spark.operators.cooc import cooc_ppmi
+
+    return _r6(cooc_ppmi(docs, window=2), "cooc_tf", "cooc_df", "ppmi")
+
+
+# ============================================================ F2: intersect
+@register(
+    "f2_token_intersect",
+    f"""
+WITH {DOCS_CTE}, {DICT_CTE},
+topk AS (SELECT token FROM (
+  SELECT token, ROW_NUMBER() OVER (PARTITION BY class_id
+                                   ORDER BY df DESC, token ASC) AS rn
+  FROM dict) WHERE rn <= 50)
+SELECT DISTINCT d.class_id, d.token
+FROM docs d WHERE d.token IN (SELECT token FROM topk)
+""",
+)
+def f2_token_intersect(spark, sf_dir):
+    docs = docs_from_lineitem(spark, sf_dir)
+    topk = top_k_by_df(gather_dictionary(docs), 50).select("token")
+    return (
+        docs.join(F.broadcast(topk), "token", "left_semi")
+        .select("class_id", "token")
+        .distinct()
+    )
+
+
+# ============================================================ B1/B2: modality
+@register(
+    "b2_class_weights",
+    f"""
+WITH {DOCS_MULTI_CTE}
+SELECT class_id,
+       ROUND(SUM(weight * CASE class_id WHEN '@default_class' THEN 1.0
+                          WHEN 'supp' THEN 2.0 ELSE 0.0 END), 6)
+         AS weighted_tf,
+       CAST(COUNT(*) AS BIGINT) AS nnz
+FROM docs GROUP BY class_id
+""",
+)
+def b2_class_weights(spark, sf_dir):
+    docs = docs_multimodal(spark, sf_dir)
+    weighted = estep.apply_class_weights(
+        docs, {"@default_class": 1.0, "supp": 2.0}
+    )
+    out = weighted.groupBy("class_id").agg(
+        F.sum("weight").alias("weighted_tf"),
+        F.count(F.lit(1)).alias("nnz"),
+    )
+    return _r6(out, "weighted_tf")
+
+
+# ==================================================== D3: E-step theta
+_ESTEP_CTES = f"""
+{DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
+j AS (
+  SELECT d.doc_id, d.pos, d.token, d.weight, p.topic_idx, p.value AS phi_v
+  FROM docs d
+  JOIN phi p ON p.token = d.token AND p.class_id = d.class_id
+),
+znorm AS (
+  SELECT *, phi_v / SUM(phi_v) OVER (PARTITION BY doc_id, pos) AS ptdw0
+  FROM j
+),
+ntd AS (
+  SELECT doc_id, topic_idx, SUM(weight * ptdw0) AS n_td
+  FROM znorm GROUP BY doc_id, topic_idx
+),
+theta AS (
+  SELECT doc_id, topic_idx,
+         n_td / SUM(n_td) OVER (PARTITION BY doc_id) AS th
+  FROM ntd
+)
+""".strip()
+
+
+@register(
+    "d3_estep_theta_one_pass",
+    f"""
+WITH {_ESTEP_CTES}
+SELECT doc_id, 'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
+       ROUND(th, 6) AS value
+FROM theta
+""",
+)
+def d3_estep_theta_one_pass(spark, sf_dir):
+    docs, _, phi = _spark_phi(spark, sf_dir)
+    out = estep.process_batches(
+        docs,
+        phi,
+        num_document_passes=1,
+        emit_nwt=False,
+        emit_theta=True,
+        compute_scores=False,
+    )
+    return _r6(estep.extract_theta(out, TOPICS), "value")
+
+
+# ==================================================== D2: E-step nwt
+@register(
+    "d2_estep_nwt_one_pass",
+    f"""
+WITH {_ESTEP_CTES},
+p2 AS (
+  SELECT z.doc_id, z.pos, z.token, z.weight, z.topic_idx, z.phi_v * t.th AS num
+  FROM znorm z JOIN theta t
+    ON t.doc_id = z.doc_id AND t.topic_idx = z.topic_idx
+),
+p2n AS (
+  SELECT *, num / SUM(num) OVER (PARTITION BY doc_id, pos) AS ptdw
+  FROM p2
+)
+SELECT '@default_class' AS class_id, token,
+       'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
+       ROUND(SUM(weight * ptdw), 6) AS value
+FROM p2n GROUP BY token, topic_idx
+""",
+)
+def d2_estep_nwt_one_pass(spark, sf_dir):
+    docs, _, phi = _spark_phi(spark, sf_dir)
+    out = estep.process_batches(
+        docs,
+        phi,
+        num_document_passes=1,
+        emit_nwt=True,
+        emit_theta=False,
+        compute_scores=False,
+    )
+    nwt = estep.aggregate_nwt(out, N_TOPICS)
+    from bigartm_spark.model.phi import PhiMatrix
+
+    return _r6(PhiMatrix("nwt", TOPICS, nwt).to_long(), "value")
+
+
+# ==================================================== D7: perplexity
+@register(
+    "d7_perplexity_uniform_theta",
+    f"""
+WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
+j AS (
+  SELECT d.doc_id, d.pos, d.weight, SUM(p.value / {N_TOPICS}) AS pwd
+  FROM docs d
+  JOIN phi p ON p.token = d.token AND p.class_id = d.class_id
+  GROUP BY d.doc_id, d.pos, d.weight
+)
+SELECT ROUND(EXP(-SUM(weight * LN(pwd)) / SUM(weight)), 6) AS perplexity,
+       ROUND(SUM(weight), 6) AS normalizer
+FROM j
+""",
+)
+def d7_perplexity_uniform_theta(spark, sf_dir):
+    docs, _, phi = _spark_phi(spark, sf_dir)
+    out = estep.process_batches(
+        docs,
+        phi,
+        num_document_passes=0,  # theta stays uniform
+        emit_nwt=False,
+        emit_theta=False,
+        compute_scores=True,
+    )
+    scores = estep.extract_scores(out)
+    return spark.createDataFrame(
+        [(round(scores["perplexity"], 6), round(scores["perplexity_normalizer"], 6))],
+        "perplexity double, normalizer double",
+    )
+
+
+# ==================================================== I4: items processed
+@register(
+    "i4_items_processed",
+    f"""
+WITH {DOCS_CTE}
+SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS items,
+       ROUND(SUM(weight), 6) AS token_weight
+FROM docs
+""",
+)
+def i4_items_processed(spark, sf_dir):
+    docs, _, phi = _spark_phi(spark, sf_dir)
+    out = estep.process_batches(
+        docs, phi, num_document_passes=0, emit_nwt=False, compute_scores=True
+    )
+    scores = estep.extract_scores(out)
+    return spark.createDataFrame(
+        [(int(scores["items_processed"]), round(scores["token_weight"], 6))],
+        "items bigint, token_weight double",
+    )
