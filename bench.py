@@ -1,0 +1,102 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing discipline: JVM startup, Python-worker spawn, and input caching are
+warmed up outside the timed region — the timings measure steady-state query
+execution (what scales with data volume on a cluster), not process launch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from bigartm_spark.corpus import docs_from_lineitem
+    from bigartm_spark.model import estep
+    from bigartm_spark.model.artm import ARTM
+    from bigartm_spark.model.init import initialize_phi
+    from bigartm_spark.operators.cooc import cooc_ppmi
+    from bigartm_spark.operators.dictionary import gather_dictionary, top_k_by_df
+    from bigartm_spark.session import get_spark
+
+    spark = get_spark("bigartm_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- warmup (untimed): JVM codegen, Python worker pool, input cache
+    docs = docs_from_lineitem(spark, SF_DIR).cache()
+    docs.count()
+    tiny = docs.limit(2000)
+    tiny_d = gather_dictionary(tiny)
+    warm_phi = initialize_phi(tiny_d, ["t0", "t1"], seed=0)
+    estep.aggregate_nwt(
+        estep.process_batches(tiny, warm_phi, num_document_passes=1),
+        2,
+    ).count()
+
+    timings: dict[str, float] = {}
+
+    def bench(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    TOPICS = [f"topic_{i}" for i in range(10)]
+
+    bench("gather_dictionary", lambda: gather_dictionary(docs).count())
+    d = gather_dictionary(docs).cache()
+    d.count()
+    bench("top_k_by_df", lambda: top_k_by_df(d, 100).count())
+    bench("cooc_ppmi_w2", lambda: cooc_ppmi(docs, window=2).count())
+
+    phi = initialize_phi(d, TOPICS, seed=42)
+    bench("initialize_phi", lambda: phi.compact.cache().count())
+
+    def one_estep():
+        out = estep.process_batches(
+            docs, phi, num_document_passes=10, compute_scores=True
+        )
+        estep.aggregate_nwt(out, len(TOPICS)).count()
+
+    bench("estep_nwt_10_inner_passes", one_estep)
+
+    def fit():
+        m = ARTM(num_topics=10, num_document_passes=5, seed=42)
+        m.initialize(d)
+        m.fit_offline(docs, num_collection_passes=2)
+
+    bench("fit_offline_T10_2pass", fit)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "bigartm_spark_headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

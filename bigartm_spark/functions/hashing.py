@@ -54,6 +54,23 @@ def _minstd2(g: Column) -> Column:
     return (u * F.lit(_A)) % F.lit(_M)
 
 
+def base_hash(class_id: Column | str, token: Column | str) -> Column:
+    """Combined (class_id, token) rolling hash. Compute ONCE per row and
+    reuse across topics — the string fold is the expensive part."""
+    h = (char_hash(class_id) * F.lit(31) + F.lit(255)) % F.lit(_P_HASH)
+    return (h * F.lit(31) + char_hash(token)) % F.lit(_P_HASH)
+
+
+def uniform_from_base(
+    hb: Column, topic_idx: Column | int, seed: int = 0
+) -> Column:
+    """Pseudo-uniform in (0,1) from a precomputed base hash: cheap integer
+    mixing only (two MINSTD rounds)."""
+    t = F.lit(topic_idx) if isinstance(topic_idx, int) else topic_idx
+    g = (hb + t.cast("long") * F.lit(_TOPIC_MIX) + F.lit(seed)) % F.lit(_M - 1) + F.lit(1)
+    return _minstd2(g).cast("double") / F.lit(float(_M))
+
+
 def unit_uniform(
     class_id: Column | str,
     token: Column | str,
@@ -63,13 +80,10 @@ def unit_uniform(
     """Deterministic pseudo-uniform in (0, 1) keyed by (class, token, topic, seed).
 
     token-hash -> mix topic & seed -> two MINSTD (Park-Miller) rounds.
-    Exactly reproducible in SQL; see :func:`unit_uniform_sql`.
+    Exactly reproducible in SQL; see :func:`unit_uniform_sql`. Prefer
+    base_hash + uniform_from_base when generating many topics per row.
     """
-    t = F.lit(topic_idx) if isinstance(topic_idx, int) else topic_idx
-    h = (char_hash(class_id) * F.lit(31) + F.lit(255)) % F.lit(_P_HASH)
-    h = (h * F.lit(31) + char_hash(token)) % F.lit(_P_HASH)
-    g = (h + t.cast("long") * F.lit(_TOPIC_MIX) + F.lit(seed)) % F.lit(_M - 1) + F.lit(1)
-    return _minstd2(g).cast("double") / F.lit(float(_M))
+    return uniform_from_base(base_hash(class_id, token), topic_idx, seed)
 
 
 def unit_uniform_sql(

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from bigartm_spark.functions.hashing import unit_uniform
+from bigartm_spark.functions.hashing import base_hash, uniform_from_base
 from bigartm_spark.model.phi import PhiMatrix
 
 
@@ -32,10 +32,14 @@ def initialize_phi(
     ``dense_init_rate`` share by tf get ``guaranteed_zeros_rate`` of their
     cells zeroed (zero iff u_zero <= rate, mirroring helpers.cc:87-94)."""
     n = len(topics)
-    vals = F.array(
-        *[unit_uniform("class_id", "token", i, seed=seed) for i in range(n)]
+    hb = F.col("_hb")
+    vals = F.array(*[uniform_from_base(hb, i, seed=seed) for i in range(n)])
+    df = (
+        dictionary.select("class_id", "token", "tf")
+        .withColumn("_hb", base_hash("class_id", "token"))
+        .withColumn("_v", vals)
+        .drop("_hb")
     )
-    df = dictionary.select("class_id", "token", "tf").withColumn("_v", vals)
     if dense_init_rate < 1.0 and guaranteed_zeros_rate > 0.0:
         w = Window.partitionBy("class_id").orderBy(F.desc("tf"), F.asc("token"))
         zero_gate = F.array(

@@ -26,12 +26,31 @@ def cooc_gather(
 ) -> DataFrame:
     """cooc(token_a, token_b, cooc_tf, cooc_df) — pairs of tokens whose
     positions within a doc are at most ``window`` apart. token_a < token_b
-    canonicalizes symmetric pairs."""
-    a = docs.select("doc_id", F.col("token").alias("token_a"), F.col("pos").alias("_pa"))
-    b = docs.select("doc_id", F.col("token").alias("token_b"), F.col("pos").alias("_pb"))
-    pairs = a.join(b, "doc_id").filter(
-        (F.abs(F.col("_pa") - F.col("_pb")) <= window)
-        & (F.col("token_a") < F.col("token_b"))
+    canonicalizes symmetric pairs.
+
+    Plan note: a naive doc_id self-join with an |pos_a - pos_b| <= w filter
+    materializes nnz_d^2 intermediates per doc. Instead we explode each
+    occurrence into its w forward offsets and equi-join on (doc_id, pos) —
+    the join output IS the pair list (w * nnz rows), no quadratic blowup,
+    and Catalyst gets a plain shuffle-hash equi-join it can plan well at
+    any scale."""
+    offsets = F.array(*[F.col("pos") + F.lit(i) for i in range(1, window + 1)])
+    left = docs.select(
+        "doc_id",
+        F.col("token").alias("_tok_i"),
+        F.explode(offsets).alias("_pos_j"),
+    )
+    right = docs.select(
+        "doc_id", F.col("token").alias("_tok_j"), F.col("pos").alias("_pos_j")
+    )
+    pairs = (
+        left.join(right, ["doc_id", "_pos_j"])
+        .filter(F.col("_tok_i") != F.col("_tok_j"))
+        .select(
+            "doc_id",
+            F.least("_tok_i", "_tok_j").alias("token_a"),
+            F.greatest("_tok_i", "_tok_j").alias("token_b"),
+        )
     )
     out = pairs.groupBy("token_a", "token_b").agg(
         F.count(F.lit(1)).cast("double").alias("cooc_tf"),
@@ -79,4 +98,7 @@ def ppmi(cooc: DataFrame) -> DataFrame:
 
 
 def cooc_ppmi(docs: DataFrame, window: int = 5, **kw) -> DataFrame:
-    return ppmi(cooc_gather(docs, window=window, **kw))
+    # ppmi reads the cooc relation three times (marginals x2 + join);
+    # materialize it once instead of re-running the pair join per read.
+    gathered = cooc_gather(docs, window=window, **kw).cache()
+    return ppmi(gathered)

@@ -98,6 +98,25 @@ def _spark_phi(spark: SparkSession, sf_dir: str, seed: int = SEED):
     return docs, d, initialize_phi(d, TOPICS, seed=seed)
 
 
+def _seeded_row_normalized_nwt(d: DataFrame, seed: int) -> DataFrame:
+    from bigartm_spark.functions.hashing import base_hash, uniform_from_base
+
+    vals = F.array(
+        *[uniform_from_base(F.col("_hb"), i, seed=seed) for i in range(N_TOPICS)]
+    )
+    norm = F.aggregate(F.col("_v"), F.lit(0.0), lambda a, x: a + x)
+    return (
+        d.select("class_id", "token")
+        .withColumn("_hb", base_hash("class_id", "token"))
+        .withColumn("_v", vals)
+        .select(
+            "class_id",
+            "token",
+            F.transform("_v", lambda x: x / norm).alias("values"),
+        )
+    )
+
+
 # ============================================================ D1: gather
 @register(
     "d1_gather_dictionary",
@@ -220,17 +239,7 @@ def d4_topic_totals(spark, sf_dir):
     docs = docs_from_lineitem(spark, sf_dir)
     d = gather_dictionary(docs)
     # the seeded, row-normalized n_wt (pre-column-normalization)
-    from bigartm_spark.functions.hashing import unit_uniform
-
-    vals = F.array(
-        *[unit_uniform("class_id", "token", i, seed=SEED) for i in range(N_TOPICS)]
-    )
-    norm = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
-    nwt = d.select(
-        "class_id",
-        "token",
-        F.transform(vals, lambda x: x / norm).alias("values"),
-    )
+    nwt = _seeded_row_normalized_nwt(d, SEED)
     from bigartm_spark.model.phi import PhiMatrix
 
     totals = mstep.topic_totals(PhiMatrix("nwt", TOPICS, nwt))
@@ -271,27 +280,11 @@ FROM na a JOIN nb b
 def d6_merge_models(spark, sf_dir):
     docs = docs_from_lineitem(spark, sf_dir)
     d = gather_dictionary(docs)
-    from bigartm_spark.functions.hashing import unit_uniform
     from bigartm_spark.model.phi import PhiMatrix
 
-    def seeded_nwt(seed, name):
-        vals = F.array(
-            *[unit_uniform("class_id", "token", i, seed=seed) for i in range(N_TOPICS)]
-        )
-        norm = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
-        return PhiMatrix(
-            name,
-            TOPICS,
-            d.select(
-                "class_id",
-                "token",
-                F.transform(vals, lambda x: x / norm).alias("values"),
-            ),
-        )
-
-    merged = mstep.merge_nwt(
-        [(seeded_nwt(1, "a"), 0.7), (seeded_nwt(2, "b"), 0.3)], "m"
-    )
+    a = PhiMatrix("a", TOPICS, _seeded_row_normalized_nwt(d, 1))
+    b = PhiMatrix("b", TOPICS, _seeded_row_normalized_nwt(d, 2))
+    merged = mstep.merge_nwt([(a, 0.7), (b, 0.3)], "m")
     return _r6(merged.to_long(), "value")
 
 
