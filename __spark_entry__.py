@@ -34,12 +34,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    import bigartm_spark.plans.pipeline_queries  # noqa: F401 — registers
     from bigartm_spark.plans.driver_queries import QUERIES
 
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    import bigartm_spark.plans.pipeline_queries  # noqa: F401 — registers
     from bigartm_spark.plans.driver_queries import ORACLES
 
     return dict(ORACLES)

@@ -42,19 +42,66 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+def _portable_round_sql(sql: str) -> str:
+    """Rewrite every ROUND(<expr>, 6) into FLOOR((<expr>) * 1e6 + 0.5)/1e6.
+
+    Engines disagree on exact-half decimal rounding of doubles (Spark
+    round() goes through BigDecimal shortest-repr HALF_UP; DuckDB rounds
+    the binary double), so ties like 0.5060625 split. floor(x*1e6+0.5) is
+    pure double arithmetic — identical on both engines given identical x.
+    """
+    out = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        j = sql.upper().find("ROUND(", i)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        out.append(sql[i:j])
+        depth = 1
+        k = j + len("ROUND(")
+        start = k
+        while k < n and depth > 0:
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+            k += 1
+        inner = sql[start : k - 1].rstrip()
+        if inner.endswith(", 6"):
+            expr = inner[: -len(", 6")]
+        elif inner.endswith(",6"):
+            expr = inner[: -len(",6")]
+        else:
+            out.append(sql[j:k])
+            i = k
+            continue
+        out.append(f"FLOOR(({expr}) * 1000000 + 0.5) / 1000000")
+        i = k
+    return "".join(out)
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
-            ORACLES[name] = oracle
+            ORACLES[name] = _portable_round_sql(oracle)
         return fn
 
     return deco
 
 
 def _r6(df: DataFrame, *cols: str) -> DataFrame:
+    """Spark twin of the oracle's portable rounding (see above)."""
     for c in cols:
-        df = df.withColumn(c, F.round(F.col(c).cast("double"), 6))
+        df = df.withColumn(
+            c,
+            (
+                F.floor(F.col(c).cast("double") * F.lit(1000000.0) + F.lit(0.5))
+                / F.lit(1000000.0)
+            ).cast("double"),
+        )
     return df
 
 
@@ -96,6 +143,13 @@ def _spark_phi(spark: SparkSession, sf_dir: str, seed: int = SEED):
     docs = docs_from_lineitem(spark, sf_dir)
     d = gather_dictionary(docs)
     return docs, d, initialize_phi(d, TOPICS, seed=seed)
+
+
+def _pyr6(x: float) -> float:
+    """Python twin of the portable rounding (python round() is banker's)."""
+    import math
+
+    return math.floor(x * 1000000.0 + 0.5) / 1000000.0
 
 
 def _seeded_row_normalized_nwt(d: DataFrame, seed: int) -> DataFrame:
@@ -612,7 +666,7 @@ def d7_perplexity_uniform_theta(spark, sf_dir):
     )
     scores = estep.extract_scores(out)
     return spark.createDataFrame(
-        [(round(scores["perplexity"], 6), round(scores["perplexity_normalizer"], 6))],
+        [(_pyr6(scores["perplexity"]), _pyr6(scores["perplexity_normalizer"]))],
         "perplexity double, normalizer double",
     )
 
@@ -634,6 +688,6 @@ def i4_items_processed(spark, sf_dir):
     )
     scores = estep.extract_scores(out)
     return spark.createDataFrame(
-        [(int(scores["items_processed"]), round(scores["token_weight"], 6))],
+        [(int(scores["items_processed"]), _pyr6(scores["token_weight"]))],
         "items bigint, token_weight double",
     )

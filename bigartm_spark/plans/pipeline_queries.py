@@ -1,0 +1,333 @@
+"""LLM-data-pipeline queries over documents/embeddings, oracle-checked.
+
+Spark side: operators/{dedup,similarity,textstats}.py. Oracle side: the
+same tokenization / hashing / float arithmetic expressed as DuckDB SQL —
+list_filter/list_transform/list_reduce evaluate left-to-right exactly
+like Spark's filter/transform/aggregate, so doubles match bit-for-bit
+before the ROUND(6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigartm_spark.functions.hashing import char_hash_sql
+from bigartm_spark.operators import dedup, similarity, textstats
+from bigartm_spark.plans.driver_queries import ORACLES, QUERIES, _r6, register
+
+WORDS_SQL = "list_filter(string_split(text, ' '), w -> len(w) > 0)"
+
+SHINGLES_CTE = f"""
+docw AS (SELECT doc_id, {WORDS_SQL} AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM docw, UNNEST(range(1, GREATEST(len(ws) - 2, 0) + 1)) AS t(i)
+)
+""".strip()
+
+def _minhash_sig_cte() -> str:
+    """Per-sig_idx (a, b) constants via CASE — keeps the oracle one query."""
+    a_case = "CASE t.sig_idx " + " ".join(
+        f"WHEN {i} THEN {a}" for i, a in enumerate(dedup.MINHASH_AS)
+    ) + " END"
+    b_case = "CASE t.sig_idx " + " ".join(
+        f"WHEN {i} THEN {b}" for i, b in enumerate(dedup.MINHASH_BS)
+    ) + " END"
+    return f"""
+{SHINGLES_CTE},
+shh AS (SELECT doc_id, {char_hash_sql('shingle')} AS h FROM sh),
+sig AS (
+  SELECT doc_id, t.sig_idx,
+         MIN((h * ({a_case}) + ({b_case})) % {dedup.MINHASH_P}) AS minhash
+  FROM shh, (SELECT UNNEST(range({len(dedup.MINHASH_AS)})) AS sig_idx) t
+  GROUP BY doc_id, t.sig_idx
+)
+""".strip()
+
+
+# ------------------------------------------------------------- dedup
+@register(
+    "dedup_exact",
+    """
+SELECT md5(text) AS text_md5,
+       CAST(COUNT(*) AS BIGINT) AS n_dups,
+       MIN(doc_id) AS canonical_doc_id
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.exact_dedup(docs)
+
+
+@register(
+    "dedup_minhash_signatures",
+    f"""
+WITH {_minhash_sig_cte()}
+SELECT doc_id, CAST(sig_idx AS INT) AS sig_idx, minhash FROM sig
+""",
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_signatures(docs)
+
+
+@register(
+    "dedup_lsh_candidates",
+    f"""
+WITH {_minhash_sig_cte()},
+bands AS (
+  SELECT doc_id, CAST(sig_idx // {dedup.LSH_BAND_SIZE} AS INT) AS band,
+         STRING_AGG(CAST(minhash AS VARCHAR), ',' ORDER BY sig_idx) AS band_sig
+  FROM sig GROUP BY doc_id, CAST(sig_idx // {dedup.LSH_BAND_SIZE} AS INT)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+""",
+)
+def dedup_lsh_candidates(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.lsh_candidate_pairs(docs)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05
+""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _r6(dedup.ngram_jaccard_pairs(docs, threshold=0.05), "jaccard")
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = ", ".join(
+        f"SUM(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(bits)
+    )
+    simexpr = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, UNNEST({WORDS_SQL}) AS word FROM documents
+),
+h AS (SELECT doc_id, {char_hash_sql('word')} AS h FROM w),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({simexpr} AS BIGINT) AS simhash FROM v
+""".strip()
+
+
+@register("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash(docs)
+
+
+# ------------------------------------------------------------- similarity
+_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, x) -> acc + x)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_DOT_SQL.format(a=a, b=b)}) / "
+        f"(SQRT({_DOT_SQL.format(a=a, b=a)}) * SQRT({_DOT_SQL.format(a=b, b=b)}))"
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id, label, {_cos_sql('embedding', 'qe')} AS cosine
+  FROM embeddings, q WHERE vec_id <> 0
+),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT vec_id, label, ROUND(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10
+""",
+)
+def ann_cosine_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _r6(similarity.brute_force_topk(emb, query_id=0, k=10), "cosine")
+
+
+@register(
+    "ann_knn_per_label",
+    f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id, label, {_cos_sql('embedding', 'qe')} AS cosine
+  FROM embeddings, q WHERE vec_id <> 0
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                   ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT label, vec_id, ROUND(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
+""",
+)
+def ann_knn_per_label(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _r6(similarity.knn_per_label(emb, query_id=0, k=3), "cosine")
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{b + 1}] > 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(4)
+)
+
+
+@register(
+    "ann_lsh_bucketed_topk",
+    f"""
+WITH be AS (
+  SELECT vec_id, label, embedding, CAST({_BUCKET_SQL} AS INT) AS bucket
+  FROM embeddings
+),
+q AS (SELECT embedding AS qe, bucket AS qb FROM be WHERE vec_id = 0),
+s AS (
+  SELECT vec_id, label, bucket, {_cos_sql('embedding', 'qe')} AS cosine
+  FROM be, q WHERE vec_id <> 0 AND bucket = qb
+),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT vec_id, label, bucket, ROUND(cosine, 6) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+""",
+)
+def ann_lsh_bucketed_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _r6(similarity.lsh_bucketed_topk(emb, query_id=0, k=5), "cosine")
+
+
+@register(
+    "embedding_near_dup_pairs",
+    f"""
+WITH pairs AS (
+  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_cos_sql('a.embedding', 'b.embedding')} AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT label, vec_a, vec_b, ROUND(cosine, 6) AS cosine
+FROM pairs WHERE cosine >= 0.3
+""",
+)
+def embedding_near_dup_pairs(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _r6(similarity.cosine_near_dup_pairs(emb, threshold=0.3), "cosine")
+
+
+# ------------------------------------------------------------- textstats
+@register(
+    "text_token_count",
+    f"""
+SELECT doc_id,
+       CAST(len({WORDS_SQL}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({WORDS_SQL})) AS BIGINT) AS n_distinct_tokens,
+       CAST(len(text) AS BIGINT) AS n_chars_measured
+FROM documents
+""",
+)
+def text_token_count(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.token_count(docs)
+
+
+def _langid_sql() -> str:
+    langs = sorted(textstats.LANG_STOPWORDS)
+    score_exprs = []
+    for lang in langs:
+        sw = ", ".join(f"'{w}'" for w in textstats.LANG_STOPWORDS[lang])
+        score_exprs.append(
+            f"CAST(len(list_filter(ws, w -> list_contains([{sw}], w))) AS DOUBLE)"
+            f" / len(ws) AS score_{lang}"
+        )
+    mx = "GREATEST(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    whens = " ".join(
+        f"WHEN score_{lang} = {mx} AND {mx} > 0 THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH docw AS (SELECT doc_id, {WORDS_SQL} AS ws FROM documents),
+sc AS (SELECT doc_id, {', '.join(score_exprs)} FROM docw)
+SELECT doc_id, {', '.join(f'ROUND(score_{lang}, 6) AS score_{lang}' for lang in langs)},
+       CASE {whens} ELSE 'und' END AS predicted_lang
+FROM sc
+""".strip()
+
+
+@register("text_lang_id", _langid_sql())
+def text_lang_id(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textstats.lang_id(docs)
+    return _r6(out, *[f"score_{lang}" for lang in sorted(textstats.LANG_STOPWORDS)])
+
+
+@register(
+    "text_quality_score",
+    f"""
+WITH docw AS (SELECT doc_id, {WORDS_SQL} AS ws FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(ws) AS DOUBLE) AS n_words,
+         CASE WHEN len(ws) > 0
+              THEN CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+              ELSE 0.0 END AS distinct_ratio,
+         CASE WHEN len(ws) > 0
+              THEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(ws, w -> CAST(len(w) AS DOUBLE))),
+                     (a, x) -> a + x) / len(ws)
+              ELSE 0.0 END AS mean_word_len
+  FROM docw
+)
+SELECT doc_id, ROUND(n_words, 6) AS n_words,
+       ROUND(distinct_ratio, 6) AS distinct_ratio,
+       ROUND(mean_word_len, 6) AS mean_word_len,
+       ROUND(0.4 * LEAST(n_words / 100.0, 1.0)
+             + 0.3 * distinct_ratio
+             + 0.3 * LEAST(mean_word_len / 8.0, 1.0), 6) AS quality
+FROM m
+""",
+)
+def text_quality_score(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _r6(
+        textstats.quality_score(docs),
+        "n_words",
+        "distinct_ratio",
+        "mean_word_len",
+        "quality",
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""
+SELECT doc_id, {char_hash_sql('text')} AS fp FROM documents
+""",
+)
+def text_fingerprint(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.fingerprint(docs)
