@@ -1,0 +1,115 @@
+"""A5-A11: batch/model/dictionary/score-tracker persistence + readable sinks.
+
+Reference writes protobuf files per batch and chunked binary model files
+(master_component.cc:331-571); our batch format IS parquet (columnar,
+chunked row groups for free), so every export/import is a one-liner with
+schema enforcement. CSV sinks mirror the CLI's --write-*-readable
+(srcmain.cc:1202-1300).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigartm_spark.model.phi import PhiMatrix
+from bigartm_spark.schemas import DICTIONARY_SCHEMA, DOCS_SCHEMA
+
+
+def save_batches(docs: DataFrame, path: str, num_batches: int | None = None):
+    """A7: persist the long corpus; batch_id is the partition key so
+    online fit / incremental reads prune partitions (§4)."""
+    w = docs
+    if num_batches is not None:
+        w = docs.repartition(num_batches, "batch_id")
+    w.write.mode("overwrite").partitionBy("batch_id").parquet(path)
+
+
+def load_batches(spark: SparkSession, path: str) -> DataFrame:
+    """A5: lazy scan of the batch store."""
+    df = spark.read.parquet(path)
+    cols = [f.name for f in DOCS_SCHEMA.fields]
+    return df.select(*[F.col(c).cast(dict_field_type(DOCS_SCHEMA, c)) for c in cols])
+
+
+def dict_field_type(schema, name):
+    return next(f.dataType for f in schema.fields if f.name == name)
+
+
+def export_model(phi: PhiMatrix, path: str):
+    """A8: long-COO parquet + topics sidecar."""
+    phi.to_long().write.mode("overwrite").parquet(f"{path}/phi.parquet")
+    with open(f"{path}/meta.json", "w") as f:
+        json.dump({"name": phi.name, "topics": phi.topics}, f)
+
+
+def import_model(spark: SparkSession, path: str) -> PhiMatrix:
+    with open(f"{path}/meta.json") as f:
+        meta = json.load(f)
+    long_df = spark.read.parquet(f"{path}/phi.parquet")
+    return PhiMatrix.from_long(meta["name"], meta["topics"], long_df)
+
+
+def export_dictionary(dictionary: DataFrame, path: str, cooc: DataFrame | None = None):
+    """A9."""
+    dictionary.write.mode("overwrite").parquet(f"{path}/dictionary.parquet")
+    if cooc is not None:
+        cooc.write.mode("overwrite").parquet(f"{path}/cooc.parquet")
+
+
+def import_dictionary(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.parquet(f"{path}/dictionary.parquet")
+    return df.select(*[f.name for f in DICTIONARY_SCHEMA.fields])
+
+
+def export_score_tracker(tracker: dict[str, list[float]], path: str):
+    """A10: per-pass score history as JSON."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(tracker, f)
+
+
+def import_score_tracker(path: str) -> dict[str, list[float]]:
+    with open(path) as f:
+        return json.load(f)
+
+
+def write_model_readable(phi: PhiMatrix, path: str):
+    """A11: CSV sink of the wide (pivoted) model — the CLI's
+    --write-model-readable."""
+    long_df = phi.to_long()
+    wide = (
+        long_df.groupBy("class_id", "token")
+        .pivot("topic", phi.topics)
+        .agg(F.first("value"))
+    )
+    wide.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_corpus_vw(docs: DataFrame, path: str):
+    """A11: re-export the corpus in VW format (one doc per line)."""
+    per_doc = (
+        docs.withColumn(
+            "_tok",
+            F.when(
+                F.col("class_id") == "@default_class",
+                F.concat("token", F.lit(":"), F.col("weight").cast("string")),
+            ).otherwise(
+                F.concat(
+                    F.lit("|"),
+                    "class_id",
+                    F.lit(" "),
+                    "token",
+                    F.lit(":"),
+                    F.col("weight").cast("string"),
+                )
+            ),
+        )
+        .groupBy("doc_id", "title")
+        .agg(F.concat_ws(" ", F.collect_list("_tok")).alias("_body"))
+        .select(F.concat_ws(" ", "title", "_body").alias("value"))
+    )
+    per_doc.coalesce(1).write.mode("overwrite").text(path)
