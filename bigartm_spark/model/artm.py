@@ -39,6 +39,7 @@ class ARTM:
         class_weights: dict[str, float] | None = None,
         phi_regularizers: list[PhiRegularizer] | None = None,
         theta_agents: list | None = None,
+        phi_transforms: list | None = None,
         cache_theta: bool = False,
     ):
         if topic_names is None:
@@ -49,6 +50,7 @@ class ARTM:
         self.class_weights = class_weights
         self.phi_regularizers = phi_regularizers or []
         self.theta_agents = theta_agents or []
+        self.phi_transforms = phi_transforms or []
         self.cache_theta = cache_theta
         self.pwt: PhiMatrix | None = None
         self.nwt: PhiMatrix | None = None
@@ -95,10 +97,14 @@ class ARTM:
 
         ctx = RegularizeContext(
             dictionary=self.dictionary,
-            topic_totals=None,
+            topic_totals=mstep.topic_totals(self.nwt)
+            if self.phi_regularizers
+            else None,
         )
         rwt_df = regularize(self.pwt, self.nwt, self.phi_regularizers, ctx)
         new_pwt = mstep.normalize(self.nwt, rwt_df, name="pwt")
+        for transform in self.phi_transforms:
+            new_pwt = transform(new_pwt)
         # materialize + break lineage before the next pass reads it
         self.pwt = new_pwt.checkpoint()
 

@@ -38,13 +38,16 @@ THETA_EPS = 1e-37  # sparsity threshold, messages.proto:610
 
 KERNEL_OUT_SCHEMA = T.StructType(
     [
-        T.StructField("kind", T.StringType(), False),  # nwt | theta | score
+        T.StructField("kind", T.StringType(), False),  # nwt|theta|ptdw|score
         T.StructField("key", T.StringType(), True),  # token or score name
         T.StructField("class_id", T.StringType(), True),
         T.StructField("doc_id", T.LongType(), True),
+        T.StructField("pos", T.IntegerType(), True),
         T.StructField("values", T.ArrayType(T.DoubleType()), False),
     ]
 )
+
+_OUT_COLS = ["kind", "key", "class_id", "doc_id", "pos", "values"]
 
 
 def _doc_kernel_factory(
@@ -54,15 +57,17 @@ def _doc_kernel_factory(
     emit_nwt: bool,
     emit_theta: bool,
     compute_scores: bool,
+    ptdw_agents: list | None = None,
+    emit_ptdw: bool = False,
 ):
     """Build the applyInPandas kernel. All captured state must pickle."""
+    ptdw_agents = ptdw_agents or []
+    sort_cols = ["doc_id", "pos"] if (ptdw_agents or emit_ptdw) else ["doc_id"]
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
-            return pd.DataFrame(
-                columns=["kind", "key", "class_id", "doc_id", "values"]
-            )
-        pdf = pdf.sort_values("doc_id", kind="mergesort")
+            return pd.DataFrame(columns=_OUT_COLS)
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
         w = pdf["weight"].to_numpy(dtype=np.float64)
         phi_rows = np.stack(pdf["values"].to_numpy())  # (nnz, T)
         doc_ids = pdf["doc_id"].to_numpy()
@@ -75,13 +80,25 @@ def _doc_kernel_factory(
 
         T_ = num_topics
         theta = np.full((n_docs, T_), 1.0 / T_)
+
+        def compute_ptdw(th):
+            num = phi_rows * th[seg]  # (nnz, T)
+            z = num.sum(axis=1)
+            out = np.divide(num, z[:, None], out=num, where=z[:, None] > 0)
+            for agent in ptdw_agents:
+                out = agent.apply_ptdw(out, starts, seg)
+                zz = out.sum(axis=1)  # re-normalize rows (NormalizePtdwAgent)
+                out = np.divide(
+                    out, zz[:, None], out=out, where=zz[:, None] > 0
+                )
+                z = zz
+            return out, z
+
         # inner passes: regularize after each n_td recompute, normalize as
         # the final agent (processor_helpers.cc:468-513, 169-171)
         for p in range(num_document_passes):
-            num = phi_rows * theta[seg]  # (nnz, T)
-            z = num.sum(axis=1)
-            np.divide(num, z[:, None], out=num, where=z[:, None] > 0)
-            n_td = np.add.reduceat(w[:, None] * num, starts, axis=0)
+            ptdw, z = compute_ptdw(theta)
+            n_td = np.add.reduceat(w[:, None] * ptdw, starts, axis=0)
             for agent in theta_agents:
                 n_td = agent.apply(theta, n_td, p)
             np.maximum(n_td, 0.0, out=n_td)
@@ -92,14 +109,13 @@ def _doc_kernel_factory(
             )
 
         # final ptdw with the converged theta
-        num = phi_rows * theta[seg]
-        z = num.sum(axis=1)
-        ptdw = np.divide(num, z[:, None], out=num, where=z[:, None] > 0)
+        ptdw, z = compute_ptdw(theta)
 
         out_kind: list[str] = []
         out_key: list = []
         out_cls: list = []
         out_doc: list = []
+        out_pos: list = []
         out_vals: list = []
 
         if emit_nwt:
@@ -118,6 +134,7 @@ def _doc_kernel_factory(
                 out_key.append(u_tok[i])
                 out_cls.append(u_cls[i])
                 out_doc.append(None)
+                out_pos.append(None)
                 out_vals.append(nwt[i])
 
         if emit_theta:
@@ -126,7 +143,18 @@ def _doc_kernel_factory(
                 out_key.append(None)
                 out_cls.append(None)
                 out_doc.append(int(uniq_docs[i]))
+                out_pos.append(None)
                 out_vals.append(theta[i])
+
+        if emit_ptdw:
+            pos_arr = pdf["pos"].to_numpy()
+            for i in range(len(pdf)):
+                out_kind.append("ptdw")
+                out_key.append(None)
+                out_cls.append(None)
+                out_doc.append(int(doc_ids[i]))
+                out_pos.append(int(pos_arr[i]))
+                out_vals.append(ptdw[i])
 
         if compute_scores:
             # perplexity: sum w*ln p(w|d); zero-p fallback = document
@@ -151,6 +179,7 @@ def _doc_kernel_factory(
                 out_key.append(k)
                 out_cls.append(None)
                 out_doc.append(None)
+                out_pos.append(None)
                 out_vals.append(np.array([v]))
 
         return pd.DataFrame(
@@ -159,6 +188,7 @@ def _doc_kernel_factory(
                 "key": out_key,
                 "class_id": out_cls,
                 "doc_id": out_doc,
+                "pos": pd.array(out_pos, dtype="Int32"),
                 "values": out_vals,
             }
         )
@@ -201,9 +231,13 @@ def process_batches(
     compute_scores: bool = True,
     num_buckets: int | None = None,
     broadcast_phi: bool = True,
+    ptdw_agents: list | None = None,
+    emit_ptdw: bool = False,
+    transaction_mode: bool = False,
+    transaction_weights: dict[str, float] | None = None,
 ) -> DataFrame:
     """One E-step pass over the corpus. Returns the kernel output relation
-    (kind, key, class_id, doc_id, values) — callers aggregate it.
+    (kind, key, class_id, doc_id, pos, values) — callers aggregate it.
 
     broadcast_phi: phi has |vocab| rows (vocab x topics doubles). Up to
     ~10^6 x 100 topics this fits the 64MB broadcast budget comfortably and
@@ -213,25 +247,166 @@ def process_batches(
     """
     docs = apply_class_weights(docs, class_weights)
     phi_df = F.broadcast(pwt.compact) if broadcast_phi else pwt.compact
-    joined = docs.select("doc_id", "class_id", "token", "weight").join(
+    need_pos = bool(ptdw_agents) or emit_ptdw
+    cols = ["doc_id", "class_id", "token", "weight"]
+    if need_pos or transaction_mode:
+        cols.append("pos")
+    if transaction_mode:
+        cols += ["transaction_id", "transaction_typename"]
+    joined = docs.select(*cols).join(
         phi_df, ["class_id", "token"]
     )  # B5: inner join drops tokens absent from the model
     if num_buckets is None:
         num_buckets = max(
             docs.sparkSession.sparkContext.defaultParallelism * 2, 8
         )
-    kernel = _doc_kernel_factory(
-        pwt.num_topics,
-        num_document_passes,
-        theta_agents or [],
-        emit_nwt,
-        emit_theta,
-        compute_scores,
-    )
+    if transaction_mode:
+        kernel = _transaction_kernel_factory(
+            pwt.num_topics,
+            num_document_passes,
+            theta_agents or [],
+            emit_nwt,
+            emit_theta,
+            transaction_weights,
+        )
+    else:
+        kernel = _doc_kernel_factory(
+            pwt.num_topics,
+            num_document_passes,
+            theta_agents or [],
+            emit_nwt,
+            emit_theta,
+            compute_scores,
+            ptdw_agents=ptdw_agents,
+            emit_ptdw=emit_ptdw,
+        )
     bucketed = joined.withColumn(
         "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets))
     )
     return bucketed.groupBy("_bucket").applyInPandas(kernel, KERNEL_OUT_SCHEMA)
+
+
+def _transaction_kernel_factory(
+    num_topics: int,
+    num_document_passes: int,
+    theta_agents: list,
+    emit_nwt: bool,
+    emit_theta: bool,
+    transaction_weights: dict[str, float] | None,
+):
+    """E-step with typed-transaction semantics
+    (processor_transaction_helpers.cc:28-160):
+      p(x|t,d) ∝ theta_td * prod_{w in x} phi_wt   (product over tokens)
+      n_td[t] += tt_weight * n_kdx * p(t|d,x)      (n_kdx = first token's w)
+      n_wt[w] += same value for EVERY token w of the transaction.
+    Runs num_document_passes + 1 inner iterations (reference off-by-one).
+    """
+    tt_w = transaction_weights
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=_OUT_COLS)
+        pdf = pdf.sort_values(
+            ["doc_id", "transaction_id", "pos"], kind="mergesort"
+        )
+        T_ = num_topics
+        phi_rows = np.stack(pdf["values"].to_numpy())  # (nnz, T)
+        doc_ids = pdf["doc_id"].to_numpy()
+        tx_ids = pdf["transaction_id"].to_numpy()
+        w = pdf["weight"].to_numpy(dtype=np.float64)
+
+        # transaction segments (within doc)
+        key_change = np.flatnonzero(
+            (doc_ids[1:] != doc_ids[:-1]) | (tx_ids[1:] != tx_ids[:-1])
+        ) + 1
+        tx_starts = np.concatenate(([0], key_change))
+        # doc segments over transactions
+        tx_doc = doc_ids[tx_starts]
+        doc_change = np.flatnonzero(tx_doc[1:] != tx_doc[:-1]) + 1
+        doc_starts_tx = np.concatenate(([0], doc_change))
+        n_docs = len(doc_starts_tx)
+        uniq_docs = tx_doc[doc_starts_tx]
+        tx_seg_doc = np.repeat(
+            np.arange(n_docs),
+            np.diff(np.append(doc_starts_tx, len(tx_starts))),
+        )
+        n_kdx = w[tx_starts]  # first token's weight per transaction
+        if tt_w is not None:
+            names = pdf["transaction_typename"].to_numpy()[tx_starts]
+            ttw = np.array([tt_w.get(nm, 0.0) for nm in names])
+        else:
+            ttw = np.ones(len(tx_starts))
+
+        log_phi = np.log(np.maximum(phi_rows, 1e-300))
+        theta = np.full((n_docs, T_), 1.0 / T_)
+
+        def tx_helper(th):
+            # prod of phi over transaction tokens (via log-sum, stable)
+            logs = np.add.reduceat(log_phi, tx_starts, axis=0)
+            prod = np.exp(logs)
+            helper = prod * th[tx_seg_doc]  # (n_tx, T)
+            z = helper.sum(axis=1)
+            return helper, z
+
+        for it in range(num_document_passes + 1):
+            helper, z = tx_helper(theta)
+            ptdx = np.divide(
+                helper, z[:, None], out=np.zeros_like(helper),
+                where=z[:, None] > 1e-100,
+            )
+            contrib = (ttw * n_kdx)[:, None] * ptdx
+            n_td = np.add.reduceat(contrib, doc_starts_tx, axis=0)
+            for agent in theta_agents:
+                n_td = agent.apply(theta, n_td, it)
+            np.maximum(n_td, 0.0, out=n_td)
+            tot = n_td.sum(axis=1)
+            theta = np.divide(
+                n_td, tot[:, None], out=np.full_like(n_td, 1.0 / T_),
+                where=tot[:, None] > 0,
+            )
+
+        out_rows = {c: [] for c in _OUT_COLS}
+
+        if emit_nwt:
+            helper, z = tx_helper(theta)
+            ptdx = np.divide(
+                helper, z[:, None], out=np.zeros_like(helper),
+                where=z[:, None] > 1e-100,
+            )
+            tx_values = (ttw * n_kdx)[:, None] * ptdx  # (n_tx, T)
+            # every token of tx gets the tx value
+            tx_len = np.diff(np.append(tx_starts, len(pdf)))
+            row_vals = np.repeat(tx_values, tx_len, axis=0)  # (nnz, T)
+            cls_codes, cls_uniq = pd.factorize(pdf["class_id"], sort=False)
+            tok_codes, tok_uniq = pd.factorize(pdf["token"], sort=False)
+            pair = cls_codes.astype(np.int64) * len(tok_uniq) + tok_codes
+            codes, pair_uniq = pd.factorize(pair, sort=False)
+            nwt = np.zeros((len(pair_uniq), T_))
+            np.add.at(nwt, codes, row_vals)
+            u_cls = np.asarray(cls_uniq)[(pair_uniq // len(tok_uniq)).astype(int)]
+            u_tok = np.asarray(tok_uniq)[(pair_uniq % len(tok_uniq)).astype(int)]
+            for i in range(len(pair_uniq)):
+                out_rows["kind"].append("nwt")
+                out_rows["key"].append(u_tok[i])
+                out_rows["class_id"].append(u_cls[i])
+                out_rows["doc_id"].append(None)
+                out_rows["pos"].append(None)
+                out_rows["values"].append(nwt[i])
+
+        if emit_theta:
+            for i in range(n_docs):
+                out_rows["kind"].append("theta")
+                out_rows["key"].append(None)
+                out_rows["class_id"].append(None)
+                out_rows["doc_id"].append(int(uniq_docs[i]))
+                out_rows["pos"].append(None)
+                out_rows["values"].append(theta[i])
+
+        out = pd.DataFrame(out_rows)
+        out["pos"] = pd.array(out["pos"], dtype="Int32")
+        return out
+
+    return kernel
 
 
 def aggregate_nwt(kernel_out: DataFrame, num_topics: int, name: str = "nwt") -> PhiMatrix:
@@ -257,6 +432,22 @@ def extract_theta(kernel_out: DataFrame, topics: list[str]) -> DataFrame:
         .select("doc_id", F.posexplode("values").alias("_i", "value"))
         .select(
             "doc_id",
+            F.element_at(tarr, F.col("_i") + 1).alias("topic"),
+            "value",
+        )
+    )
+
+
+def extract_ptdw(kernel_out: DataFrame, topics: list[str]) -> DataFrame:
+    """ptdw(doc_id, pos, topic, value) from kernel output (Ptdw matrix,
+    messages.proto:651-658)."""
+    tarr = F.array(*[F.lit(t) for t in topics])
+    return (
+        kernel_out.filter(F.col("kind") == "ptdw")
+        .select("doc_id", "pos", F.posexplode("values").alias("_i", "value"))
+        .select(
+            "doc_id",
+            "pos",
             F.element_at(tarr, F.col("_i") + 1).alias("topic"),
             "value",
         )

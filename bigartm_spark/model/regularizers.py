@@ -142,6 +142,246 @@ class LabelRegularizationPhi(PhiRegularizer):
         )
 
 
+def _symmetrize_cooc(cooc: DataFrame) -> DataFrame:
+    """cooc(token_a, token_b, value) canonicalized a<b -> both directions
+    (the reference dictionary stores cooc per token, both ways)."""
+    return cooc.select("token_a", "token_b", "value").unionAll(
+        cooc.select(
+            F.col("token_b").alias("token_a"),
+            F.col("token_a").alias("token_b"),
+            "value",
+        )
+    )
+
+
+class ImproveCoherencePhi(PhiRegularizer):
+    """H6: r_wt += tau * sum_v cooc(w,v) * n_vt
+    (improve_coherence_phi.cc:61-90). One shuffle: cooc ⋈ nwt on the
+    neighbor token, then groupBy the target token with element-wise array
+    sums. The cooc relation comes from ctx.cooc (gathered by D14)."""
+
+    def __init__(self, tau, cooc: DataFrame, class_id: str = "@default_class",
+                 topic_names=None):
+        super().__init__(tau, topic_names)
+        self.cooc = cooc
+        self.class_id = class_id
+
+    def rwt_delta(self, pwt, nwt, ctx):
+        n = nwt.num_topics
+        mask = self._topic_mask(nwt.topics)
+        sym = _symmetrize_cooc(self.cooc)
+        neigh = nwt.compact.filter(F.col("class_id") == self.class_id).select(
+            F.col("token").alias("token_b"), F.col("values").alias("_nv")
+        )
+        joined = sym.join(neigh, "token_b").select(
+            F.col("token_a").alias("token"),
+            F.transform("_nv", lambda v: v * F.col("value")).alias("_wv"),
+        )
+        tau = float(self.tau)
+        agg = joined.groupBy("token").agg(
+            F.array(
+                *[
+                    (F.sum(F.col("_wv")[i]) * tau * mask[i])
+                    for i in range(n)
+                ]
+            ).alias("values")
+        )
+        return agg.select(
+            F.lit(self.class_id).alias("class_id"), "token", "values"
+        )
+
+
+class BitermsPhi(PhiRegularizer):
+    """H9: for each cooc pair (w,u): p_tuw ∝ n_t * p_wt * p_ut (normalized
+    over t); r_wt += tau * sum_u cooc(w,u) * p_tuw (biterms_phi.cc:77-152).
+    Needs topic totals n_t (ctx.topic_totals)."""
+
+    def __init__(self, tau, cooc: DataFrame, class_id: str = "@default_class",
+                 topic_names=None):
+        super().__init__(tau, topic_names)
+        self.cooc = cooc
+        self.class_id = class_id
+
+    def rwt_delta(self, pwt, nwt, ctx):
+        if ctx.topic_totals is None:
+            raise ValueError("BitermsPhi needs ctx.topic_totals (n_t)")
+        n = pwt.num_topics
+        mask = self._topic_mask(pwt.topics)
+        marr = F.array(*[F.lit(m) for m in mask])
+        sym = _symmetrize_cooc(self.cooc)
+        base = pwt.compact.filter(F.col("class_id") == self.class_id)
+        w_side = base.select(
+            F.col("token").alias("token_a"), F.col("values").alias("_pw")
+        )
+        u_side = base.select(
+            F.col("token").alias("token_b"), F.col("values").alias("_pu")
+        )
+        nt = ctx.topic_totals.filter(
+            F.col("class_id") == self.class_id
+        ).select(F.col("totals").alias("_nt"))
+        joined = (
+            sym.join(w_side, "token_a")
+            .join(u_side, "token_b")
+            .crossJoin(F.broadcast(nt))
+        )
+        p_tuw = F.zip_with(
+            F.zip_with("_pw", "_pu", lambda a, b: a * b),
+            F.zip_with("_nt", marr, lambda t, m: t * m),
+            lambda ab, t: ab * t,
+        )
+        norm = F.aggregate(p_tuw, F.lit(0.0), lambda a, x: a + x)
+        contrib = F.transform(
+            p_tuw,
+            lambda x: F.when(norm > 0, x / norm).otherwise(F.lit(0.0))
+            * F.col("value"),
+        )
+        tau = float(self.tau)
+        agg = (
+            joined.select(F.col("token_a").alias("token"), contrib.alias("_c"))
+            .groupBy("token")
+            .agg(
+                F.array(
+                    *[(F.sum(F.col("_c")[i]) * tau) for i in range(n)]
+                ).alias("values")
+            )
+        )
+        return agg.select(
+            F.lit(self.class_id).alias("class_id"), "token", "values"
+        )
+
+
+class SmoothTimeInTopicsPhi(PhiRegularizer):
+    """H12: discrete smoothing along an externally supplied token order
+    within one modality: r_wt += tau * p_wt * (sign(p_prev - p_wt) +
+    sign(p_next - p_wt)) (smooth_time_in_topics_phi.cc:25-99 — the
+    derivative of a total-variation penalty). token_order(token, ord)."""
+
+    def __init__(self, tau, token_order: DataFrame, class_id: str = "@default_class",
+                 topic_names=None):
+        super().__init__(tau, topic_names)
+        self.token_order = token_order
+        self.class_id = class_id
+
+    def rwt_delta(self, pwt, nwt, ctx):
+        from pyspark.sql import Window
+
+        n = pwt.num_topics
+        mask = self._topic_mask(pwt.topics)
+        marr = F.array(*[F.lit(m) for m in mask])
+        base = (
+            pwt.compact.filter(F.col("class_id") == self.class_id)
+            .join(F.broadcast(self.token_order), "token")
+        )
+        w = Window.orderBy("ord")
+        prev = F.lag("values").over(w)
+        nxt = F.lead("values").over(w)
+        tau = float(self.tau)
+
+        def tv(v, p, nx, m):
+            sp = F.when(p.isNull(), F.lit(0.0)).otherwise(F.signum(p - v))
+            sn = F.when(nx.isNull(), F.lit(0.0)).otherwise(F.signum(nx - v))
+            return F.lit(tau) * m * v * (sp + sn)
+
+        out = base.select(
+            F.lit(self.class_id).alias("class_id"),
+            "token",
+            F.zip_with(
+                F.zip_with(
+                    "values",
+                    F.coalesce(prev, F.array(*[F.lit(None).cast("double")] * n)),
+                    lambda v, p: F.struct(v.alias("v"), p.alias("p")),
+                ),
+                F.zip_with(
+                    F.coalesce(nxt, F.array(*[F.lit(None).cast("double")] * n)),
+                    marr,
+                    lambda nx, m: F.struct(nx.alias("nx"), m.alias("m")),
+                ),
+                lambda a, b: tv(a["v"], a["p"], b["nx"], b["m"]),
+            ).alias("values"),
+        )
+        return out
+
+
+class NetPlsaPhi(PhiRegularizer):
+    """H13: graph smoothing over a vertex modality
+    (net_plsa_phi.cc:76-97): for vertex u,
+    r_ut += tau * n_t^2 * sum_v e_uv * (p_vt/D_v - p_ut/D_u) / D_u.
+    edges(src, dst, weight) directed as stored; vertex_weights(token, d)
+    optional (D=1 otherwise). Two broadcast-joined edge passes, one
+    groupBy — no graph library needed."""
+
+    def __init__(self, tau, edges: DataFrame, class_id: str = "vertex",
+                 vertex_weights: DataFrame | None = None, topic_names=None):
+        super().__init__(tau, topic_names)
+        self.edges = edges
+        self.class_id = class_id
+        self.vertex_weights = vertex_weights
+
+    def rwt_delta(self, pwt, nwt, ctx):
+        if ctx.topic_totals is None:
+            raise ValueError("NetPlsaPhi needs ctx.topic_totals (n_t)")
+        n = pwt.num_topics
+        mask = self._topic_mask(pwt.topics)
+        base = pwt.compact.filter(F.col("class_id") == self.class_id)
+        if self.vertex_weights is not None:
+            vw = self.vertex_weights.select("token", F.col("d").alias("_d"))
+            base = base.join(F.broadcast(vw), "token", "left").withColumn(
+                "_d", F.coalesce(F.col("_d"), F.lit(1.0))
+            )
+        else:
+            base = base.withColumn("_d", F.lit(1.0))
+        u_side = base.select(
+            F.col("token").alias("_u"),
+            F.col("values").alias("_pu"),
+            F.col("_d").alias("_du"),
+        )
+        v_side = base.select(
+            F.col("token").alias("_v"),
+            F.col("values").alias("_pv"),
+            F.col("_d").alias("_dv"),
+        )
+        e = self.edges.select(
+            F.col("src").alias("_u"), F.col("dst").alias("_v"),
+            F.col("weight").alias("_w")
+        )
+        joined = e.join(u_side, "_u").join(v_side, "_v")
+        inner = F.zip_with(
+            "_pv",
+            "_pu",
+            lambda pv, pu: F.col("_w")
+            * (pv / F.col("_dv") - pu / F.col("_du"))
+            / F.col("_du"),
+        )
+        agg = joined.select(F.col("_u").alias("token"), inner.alias("_c")).groupBy(
+            "token"
+        ).agg(F.array(*[F.sum(F.col("_c")[i]) for i in range(n)]).alias("_s"))
+        nt = ctx.topic_totals.filter(
+            F.col("class_id") == self.class_id
+        ).select(F.col("totals").alias("_nt"))
+        tau = float(self.tau)
+        marr = F.array(*[F.lit(m) for m in mask])
+        return agg.crossJoin(F.broadcast(nt)).select(
+            F.lit(self.class_id).alias("class_id"),
+            "token",
+            F.zip_with(
+                F.zip_with("_s", "_nt", lambda s, t: s * t * t),
+                marr,
+                lambda x, m: F.lit(tau) * x * m,
+            ).alias("values"),
+        )
+
+
+class MultiLanguagePhi(PhiRegularizer):
+    """H14: the reference implementation is a no-op stub
+    (multilanguage_phi.cc:1-35) — accepted for parity, warns, adds 0."""
+
+    def rwt_delta(self, pwt, nwt, ctx):
+        import warnings
+
+        warnings.warn("MultiLanguagePhi is a no-op (parity with reference stub)")
+        return None
+
+
 def regularize(
     pwt: PhiMatrix,
     nwt: PhiMatrix,
@@ -154,12 +394,39 @@ def regularize(
         return None
     n = nwt.num_topics
     deltas = [r.rwt_delta(pwt, nwt, ctx) for r in regularizers]
+    deltas = [d for d in deltas if d is not None]
+    if not deltas:
+        return None
     u = deltas[0]
     for d in deltas[1:]:
         u = u.unionByName(d)
     return u.groupBy("class_id", "token").agg(
         F.array(*[F.sum(F.col("values")[i]) for i in range(n)]).alias("values")
     )
+
+
+def specified_sparse_phi_transform(
+    max_elements: int, probability_threshold: float | None = None,
+    by_column: bool = False
+):
+    """H5 SpecifiedSparsePhi (specified_sparse_phi.cc:23-156): in the
+    reference this regularizer rewrites p_wt in place (keep top-k per
+    row/column, zero the rest), so it maps to a post-normalize phi
+    transform, not an additive r_wt delta."""
+    from bigartm_spark.model.phi import PhiMatrix
+    from bigartm_spark.operators.topk import specified_sparse
+
+    def transform(phi: "PhiMatrix") -> "PhiMatrix":
+        kept = specified_sparse(
+            phi.to_long(),
+            phi.topics,
+            max_elements=max_elements,
+            probability_threshold=probability_threshold,
+            by_column=by_column,
+        )
+        return PhiMatrix.from_long(phi.name, phi.topics, kept)
+
+    return transform
 
 
 # -------------------------------------------------------------- Theta side
@@ -181,6 +448,55 @@ class SmoothSparseTheta:
         if self.topic_mask is not None:
             return n_td + delta * self.topic_mask[None, :]
         return n_td + delta
+
+
+# --------------------------------------------------------------- Ptdw side
+@dataclass
+class SmoothPtdw:
+    """H7 (smooth_ptdw.cc:20-115, E7): moving-average smoothing of
+    p(t|d,w) over token positions within a document, half-width h =
+    window // 2. Vectorized via segment-aware prefix sums; the kernel
+    re-normalizes rows afterwards (the reference appends a normalizer)."""
+
+    tau: float = 1.0
+    window: int = 20
+
+    def apply_ptdw(self, ptdw: np.ndarray, starts: np.ndarray, seg: np.ndarray):
+        h = max(self.window // 2, 1)
+        n = len(ptdw)
+        csum = np.vstack([np.zeros((1, ptdw.shape[1])), np.cumsum(ptdw, axis=0)])
+        idx = np.arange(n)
+        seg_start = starts[seg]
+        ends = np.append(starts[1:], n)
+        seg_end = ends[seg]
+        lo = np.maximum(idx - h, seg_start)
+        hi = np.minimum(idx + h + 1, seg_end)
+        avg = (csum[hi] - csum[lo]) / (hi - lo)[:, None]
+        return (1.0 - self.tau) * ptdw + self.tau * avg
+
+
+@dataclass
+class TopicSegmentationPtdw:
+    """H11 (topic_segmentation_ptdw.cc:21-136, E8): smooth p(t|d,w) with a
+    position window, then flatten rows whose dominant topic changed vs the
+    previous position (change-point damping toward the window average)."""
+
+    window: int = 10
+    threshold: float = 0.3
+
+    def apply_ptdw(self, ptdw: np.ndarray, starts: np.ndarray, seg: np.ndarray):
+        smooth = SmoothPtdw(tau=1.0, window=self.window).apply_ptdw(
+            ptdw, starts, seg
+        )
+        arg = smooth.argmax(axis=1)
+        prev = np.roll(arg, 1)
+        prev[starts] = arg[starts]  # no change-point at doc start
+        changed = arg != prev
+        mass = smooth.max(axis=1)
+        damp = changed & (mass < self.threshold)
+        out = ptdw.copy()
+        out[damp] = smooth[damp]
+        return out
 
 
 @dataclass

@@ -671,6 +671,133 @@ def d7_perplexity_uniform_theta(spark, sf_dir):
     )
 
 
+# ==================================================== D8: sparsity phi
+@register(
+    "d8_sparsity_phi",
+    f"""
+WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY class_id, token
+                                   ORDER BY value DESC, topic_idx ASC) AS rn
+      FROM phi),
+sp AS (SELECT class_id, CASE WHEN rn <= 2 THEN value ELSE 0.0 END AS v FROM r)
+SELECT class_id,
+       ROUND(AVG(CASE WHEN v < 1e-37 THEN 1.0 ELSE 0.0 END), 6) AS sparsity,
+       CAST(SUM(CASE WHEN v < 1e-37 THEN 1 ELSE 0 END) AS BIGINT) AS zero_count,
+       CAST(COUNT(*) AS BIGINT) AS total_count
+FROM sp GROUP BY class_id
+""",
+)
+def d8_sparsity_phi(spark, sf_dir):
+    _, _, phi = _spark_phi(spark, sf_dir)
+    w = Window.partitionBy("class_id", "token").orderBy(
+        F.desc("value"), F.asc("topic")
+    )
+    sparsified = (
+        phi.to_long()
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "value", F.when(F.col("_rn") <= 2, F.col("value")).otherwise(0.0)
+        )
+    )
+    out = sparsified.groupBy("class_id").agg(
+        F.avg(F.when(F.col("value") < 1e-37, 1.0).otherwise(0.0)).alias(
+            "sparsity"
+        ),
+        F.sum(F.when(F.col("value") < 1e-37, 1).otherwise(0))
+        .cast("long")
+        .alias("zero_count"),
+        F.count(F.lit(1)).alias("total_count"),
+    )
+    return _r6(out, "sparsity")
+
+
+# ==================================================== D11: topic mass
+@register(
+    "d11_topic_mass",
+    f"""
+WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
+nwt AS (SELECT class_id, token, topic_idx, nwt AS value FROM rown),
+pt AS (SELECT class_id, topic_idx,
+              SUM(GREATEST(value, 0)) AS topic_mass
+       FROM nwt GROUP BY class_id, topic_idx)
+SELECT class_id, 'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
+       ROUND(topic_mass, 6) AS topic_mass,
+       ROUND(topic_mass / SUM(topic_mass) OVER (PARTITION BY class_id), 6)
+         AS topic_ratio
+FROM pt
+""",
+)
+def d11_topic_mass(spark, sf_dir):
+    from bigartm_spark.model.phi import PhiMatrix
+    from bigartm_spark.model.scores import topic_mass_phi
+
+    docs = docs_from_lineitem(spark, sf_dir)
+    d = gather_dictionary(docs)
+    nwt = PhiMatrix("nwt", TOPICS, _seeded_row_normalized_nwt(d, SEED))
+    return _r6(topic_mass_phi(nwt), "topic_mass", "topic_ratio")
+
+
+# ============================================ D13: background tokens
+@register(
+    "d13_background_tokens_ratio",
+    f"""
+WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
+en AS (
+  SELECT class_id, token, topic_idx, value,
+         value / SUM(value) OVER (PARTITION BY class_id, token) AS p_tw,
+         SUM(value) OVER (PARTITION BY class_id, topic_idx)
+           / SUM(value) OVER (PARTITION BY class_id) AS p_t
+  FROM phi
+),
+kl AS (
+  SELECT class_id, token,
+         SUM(CASE WHEN p_t > 0 AND p_tw > 0
+                  THEN p_t * LN(p_t / p_tw) ELSE 0.0 END) AS kl
+  FROM en GROUP BY class_id, token
+)
+SELECT class_id, token, ROUND(kl, 6) AS kl,
+       CAST(kl > 0.5 AS INT) AS is_background
+FROM kl
+""",
+)
+def d13_background_tokens_ratio(spark, sf_dir):
+    from bigartm_spark.model.scores import background_tokens_ratio
+
+    _, _, phi = _spark_phi(spark, sf_dir)
+    out = background_tokens_ratio(phi, delta_threshold=0.5)
+    return _r6(
+        out.withColumn("is_background", F.col("is_background").cast("int")),
+        "kl",
+    )
+
+
+# ==================================================== E3: theta snippet
+@register(
+    "e3_theta_snippet",
+    f"""
+WITH {_ESTEP_CTES},
+first_docs AS (SELECT DISTINCT doc_id FROM docs ORDER BY doc_id LIMIT 10)
+SELECT t.doc_id, 'topic_' || CAST(t.topic_idx AS VARCHAR) AS topic,
+       ROUND(t.th, 6) AS value
+FROM theta t JOIN first_docs f ON f.doc_id = t.doc_id
+""",
+)
+def e3_theta_snippet(spark, sf_dir):
+    from bigartm_spark.model.scores import theta_snippet
+
+    docs, _, phi = _spark_phi(spark, sf_dir)
+    out = estep.process_batches(
+        docs,
+        phi,
+        num_document_passes=1,
+        emit_nwt=False,
+        emit_theta=True,
+        compute_scores=False,
+    )
+    theta = estep.extract_theta(out, TOPICS)
+    return _r6(theta_snippet(theta, 10), "value")
+
+
 # ==================================================== I4: items processed
 @register(
     "i4_items_processed",

@@ -1,0 +1,144 @@
+"""Regularizer unit tests on tiny hand-computable matrices
+(FIXTURES.md §5 strategy: closed-form single-step r_wt deltas)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bigartm_spark.model.phi import PhiMatrix
+from bigartm_spark.model.regularizers import (
+    BitermsPhi,
+    DecorrelatorPhi,
+    ImproveCoherencePhi,
+    NetPlsaPhi,
+    RegularizeContext,
+    SmoothSparsePhi,
+    SmoothSparseTheta,
+    SmoothTimeInTopicsPhi,
+    regularize,
+    specified_sparse_phi_transform,
+)
+
+TOPICS = ["t0", "t1"]
+
+
+@pytest.fixture(scope="module")
+def tiny_phi(spark):
+    rows = [
+        ("@default_class", "a", [0.5, 0.1]),
+        ("@default_class", "b", [0.3, 0.2]),
+        ("@default_class", "c", [0.2, 0.7]),
+    ]
+    df = spark.createDataFrame(
+        rows, "class_id string, token string, values array<double>"
+    )
+    return PhiMatrix("pwt", TOPICS, df)
+
+
+def _vals(df):
+    return {r["token"]: list(r["values"]) for r in df.collect()}
+
+
+def test_smooth_sparse_phi_const(spark, tiny_phi):
+    r = SmoothSparsePhi(tau=-0.5)
+    out = _vals(r.rwt_delta(tiny_phi, tiny_phi, RegularizeContext()))
+    assert out["a"] == [-0.5, -0.5]
+
+
+def test_decorrelator_phi(spark, tiny_phi):
+    r = DecorrelatorPhi(tau=2.0)
+    out = _vals(r.rwt_delta(tiny_phi, tiny_phi, RegularizeContext()))
+    # -tau * p_wt * (rowsum - p_wt): a: [-2*0.5*0.1, -2*0.1*0.5]
+    np.testing.assert_allclose(out["a"], [-0.1, -0.1], atol=1e-12)
+    np.testing.assert_allclose(out["c"], [-2 * 0.2 * 0.7, -2 * 0.7 * 0.2], atol=1e-12)
+
+
+def test_improve_coherence_phi(spark, tiny_phi):
+    cooc = spark.createDataFrame(
+        [("a", "b", 2.0)], "token_a string, token_b string, value double"
+    )
+    r = ImproveCoherencePhi(tau=1.0, cooc=cooc)
+    out = _vals(r.rwt_delta(tiny_phi, tiny_phi, RegularizeContext()))
+    # r_a = cooc(a,b) * n_b = 2 * [0.3, 0.2]; r_b = 2 * [0.5, 0.1]
+    np.testing.assert_allclose(out["a"], [0.6, 0.4], atol=1e-12)
+    np.testing.assert_allclose(out["b"], [1.0, 0.2], atol=1e-12)
+    assert "c" not in out
+
+
+def test_biterms_phi(spark, tiny_phi):
+    from bigartm_spark.model.mstep import topic_totals
+
+    cooc = spark.createDataFrame(
+        [("a", "b", 1.0)], "token_a string, token_b string, value double"
+    )
+    ctx = RegularizeContext(topic_totals=topic_totals(tiny_phi))
+    r = BitermsPhi(tau=1.0, cooc=cooc)
+    out = _vals(r.rwt_delta(tiny_phi, tiny_phi, ctx))
+    # n_t = [1.0, 1.0]; p_tuw(a,b) ∝ [0.5*0.3, 0.1*0.2] = [0.15, 0.02]
+    exp = np.array([0.15, 0.02]) / 0.17
+    np.testing.assert_allclose(out["a"], exp, atol=1e-12)
+    np.testing.assert_allclose(out["b"], exp, atol=1e-12)
+
+
+def test_smooth_time_in_topics(spark, tiny_phi):
+    order = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "token string, ord int"
+    )
+    r = SmoothTimeInTopicsPhi(tau=1.0, token_order=order)
+    out = _vals(r.rwt_delta(tiny_phi, tiny_phi, RegularizeContext()))
+    # b (middle): sign(a-b) + sign(c-b) per topic: t0: sign(0.2)+sign(-0.1)
+    # = 1 - 1 = 0; t1: sign(-0.1)+sign(0.5) = 0 -> delta 0
+    np.testing.assert_allclose(out["b"], [0.0, 0.0], atol=1e-12)
+    # a (first): only next neighbor b: t0 sign(0.3-0.5)=-1 -> -0.5
+    np.testing.assert_allclose(out["a"], [-0.5, 0.1], atol=1e-12)
+
+
+def test_netplsa_phi(spark):
+    from bigartm_spark.model.mstep import topic_totals
+
+    rows = [("vertex", "u", [0.6, 0.2]), ("vertex", "v", [0.4, 0.8])]
+    phi = PhiMatrix(
+        "pwt",
+        TOPICS,
+        spark.createDataFrame(
+            rows, "class_id string, token string, values array<double>"
+        ),
+    )
+    edges = spark.createDataFrame(
+        [("u", "v", 1.0), ("v", "u", 1.0)], "src string, dst string, weight double"
+    )
+    ctx = RegularizeContext(topic_totals=topic_totals(phi))
+    r = NetPlsaPhi(tau=1.0, edges=edges, class_id="vertex")
+    out = _vals(r.rwt_delta(phi, phi, ctx))
+    # n_t = [1.0, 1.0]; r_u,t0 = 1 * (0.4 - 0.6) = -0.2
+    np.testing.assert_allclose(out["u"], [-0.2, 0.6], atol=1e-12)
+    np.testing.assert_allclose(out["v"], [0.2, -0.6], atol=1e-12)
+
+
+def test_specified_sparse_transform(spark, tiny_phi):
+    t = specified_sparse_phi_transform(max_elements=1)
+    out = t(tiny_phi)
+    vals = _vals(out.compact)
+    # keep the single largest entry per token row, zero the rest
+    assert vals["a"] == [0.5, 0.0]
+    assert vals["c"] == [0.0, 0.7]
+
+
+def test_regularize_sums_deltas(spark, tiny_phi):
+    rwt = regularize(
+        tiny_phi,
+        tiny_phi,
+        [SmoothSparsePhi(tau=1.0), SmoothSparsePhi(tau=0.5)],
+        RegularizeContext(),
+    )
+    vals = _vals(rwt)
+    assert vals["a"] == [1.5, 1.5]
+
+
+def test_smooth_sparse_theta_agent():
+    agent = SmoothSparseTheta(tau=2.0, alpha_iter=[1.0, 0.5])
+    n_td = np.ones((2, 2))
+    out = agent.apply(None, n_td, 1)
+    np.testing.assert_allclose(out, np.ones((2, 2)) + 1.0)
