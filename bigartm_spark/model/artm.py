@@ -153,12 +153,16 @@ class ARTM:
         argmax (processor_helpers.cc:27-42)."""
         from pyspark.sql import functions as F
 
-        theta = self.transform(docs)
-        labels = self.pwt.to_long().filter(F.col("class_id") == class_id)
+        theta = self.transform(docs).withColumnRenamed("value", "_theta_v")
+        labels = (
+            self.pwt.to_long()
+            .filter(F.col("class_id") == class_id)
+            .withColumnRenamed("value", "_phi_v")
+        )
         scored = (
             theta.join(F.broadcast(labels), "topic")
             .groupBy("doc_id", "token")
-            .agg(F.sum(F.col("value") * F.col("value")).alias("p"))
+            .agg(F.sum(F.col("_theta_v") * F.col("_phi_v")).alias("p"))
         )
         from pyspark.sql import Window
 
@@ -168,6 +172,96 @@ class ARTM:
             .filter(F.col("_rn") == 1)
             .select("doc_id", F.col("token").alias("predicted"), "p")
         )
+
+    # -- lifecycle (G8/G10/G13/G14/G15) -------------------------------------
+    def overwrite_topic_model(self, phi_long: DataFrame) -> "ARTM":
+        """G8 OverwriteTopicModel: replace pwt values from a long COO
+        relation (master_component.cc:1090-1102)."""
+        self.pwt = PhiMatrix.from_long("pwt", self.topics, phi_long).cache()
+        return self
+
+    def reshape_topics(self, new_topics: list[str]) -> "ARTM":
+        """G10/F3: drop removed topics' columns, zero-fill added ones,
+        reorder by name (master_component.cc:193-221)."""
+        from pyspark.sql import functions as F
+
+        old = {t: i for i, t in enumerate(self.topics)}
+        cols = [
+            F.col("values")[old[t]] if t in old else F.lit(0.0)
+            for t in new_topics
+        ]
+        for m in ("pwt", "nwt"):
+            mat = getattr(self, m)
+            if mat is None:
+                continue
+            setattr(
+                self,
+                m,
+                PhiMatrix(
+                    mat.name,
+                    list(new_topics),
+                    mat.compact.select(
+                        "class_id", "token", F.array(*cols).alias("values")
+                    ),
+                ),
+            )
+        self.topics = list(new_topics)
+        return self
+
+    def rekey_tokens(self, dictionary: DataFrame) -> "ARTM":
+        """G10/F2: restrict model rows to a new dictionary's token set
+        (left-semi join); tokens new to the model get zero rows."""
+        from pyspark.sql import functions as F
+
+        keys = dictionary.select("class_id", "token")
+        kept = self.pwt.compact.join(keys, ["class_id", "token"], "left_semi")
+        missing = keys.join(
+            self.pwt.compact.select("class_id", "token"),
+            ["class_id", "token"],
+            "left_anti",
+        ).select(
+            "class_id",
+            "token",
+            F.array(*[F.lit(0.0)] * len(self.topics)).alias("values"),
+        )
+        self.pwt = PhiMatrix("pwt", self.topics, kept.unionByName(missing))
+        self.dictionary = dictionary
+        return self
+
+    def duplicate(self) -> "ARTM":
+        """G13: DataFrames are immutable — a shallow copy of the named
+        object map is a deep copy semantically (c_interface.cc:251-261)."""
+        import copy
+
+        clone = copy.copy(self)
+        clone.score_tracker = {k: list(v) for k, v in self.score_tracker.items()}
+        return clone
+
+    def dispose(self):
+        """G14: drop cached state."""
+        for mat in (self.pwt, self.nwt):
+            if mat is not None:
+                try:
+                    mat.compact.unpersist()
+                except Exception:
+                    pass
+        self.pwt = self.nwt = self.theta = None
+
+    def info(self) -> dict:
+        """G15 MasterComponentInfo: object inventory + sizes."""
+        out = {
+            "topics": list(self.topics),
+            "num_topics": len(self.topics),
+            "num_document_passes": self.num_document_passes,
+            "regularizers": [type(r).__name__ for r in self.phi_regularizers],
+            "theta_agents": [type(a).__name__ for a in self.theta_agents],
+            "score_tracker_keys": sorted(self.score_tracker),
+        }
+        if self.pwt is not None:
+            out["phi_rows"] = self.pwt.compact.count()
+        if self.dictionary is not None:
+            out["dictionary_rows"] = self.dictionary.count()
+        return out
 
     # -- retrieval (B6) ----------------------------------------------------
     def get_phi(self, eps: float | None = None) -> DataFrame:

@@ -1,0 +1,118 @@
+"""Multimodal (image/audio/video) column plumbing for training-data
+pipelines.
+
+Media are opaque `binary` columns + typed metadata, processed with
+Arrow-batched mapInPandas (the only sane shape for per-asset Python work
+at scale: batch-size-bounded memory, no driver collect, partition-level
+parallelism). The container has no image/audio libs, so the actual decode
+is STUBBED behind `decode_fn` — a deterministic fake by default,
+`NotImplementedError` if strict — while everything Spark-side (schema,
+batching, partitioning, UDF signatures) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), False),
+        T.StructField("meta_width", T.IntegerType(), True),
+        T.StructField("meta_height", T.IntegerType(), True),
+        T.StructField("meta_duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("content_sha256", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def fake_decode(content: bytes, media_type: str, dim: int = 8) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: derive `dim` floats from
+    the content digest. Swap for PIL/torchaudio/ffmpeg in production."""
+    h = hashlib.sha256(content).digest()
+    raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    return (raw % 1_000_003).astype(np.float32) / 1_000_003.0
+
+
+def strict_decode(content: bytes, media_type: str, dim: int = 8) -> np.ndarray:
+    raise NotImplementedError(
+        "media decode requires image/audio libraries not present in this "
+        "container; inject a real decode_fn"
+    )
+
+
+def docs_as_media(documents: DataFrame) -> DataFrame:
+    """Adapter for the driver testdata: wrap document text bytes as fake
+    'image' assets so the pipeline is exercised end-to-end."""
+    return documents.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit(64).alias("meta_width"),
+        F.lit(64).alias("meta_height"),
+        F.lit(None).cast("int").alias("meta_duration_ms"),
+    )
+
+
+def extract_features(
+    media: DataFrame,
+    decode_fn: Callable[[bytes, str], np.ndarray] = fake_decode,
+    dim: int = 8,
+) -> DataFrame:
+    """mapInPandas feature extraction: decode -> fixed-dim float vector +
+    integrity metadata. Arrow batch shape: one pandas frame per ~64k rows;
+    memory is bounded by batch size regardless of partition size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, shas, nb = [], [], []
+            for content in pdf["content"]:
+                b = bytes(content)
+                nb.append(len(b))
+                shas.append(hashlib.sha256(b).hexdigest())
+                feats.append(decode_fn(b, "image", dim))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": nb,
+                    "content_sha256": shas,
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: expand each video asset into frame
+    timestamps (decode stubbed). Pure Column expressions — the expensive
+    decode happens downstream in extract_features."""
+    frames = F.when(
+        (F.col("media_type") == "video") & F.col("meta_duration_ms").isNotNull(),
+        F.sequence(
+            F.lit(0), F.col("meta_duration_ms"), F.lit(every_ms)
+        ),
+    ).otherwise(F.array(F.lit(0)))
+    return media.select(
+        "asset_id",
+        "media_type",
+        F.explode(frames).alias("frame_ts_ms"),
+    )

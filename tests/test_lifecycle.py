@@ -1,0 +1,154 @@
+"""Lifecycle (G6/G8/G10/G13/G15), hARTM, streaming trainer, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from bigartm_spark.model.artm import ARTM
+from bigartm_spark.operators.dictionary import gather_dictionary
+
+TOPICS3 = ["t0", "t1", "t2"]
+
+
+def _fitted(spark, docs, passes=1):
+    m = ARTM(topic_names=list(TOPICS3), num_document_passes=2, seed=11)
+    m.initialize(gather_dictionary(docs))
+    m.fit_offline(docs, passes)
+    return m
+
+
+def test_fit_online_decay_merge(spark, docs):
+    from bigartm_spark.streaming.online import split_batch_groups
+
+    m = ARTM(topic_names=list(TOPICS3), num_document_passes=2, seed=1)
+    m.initialize(gather_dictionary(docs))
+    groups = split_batch_groups(docs, update_every=16)
+    assert len(groups) >= 2
+    m.fit_online(groups[:3], tau0=64, kappa=0.7)
+    assert len(m.score_tracker["perplexity"]) == 3
+    assert all(np.isfinite(p) for p in m.score_tracker["perplexity"])
+
+
+def test_online_trainer_stateful(spark, docs):
+    from bigartm_spark.streaming.online import OnlineTrainer, split_batch_groups
+
+    m = ARTM(topic_names=list(TOPICS3), num_document_passes=2, seed=1)
+    m.initialize(gather_dictionary(docs))
+    trainer = OnlineTrainer(m, tau0=64)
+    for g in split_batch_groups(docs, update_every=32)[:2]:
+        trainer.process_group(g)
+    assert trainer.t == 2
+    assert len(m.score_tracker["perplexity"]) == 2
+
+
+def test_reshape_topics(spark, docs):
+    m = _fitted(spark, docs)
+    m.reshape_topics(["t2", "t0", "t_new"])
+    phi = m.get_phi()
+    assert set(r["topic"] for r in phi.select("topic").distinct().collect()) == {
+        "t2",
+        "t0",
+        "t_new",
+    }
+    assert (
+        phi.filter((F.col("topic") == "t_new") & (F.col("value") != 0.0)).count()
+        == 0
+    )
+
+
+def test_overwrite_and_duplicate(spark, docs):
+    m = _fitted(spark, docs)
+    clone = m.duplicate()
+    zero = m.get_phi().withColumn("value", F.lit(0.5))
+    m.overwrite_topic_model(zero)
+    assert m.get_phi().filter(F.col("value") != 0.5).count() == 0
+    # the duplicate kept the original values
+    assert clone.get_phi().filter(F.col("value") != 0.5).count() > 0
+
+
+def test_rekey_tokens(spark, docs):
+    from bigartm_spark.operators.dictionary import top_k_by_df
+
+    m = _fitted(spark, docs)
+    small = top_k_by_df(gather_dictionary(docs), 20)
+    m.rekey_tokens(small)
+    assert m.pwt.compact.count() == 20
+
+
+def test_info(spark, docs):
+    m = _fitted(spark, docs)
+    info = m.info()
+    assert info["num_topics"] == 3
+    assert info["phi_rows"] > 0
+    assert "perplexity" in info["score_tracker_keys"]
+
+
+def test_hartm_two_levels(spark, docs):
+    from bigartm_spark.model.hierarchy import HARTM
+
+    d = gather_dictionary(docs)
+    h = HARTM()
+    h.add_level(docs, d, num_topics=3, num_collection_passes=1, seed=2,
+                num_document_passes=2)
+    h.add_level(docs, d, num_topics=5, num_collection_passes=1, seed=3,
+                num_document_passes=2, parent_level_weight=2.0)
+    psi = h.psi()
+    rows = psi.collect()
+    # Psi: one distribution over 5 child topics per 3 parent topics
+    assert len(rows) == 15
+    sums = {}
+    for r in rows:
+        sums[r["parent_topic"]] = sums.get(r["parent_topic"], 0.0) + r["value"]
+    for v in sums.values():
+        assert abs(v - 1.0) < 1e-6
+
+
+def test_multimodal_features(spark, sf_dir):
+    from bigartm_spark.operators.multimodal import (
+        docs_as_media,
+        extract_features,
+        frame_sample_plan,
+    )
+
+    documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs_as_media(documents.limit(50))
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r["feature"]) == 8
+        assert r["n_bytes"] > 0
+        assert len(r["content_sha256"]) == 64
+    # determinism
+    again = {r["asset_id"]: list(r["feature"]) for r in extract_features(media).collect()}
+    for r in rows:
+        assert list(r["feature"]) == again[r["asset_id"]]
+    # frame plan: images expand to a single ts
+    plan = frame_sample_plan(media)
+    assert plan.count() == 50
+
+
+def test_predict_class_id(spark, sf_dir):
+    from bigartm_spark.corpus import docs_multimodal
+    from bigartm_spark.model.scores import class_precision
+
+    mm = docs_multimodal(spark, sf_dir)
+    m = ARTM(
+        topic_names=list(TOPICS3),
+        num_document_passes=2,
+        seed=4,
+        class_weights={"@default_class": 1.0, "supp": 1.0},
+    )
+    m.initialize(gather_dictionary(mm))
+    m.fit_offline(mm, 1)
+    preds = m.predict_class_id(mm.filter(F.col("doc_id") < 200), "supp")
+    assert preds.count() > 0
+    assert all(r["predicted"].startswith("s") for r in preds.collect())
+    truth = (
+        mm.filter((F.col("class_id") == "supp") & (F.col("doc_id") < 200))
+        .groupBy("doc_id")
+        .agg(F.min("token").alias("label"))
+    )
+    prec = class_precision(preds, truth).collect()[0]
+    assert 0.0 <= prec["precision"] <= 1.0
