@@ -638,6 +638,221 @@ def d2_estep_nwt_one_pass(spark, sf_dir):
     return _r6(PhiMatrix("nwt", TOPICS, nwt).to_long(), "value")
 
 
+# ==================================================== G5: one full EM pass
+@register(
+    "g5_em_one_pass_pwt",
+    f"""
+WITH {_ESTEP_CTES},
+p2 AS (
+  SELECT z.doc_id, z.pos, z.token, z.weight, z.topic_idx, z.phi_v * t.th AS num
+  FROM znorm z JOIN theta t
+    ON t.doc_id = z.doc_id AND t.topic_idx = z.topic_idx
+),
+p2n AS (
+  SELECT *, num / SUM(num) OVER (PARTITION BY doc_id, pos) AS ptdw
+  FROM p2
+),
+nwt1 AS (
+  SELECT token, topic_idx, SUM(weight * ptdw) AS v
+  FROM p2n GROUP BY token, topic_idx
+)
+SELECT '@default_class' AS class_id, token,
+       'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
+       ROUND(GREATEST(v, 0) / SUM(GREATEST(v, 0)) OVER (PARTITION BY topic_idx), 6)
+         AS value
+FROM nwt1
+""",
+)
+def g5_em_one_pass_pwt(spark, sf_dir):
+    """The whole offline EM pass (G2 -> D4 -> D5) against the SQL oracle:
+    the strongest end-to-end correctness check of the engine core."""
+    from bigartm_spark.model.artm import ARTM
+
+    docs = docs_from_lineitem(spark, sf_dir)
+    model = ARTM(
+        topic_names=list(TOPICS), num_document_passes=1, seed=SEED
+    )
+    model.initialize(gather_dictionary(docs))
+    model.fit_offline(docs, num_collection_passes=1)
+    return _r6(model.get_phi(), "value")
+
+
+# ==================================================== F1: union merge
+@register(
+    "f1_union_merge",
+    f"""
+WITH {DOCS_CTE}, {DICT_CTE},
+top50 AS (
+  SELECT class_id, token FROM (
+    SELECT class_id, token,
+           ROW_NUMBER() OVER (PARTITION BY class_id
+                              ORDER BY df DESC, token ASC) AS rn
+    FROM dict) WHERE rn <= 50
+),
+t1 AS (SELECT UNNEST(range({N_TOPICS})) AS topic_idx),
+rawa AS (SELECT d.class_id, d.token, topic_idx,
+         {unit_uniform_sql("d.class_id", "d.token", "topic_idx", seed=1)} AS u
+         FROM top50 d CROSS JOIN t1),
+rawb AS (SELECT class_id, token, topic_idx,
+         {unit_uniform_sql("class_id", "token", "topic_idx", seed=2)} AS u
+         FROM dict CROSS JOIN t1),
+na AS (SELECT class_id, token, topic_idx,
+       u / SUM(u) OVER (PARTITION BY class_id, token) AS v FROM rawa),
+nb AS (SELECT class_id, token, topic_idx,
+       u / SUM(u) OVER (PARTITION BY class_id, token) AS v FROM rawb),
+uni AS (
+  SELECT class_id, token, topic_idx, 0.5 * v AS wv FROM na
+  UNION ALL
+  SELECT class_id, token, topic_idx, 2.0 * v AS wv FROM nb
+)
+SELECT class_id, token, 'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
+       ROUND(SUM(wv), 6) AS value
+FROM uni GROUP BY class_id, token, topic_idx
+""",
+)
+def f1_union_merge(spark, sf_dir):
+    """MergeModel over DIFFERENT token sets (full outer union semantics)."""
+    from bigartm_spark.model.phi import PhiMatrix
+
+    docs = docs_from_lineitem(spark, sf_dir)
+    d = gather_dictionary(docs)
+    small = top_k_by_df(d, 50)
+    a = PhiMatrix("a", TOPICS, _seeded_row_normalized_nwt(small, 1))
+    b = PhiMatrix("b", TOPICS, _seeded_row_normalized_nwt(d, 2))
+    merged = mstep.merge_nwt([(a, 0.5), (b, 2.0)], "m")
+    return _r6(merged.to_long(), "value")
+
+
+# ==================================================== F3: topic reconfigure
+@register(
+    "f3_reshape_topics",
+    f"""
+WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
+kept AS (
+  SELECT class_id, token,
+         'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
+         value
+  FROM phi WHERE topic_idx IN (0, 2)
+),
+added AS (SELECT class_id, token, 'topic_new' AS topic, 0.0 AS value FROM dict)
+SELECT class_id, token, topic, ROUND(value, 6) AS value FROM kept
+UNION ALL
+SELECT class_id, token, topic, ROUND(value, 6) AS value FROM added
+""",
+)
+def f3_reshape_topics(spark, sf_dir):
+    from bigartm_spark.model.artm import ARTM
+
+    docs = docs_from_lineitem(spark, sf_dir)
+    model = ARTM(topic_names=list(TOPICS), seed=SEED)
+    model.initialize(gather_dictionary(docs))
+    model.reshape_topics(["topic_0", "topic_2", "topic_new"])
+    return _r6(model.get_phi(), "value")
+
+
+# ==================================================== F4: cooc anti-filter
+@register(
+    "f4_cooc_filter",
+    f"""
+WITH {DOCS_CTE}, {DICT_CTE},
+kept AS (SELECT token FROM dict WHERE df >= 20),
+pairs AS (
+  SELECT a.doc_id,
+         LEAST(a.token, b.token) AS token_a,
+         GREATEST(a.token, b.token) AS token_b
+  FROM docs a JOIN docs b
+    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+  WHERE a.token <> b.token
+)
+SELECT token_a, token_b, CAST(COUNT(*) AS BIGINT) AS cooc_tf
+FROM pairs
+WHERE token_a IN (SELECT token FROM kept)
+  AND token_b IN (SELECT token FROM kept)
+GROUP BY token_a, token_b
+""",
+)
+def f4_cooc_filter(spark, sf_dir):
+    """Dictionary filter propagated to cooc pairs (both sides left-semi)."""
+    from bigartm_spark.operators.cooc import cooc_gather
+    from bigartm_spark.operators.dictionary import filter_dictionary
+
+    docs = docs_from_lineitem(spark, sf_dir)
+    kept = filter_dictionary(gather_dictionary(docs), min_df=20).select("token")
+    cooc = cooc_gather(docs, window=2).select(
+        "token_a", "token_b", F.col("cooc_tf").cast("long").alias("cooc_tf")
+    )
+    return (
+        cooc.join(F.broadcast(kept), cooc.token_a == kept.token, "left_semi")
+        .join(
+            F.broadcast(kept.withColumnRenamed("token", "_t2")),
+            F.col("token_b") == F.col("_t2"),
+            "left_semi",
+        )
+    )
+
+
+# ==================================================== B5: model membership
+@register(
+    "b5_token_membership",
+    f"""
+WITH {DOCS_CTE}, {DICT_CTE},
+model_tokens AS (
+  SELECT token FROM (
+    SELECT token, ROW_NUMBER() OVER (PARTITION BY class_id
+                                     ORDER BY df DESC, token ASC) AS rn
+    FROM dict) WHERE rn <= 50
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS in_model_occurrences,
+       ROUND(SUM(weight), 6) AS in_model_weight
+FROM docs WHERE token IN (SELECT token FROM model_tokens)
+GROUP BY doc_id
+""",
+)
+def b5_token_membership(spark, sf_dir):
+    """Left-semi join docs against the model token set (the E-step's
+    token_index != -1 drop, processor_helpers.cc:221-227)."""
+    docs = docs_from_lineitem(spark, sf_dir)
+    model_tokens = top_k_by_df(gather_dictionary(docs), 50).select("token")
+    out = (
+        docs.join(F.broadcast(model_tokens), "token", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("in_model_occurrences"),
+            F.sum("weight").alias("in_model_weight"),
+        )
+    )
+    return _r6(out, "in_model_weight")
+
+
+# ==================================================== E5: sparse-init rank
+@register(
+    "e5_sparse_init_ranking",
+    f"""
+WITH {DOCS_CTE}, {DICT_CTE},
+r AS (SELECT class_id, token, tf,
+             PERCENT_RANK() OVER (PARTITION BY class_id
+                                  ORDER BY tf DESC, token ASC) AS pr
+      FROM dict)
+SELECT class_id, token, ROUND(pr, 6) AS tf_percent_rank,
+       CAST(pr <= 0.5 AS INT) AS dense_init
+FROM r
+""",
+)
+def e5_sparse_init_ranking(spark, sf_dir):
+    docs = docs_from_lineitem(spark, sf_dir)
+    d = gather_dictionary(docs)
+    w = Window.partitionBy("class_id").orderBy(F.desc("tf"), F.asc("token"))
+    out = d.select(
+        "class_id",
+        "token",
+        F.percent_rank().over(w).alias("tf_percent_rank"),
+    ).withColumn(
+        "dense_init", (F.col("tf_percent_rank") <= 0.5).cast("int")
+    )
+    return _r6(out, "tf_percent_rank")
+
+
 # ==================================================== D7: perplexity
 @register(
     "d7_perplexity_uniform_theta",

@@ -22,7 +22,10 @@ DOCS_SCHEMA = T.StructType(
         T.StructField("batch_id", T.StringType(), True),
         T.StructField("class_id", T.StringType(), False),
         T.StructField("token", T.StringType(), False),
-        T.StructField("weight", T.FloatType(), False),
+        # double, not float32: every view/parser emits double and all
+        # accumulation is double anyway (the reference accumulates scores
+        # in double too, messages.proto:289-302)
+        T.StructField("weight", T.DoubleType(), False),
         T.StructField("pos", T.IntegerType(), True),
         T.StructField("transaction_id", T.IntegerType(), True),
         T.StructField("transaction_typename", T.StringType(), True),

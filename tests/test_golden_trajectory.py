@@ -1,0 +1,135 @@
+"""F-SYN-1 golden-trajectory test: the reference's synthetic corpus
+(python/tests/wrapper/test_01_synthetic_collection.py:48-62 weight rule)
+— 100 items x 60 tokens, 10 topics, 10 doc passes, 10 collection passes.
+
+The reference pins exact perplexities (54.616 -> 20.581) under its
+boost::mt19937 init; our init is a different deterministic generator, so
+we pin the *shape*: strict monotone decrease after pass 2 and a final
+value in the same basin (documented divergence, SURVEY.md §7 hard-point 1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def synthetic_docs(spark):
+    rows = []
+    # exact weight rule of test_01_synthetic_collection.py:55-62:
+    # topical tokens (id < 40) carry weight 10 iff token_id%10 == item_id%10;
+    # background tokens (id >= 40) carry (item_id + token_id) % 5 + 1
+    for item_id in range(100):
+        pos = 0
+        for token_id in range(60):
+            if token_id < 40:
+                w = 10 if (token_id % 10) == (item_id % 10) else 0
+            else:
+                w = (item_id + token_id) % 5 + 1
+            if w == 0:
+                continue
+            pos += 1
+            rows.append(
+                (
+                    item_id,
+                    str(item_id),
+                    str(item_id % 4),
+                    "@default_class",
+                    f"token_{token_id}",
+                    float(w),
+                    pos,
+                    pos,
+                    "@default_transaction",
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, title string, batch_id string, class_id string, "
+        "token string, weight double, pos int, transaction_id int, "
+        "transaction_typename string",
+    ).cache()
+
+
+def test_synthetic_perplexity_trajectory(spark, synthetic_docs):
+    from bigartm_spark.model.artm import ARTM
+    from bigartm_spark.operators.dictionary import gather_dictionary
+
+    d = gather_dictionary(synthetic_docs)
+    assert d.count() == 60
+    model = ARTM(num_topics=10, num_document_passes=10, seed=42)
+    model.initialize(d)
+    model.fit_offline(synthetic_docs, num_collection_passes=10)
+    traj = model.score_tracker["perplexity"]
+    assert len(traj) == 10
+    # same basin as the reference's 54.616 -> 20.581 run
+    assert traj[0] < 60.0
+    assert traj[-1] < 22.5, traj
+    # monotone decrease (EM guarantee) after the first update
+    diffs = np.diff(traj[1:])
+    assert (diffs <= 1e-6).all(), traj
+
+
+def test_synthetic_determinism(spark, synthetic_docs):
+    """Same seed -> identical phi across independent fits (the
+    repeatable_result_test.cc guarantee, no rand() anywhere)."""
+    from bigartm_spark.model.artm import ARTM
+    from bigartm_spark.operators.dictionary import gather_dictionary
+
+    d = gather_dictionary(synthetic_docs)
+
+    def run():
+        m = ARTM(num_topics=5, num_document_passes=3, seed=7)
+        m.initialize(d)
+        m.fit_offline(synthetic_docs, num_collection_passes=2)
+        return {
+            (r["token"], r["topic"]): r["value"] for r in m.get_phi().collect()
+        }
+
+    a, b = run(), run()
+    assert a.keys() == b.keys()
+    for k in a:
+        # shuffle-order float summation is the only nondeterminism; the
+        # kernel sums per doc in sorted order, so values agree to ~1e-12
+        assert abs(a[k] - b[k]) < 1e-9, k
+
+
+def test_streaming_online_fit(spark, synthetic_docs, tmp_path):
+    """Real readStream -> foreachBatch online EM over parquet batches."""
+    from bigartm_spark.model.artm import ARTM
+    from bigartm_spark.operators.dictionary import gather_dictionary
+    from bigartm_spark.schemas import DOCS_SCHEMA
+    from bigartm_spark.streaming.online import OnlineTrainer
+
+    src = str(tmp_path / "stream_src")
+    synthetic_docs.repartition(2).write.mode("overwrite").parquet(src)
+
+    model = ARTM(num_topics=5, num_document_passes=1, seed=1)
+    model.initialize(gather_dictionary(synthetic_docs))
+    trainer = OnlineTrainer(model, tau0=16)
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        trainer.attach(stream, processing_time="1 seconds")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 180
+        while (
+            len(model.score_tracker.get("perplexity", [])) < 2
+            and time.time() < deadline
+        ):
+            time.sleep(1)
+            if q.exception():
+                raise AssertionError(str(q.exception())[:500])
+    finally:
+        q.stop()
+    assert trainer.t >= 2
+    assert len(model.score_tracker["perplexity"]) >= 2
