@@ -79,6 +79,28 @@ def main():
 
     bench("fit_offline_T10_2pass", fit)
 
+    # ---- LLM-data-pipeline headline ops (documents/embeddings tables)
+    from bigartm_spark.operators.dedup import (
+        exact_dedup,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash,
+    )
+    from bigartm_spark.operators.similarity import brute_force_topk
+    from bigartm_spark.operators.textstats import quality_score
+
+    documents = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    documents.count()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    emb.count()
+
+    bench("dedup_exact", lambda: exact_dedup(documents).count())
+    bench("dedup_minhash_sigs", lambda: minhash_signatures(documents).count())
+    bench("dedup_lsh_candidates", lambda: lsh_candidate_pairs(documents).count())
+    bench("dedup_simhash", lambda: simhash(documents).count())
+    bench("ann_cosine_topk", lambda: brute_force_topk(emb, 0, 10).count())
+    bench("text_quality", lambda: quality_score(documents).count())
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)

@@ -64,6 +64,11 @@ class ARTM:
         self.pwt = initialize_phi(
             self.dictionary, self.topics, seed=self.seed
         ).cache()
+        # C1 join strategy: broadcast phi while |vocab| x T x 8B fits a
+        # generous executor budget; beyond that fall back to a shuffle
+        # join on (class_id, token) (AQE handles skew). ~256MB cutoff.
+        vocab_rows = self.dictionary.count()
+        self._broadcast_phi = vocab_rows * len(self.topics) * 8 < 256 * 1024 * 1024
         return self
 
     # -- G5 ---------------------------------------------------------------
@@ -84,6 +89,7 @@ class ARTM:
             emit_nwt=True,
             emit_theta=self.cache_theta,
             compute_scores=True,
+            broadcast_phi=getattr(self, "_broadcast_phi", True),
         ).cache()
 
         nwt_df = estep.aggregate_nwt(kernel_out, len(self.topics))
@@ -105,8 +111,15 @@ class ARTM:
         new_pwt = mstep.normalize(self.nwt, rwt_df, name="pwt")
         for transform in self.phi_transforms:
             new_pwt = transform(new_pwt)
-        # materialize + break lineage before the next pass reads it
+        # materialize + break lineage before the next pass reads it, then
+        # release the previous pass's blocks (long fits would otherwise
+        # accumulate checkpointed RDDs -> executor memory pressure)
+        old_pwt = self.pwt
         self.pwt = new_pwt.checkpoint()
+        try:
+            old_pwt.compact.unpersist()
+        except Exception:
+            pass
 
         scores = estep.extract_scores(kernel_out)
         if self.cache_theta:
@@ -145,6 +158,7 @@ class ARTM:
             emit_nwt=False,
             emit_theta=True,
             compute_scores=False,
+            broadcast_phi=getattr(self, "_broadcast_phi", True),
         )
         return estep.extract_theta(kernel_out, self.topics)
 

@@ -19,22 +19,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from bigartm_spark.functions.hashing import char_hash
-
-# MinHash parameters (shared with the SQL oracle in plans/pipeline_queries.py)
-MINHASH_P = 2_147_483_647
-MINHASH_AS = [31, 131, 1031, 8191, 131071, 524287, 6700417, 1000003]
-MINHASH_BS = [7, 17, 29, 43, 61, 89, 113, 151]
+# MinHash: k independent permutations = md5 over seed-prefixed shingles,
+# minimum taken in lexicographic hex order. md5 is a JVM intrinsic on the
+# Spark side (whole-stage codegen, no interpreted lambdas) and identical
+# in DuckDB, so signatures match byte-for-byte.
+MINHASH_K = 8
 LSH_BAND_SIZE = 2  # 8 sigs -> 4 bands of 2
 
 
-def words_col(text=F.col("text")) -> F.Column:
+def words_col(text=None) -> F.Column:
     """Whitespace tokens, empties dropped — byte-identical to the oracle's
-    list_filter(string_split(...))."""
+    list_filter(string_split(...)). (No F.col default arg: that would need
+    an active SparkContext at import time.)"""
+    if text is None:
+        text = F.col("text")
     return F.filter(F.split(text, " "), lambda w: F.length(w) > 0)
 
 
-def shingles_col(n: int = 3, text=F.col("text")) -> F.Column:
+def shingles_col(n: int = 3, text=None) -> F.Column:
     """Word n-gram shingles joined by single spaces."""
     ws = words_col(text)
     k = F.size(ws) - (n - 1)
@@ -62,30 +64,41 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+def _spread(documents: DataFrame) -> DataFrame:
+    """Small-file inputs arrive as one partition; the per-row shingle/hash
+    work is the expensive part, so spread rows across the cluster first
+    (the shuffle moves only the raw docs, cheap relative to the explode)."""
+    sc = documents.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if documents.rdd.getNumPartitions() < target:
+        return documents.repartition(target)
+    return documents
+
+
 def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct."""
     return (
-        documents.select("doc_id", F.explode(shingles_col(n)).alias("shingle"))
+        _spread(documents)
+        .select("doc_id", F.explode(shingles_col(n)).alias("shingle"))
         .distinct()
     )
 
 
 def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, sig_idx, minhash): k permutation-hash minima over the
-    doc's shingle set. One explode + one groupBy; the k hashes are cheap
-    integer mixes of a single string fold per shingle."""
-    sh = doc_shingles(documents, n).withColumn("_h", char_hash("shingle"))
+    """(doc_id, sig_idx, minhash hex-string): k permutation minima over
+    the doc's shingle set; permutation i = md5('<i>|' + shingle), minimum
+    in lexicographic order. One explode + one groupBy with k min()
+    aggregates — all codegen, no interpreted lambdas."""
+    sh = doc_shingles(documents, n)
     aggs = [
-        F.min((F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(
-            f"_m{i}"
-        )
-        for i, (a, b) in enumerate(zip(MINHASH_AS, MINHASH_BS))
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"_m{i}")
+        for i in range(MINHASH_K)
     ]
     per_doc = sh.groupBy("doc_id").agg(*aggs)
     sigs = per_doc.select(
         "doc_id",
         F.posexplode(
-            F.array(*[F.col(f"_m{i}") for i in range(len(MINHASH_AS))])
+            F.array(*[F.col(f"_m{i}") for i in range(MINHASH_K)])
         ).alias("sig_idx", "minhash"),
     )
     return sigs
@@ -106,11 +119,11 @@ def lsh_candidate_pairs(documents: DataFrame, n: int = 3) -> DataFrame:
                     F.sort_array(
                         F.collect_list(F.struct("sig_idx", "minhash"))
                     ),
-                    lambda s: s["minhash"].cast("string"),
+                    lambda s: s["minhash"],
                 ),
             ).alias("band_sig")
         )
-    )
+    ).cache()  # both sides of the bucket self-join read this relation
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band", "band_sig"
     )
@@ -166,10 +179,13 @@ def ngram_jaccard_pairs(
 
 def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     """(doc_id, simhash): per-bit weighted vote over word hashes
-    (weight = word multiplicity)."""
-    w = documents.select(
+    (weight = word multiplicity). Word hash = first 16 bits of md5."""
+    w = _spread(documents).select(
         "doc_id", F.explode(words_col()).alias("word")
-    ).withColumn("_h", char_hash("word"))
+    ).withColumn(
+        "_h",
+        F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("long"),
+    )
     votes = [
         F.sum(
             (F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) * 2 - 1)

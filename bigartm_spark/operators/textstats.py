@@ -90,8 +90,11 @@ def quality_score(documents: DataFrame) -> DataFrame:
 
 
 def fingerprint(documents: DataFrame) -> DataFrame:
-    """(doc_id, fp): rolling mod-prime hash of the full text — a stable
-    64-bit-safe content fingerprint, identical to the oracle's."""
+    """(doc_id, fp, fp_rolling): md5 content fingerprint (codegen-fast)
+    plus the rolling mod-prime hash (portable incremental form — the
+    rolling variant supports streaming/chunked fingerprinting)."""
     return documents.select(
-        "doc_id", char_hash("text").alias("fp")
+        "doc_id",
+        F.md5("text").alias("fp"),
+        char_hash("text").alias("fp_rolling"),
     )

@@ -27,20 +27,13 @@ sh AS (
 """.strip()
 
 def _minhash_sig_cte() -> str:
-    """Per-sig_idx (a, b) constants via CASE — keeps the oracle one query."""
-    a_case = "CASE t.sig_idx " + " ".join(
-        f"WHEN {i} THEN {a}" for i, a in enumerate(dedup.MINHASH_AS)
-    ) + " END"
-    b_case = "CASE t.sig_idx " + " ".join(
-        f"WHEN {i} THEN {b}" for i, b in enumerate(dedup.MINHASH_BS)
-    ) + " END"
+    """k permutations = md5 over seed-prefixed shingles, lexicographic min."""
     return f"""
 {SHINGLES_CTE},
-shh AS (SELECT doc_id, {char_hash_sql('shingle')} AS h FROM sh),
 sig AS (
   SELECT doc_id, t.sig_idx,
-         MIN((h * ({a_case}) + ({b_case})) % {dedup.MINHASH_P}) AS minhash
-  FROM shh, (SELECT UNNEST(range({len(dedup.MINHASH_AS)})) AS sig_idx) t
+         MIN(md5(CAST(t.sig_idx AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM sh, (SELECT UNNEST(range({dedup.MINHASH_K})) AS sig_idx) t
   GROUP BY doc_id, t.sig_idx
 )
 """.strip()
@@ -115,6 +108,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return _r6(dedup.ngram_jaccard_pairs(docs, threshold=0.05), "jaccard")
 
 
+_HEX16_SQL = (
+    "(strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 4096 + "
+    "(strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1) * 256 + "
+    "(strpos('0123456789abcdef', substr(md5(word), 3, 1)) - 1) * 16 + "
+    "(strpos('0123456789abcdef', substr(md5(word), 4, 1)) - 1)"
+)
+
+
 def _simhash_sql(bits: int = 16) -> str:
     votes = ", ".join(
         f"SUM(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(bits)
@@ -126,7 +127,7 @@ def _simhash_sql(bits: int = 16) -> str:
 WITH w AS (
   SELECT doc_id, UNNEST({WORDS_SQL}) AS word FROM documents
 ),
-h AS (SELECT doc_id, {char_hash_sql('word')} AS h FROM w),
+h AS (SELECT doc_id, CAST({_HEX16_SQL} AS BIGINT) AS h FROM w),
 v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
 SELECT doc_id, CAST({simexpr} AS BIGINT) AS simhash FROM v
 """.strip()
@@ -325,7 +326,8 @@ def text_quality_score(spark, sf_dir):
 @register(
     "text_fingerprint",
     f"""
-SELECT doc_id, {char_hash_sql('text')} AS fp FROM documents
+SELECT doc_id, md5(text) AS fp, {char_hash_sql('text')} AS fp_rolling
+FROM documents
 """,
 )
 def text_fingerprint(spark, sf_dir):
