@@ -59,17 +59,33 @@ def _doc_kernel_factory(
     compute_scores: bool,
     ptdw_agents: list | None = None,
     emit_ptdw: bool = False,
+    phi_bcast=None,
 ):
-    """Build the applyInPandas kernel. All captured state must pickle."""
+    """Build the applyInPandas kernel. All captured state must pickle.
+
+    phi_bcast: optional Spark broadcast of (key_frame, matrix) — the C1
+    token->phi-row lookup done worker-side via a pandas hash merge, so the
+    shuffle and Arrow transfer carry only (doc_id, token, weight) instead
+    of a T-wide double array per token occurrence. When None, the rows
+    arrive pre-joined with a `values` column (the plan-level join path
+    for models too large to broadcast)."""
     ptdw_agents = ptdw_agents or []
     sort_cols = ["doc_id", "pos"] if (ptdw_agents or emit_ptdw) else ["doc_id"]
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
             return pd.DataFrame(columns=_OUT_COLS)
+        if phi_bcast is not None:
+            key_frame, mat = phi_bcast.value
+            pdf = pdf.merge(key_frame, on=["class_id", "token"], how="inner")
+            if len(pdf) == 0:
+                return pd.DataFrame(columns=_OUT_COLS)
         pdf = pdf.sort_values(sort_cols, kind="mergesort")
         w = pdf["weight"].to_numpy(dtype=np.float64)
-        phi_rows = np.stack(pdf["values"].to_numpy())  # (nnz, T)
+        if phi_bcast is not None:
+            phi_rows = mat[pdf["_row_idx"].to_numpy()]  # (nnz, T) view-copy
+        else:
+            phi_rows = np.stack(pdf["values"].to_numpy())  # (nnz, T)
         doc_ids = pdf["doc_id"].to_numpy()
         # segment boundaries: rows of one doc are contiguous after the sort
         change = np.flatnonzero(doc_ids[1:] != doc_ids[:-1]) + 1
@@ -246,16 +262,33 @@ def process_batches(
     let AQE plan a shuffle join on (class_id, token).
     """
     docs = apply_class_weights(docs, class_weights)
-    phi_df = F.broadcast(pwt.compact) if broadcast_phi else pwt.compact
     need_pos = bool(ptdw_agents) or emit_ptdw
     cols = ["doc_id", "class_id", "token", "weight"]
     if need_pos or transaction_mode:
         cols.append("pos")
     if transaction_mode:
         cols += ["transaction_id", "transaction_typename"]
-    joined = docs.select(*cols).join(
-        phi_df, ["class_id", "token"]
-    )  # B5: inner join drops tokens absent from the model
+
+    phi_bcast = None
+    if broadcast_phi and not transaction_mode:
+        # ship phi once per executor as (key_frame, matrix); the shuffle
+        # then carries only the bare occurrence rows
+        phi_pdf = pwt.compact.toPandas()
+        mat = (
+            np.stack(phi_pdf["values"].to_numpy())
+            if len(phi_pdf)
+            else np.zeros((0, pwt.num_topics))
+        )
+        key_frame = phi_pdf[["class_id", "token"]].copy()
+        key_frame["_row_idx"] = np.arange(len(phi_pdf))
+        phi_bcast = docs.sparkSession.sparkContext.broadcast((key_frame, mat))
+        joined = docs.select(*cols)
+    else:
+        phi_df = F.broadcast(pwt.compact) if broadcast_phi else pwt.compact
+        joined = docs.select(*cols).join(
+            phi_df, ["class_id", "token"]
+        )  # B5: inner join drops tokens absent from the model
+
     if num_buckets is None:
         num_buckets = max(
             docs.sparkSession.sparkContext.defaultParallelism * 2, 8
@@ -279,6 +312,7 @@ def process_batches(
             compute_scores,
             ptdw_agents=ptdw_agents,
             emit_ptdw=emit_ptdw,
+            phi_bcast=phi_bcast,
         )
     bucketed = joined.withColumn(
         "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets))
