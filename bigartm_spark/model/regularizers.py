@@ -38,11 +38,21 @@ class RegularizeContext:
 
 class PhiRegularizer:
     """Base: subclass and implement rwt_delta(pwt, nwt, ctx) -> DataFrame
-    with compact layout (class_id, token, values)."""
+    with compact layout (class_id, token, values). Deltas include tau.
 
-    def __init__(self, tau: float, topic_names: list[str] | None = None):
+    gamma (0..1) switches to *relative* coefficients: the delta is
+    rescaled per (class, topic) against the topic mass, so tau becomes
+    scale-free (phi_matrix_operations.cc:283-357 semantics)."""
+
+    def __init__(
+        self,
+        tau: float,
+        topic_names: list[str] | None = None,
+        gamma: float | None = None,
+    ):
         self.tau = tau
         self.topic_names = topic_names
+        self.gamma = gamma
 
     def _topic_mask(self, topics: list[str]) -> list[float]:
         if self.topic_names is None:
@@ -393,8 +403,14 @@ def regularize(
     if not regularizers:
         return None
     n = nwt.num_topics
-    deltas = [r.rwt_delta(pwt, nwt, ctx) for r in regularizers]
-    deltas = [d for d in deltas if d is not None]
+    deltas = []
+    for r in regularizers:
+        d = r.rwt_delta(pwt, nwt, ctx)
+        if d is None:
+            continue
+        if r.gamma is not None:
+            d = _apply_relative_coefficients(d, r, nwt, ctx)
+        deltas.append(d)
     if not deltas:
         return None
     u = deltas[0]
@@ -402,6 +418,63 @@ def regularize(
         u = u.unionByName(d)
     return u.groupBy("class_id", "token").agg(
         F.array(*[F.sum(F.col("values")[i]) for i in range(n)]).alias("values")
+    )
+
+
+def _apply_relative_coefficients(
+    delta: DataFrame, reg: PhiRegularizer, nwt, ctx: RegularizeContext
+) -> DataFrame:
+    """Relative regularization (phi_matrix_operations.cc:25-90,283-357):
+    inc_wt = |tau| * C_t * delta_wt with
+    C_t = gamma * n_t / sum_w|delta_wt| + (1-gamma) * n / sum_tw|delta|,
+    computed per class over the regularized topic set. With delta already
+    tau-scaled, the |tau| factor restores the reference's tau-free
+    normalizer (delta/tau inside the sums cancels)."""
+    if ctx.topic_totals is None:
+        raise ValueError("relative regularization (gamma) needs topic totals")
+    nT = nwt.num_topics
+    mask = [1.0] * nT
+    if reg.topic_names is not None:
+        sel = set(reg.topic_names)
+        mask = [1.0 if t in sel else 0.0 for t in nwt.topics]
+    marr = F.array(*[F.lit(m) for m in mask])
+    s_t = delta.groupBy("class_id").agg(
+        F.array(
+            *[
+                F.sum(F.abs(F.col("values")[i]) * F.lit(mask[i]))
+                for i in range(nT)
+            ]
+        ).alias("_s_t")
+    )
+    stats = s_t.join(F.broadcast(ctx.topic_totals), "class_id").select(
+        "class_id",
+        "_s_t",
+        F.zip_with("totals", marr, lambda t, m: t * m).alias("_n_t"),
+    )
+    sum_over = lambda c: F.aggregate(c, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    gamma = float(reg.gamma)
+    abs_tau = abs(float(reg.tau))
+    coefs = stats.select(
+        "class_id",
+        F.zip_with(
+            "_n_t",
+            "_s_t",
+            lambda n_t, st: F.when(
+                st > 0,
+                F.lit(abs_tau)
+                * (
+                    F.lit(gamma) * n_t / st
+                    + F.lit(1.0 - gamma)
+                    * sum_over(F.col("_n_t"))
+                    / sum_over(F.col("_s_t"))
+                ),
+            ).otherwise(F.lit(0.0)),
+        ).alias("_coef"),
+    )
+    return delta.join(F.broadcast(coefs), "class_id").select(
+        "class_id",
+        "token",
+        F.zip_with("values", "_coef", lambda v, c: v * c).alias("values"),
     )
 
 

@@ -142,3 +142,37 @@ def test_smooth_sparse_theta_agent():
     n_td = np.ones((2, 2))
     out = agent.apply(None, n_td, 1)
     np.testing.assert_allclose(out, np.ones((2, 2)) + 1.0)
+
+
+def test_relative_gamma_coefficients(spark, tiny_phi):
+    """gamma=1: inc = |tau| * n_t / sum|delta| * delta. With
+    SmoothSparsePhi(tau=2) delta_wt = 2 everywhere: sum|delta_t| = 6
+    (3 tokens), n_t = 1 (column-normalized phi... n from tiny_phi sums:
+    t0: 1.0, t1: 1.0) -> coef = 2 * 1/6 -> inc = 2/6*2 = 2/3."""
+    from bigartm_spark.model.mstep import topic_totals
+
+    reg = SmoothSparsePhi(tau=2.0)
+    reg.gamma = 1.0
+    ctx = RegularizeContext(topic_totals=topic_totals(tiny_phi))
+    rwt = regularize(tiny_phi, tiny_phi, [reg], ctx)
+    vals = _vals(rwt)
+    for tok in ("a", "b", "c"):
+        np.testing.assert_allclose(vals[tok], [2.0 / 3, 2.0 / 3], atol=1e-12)
+
+
+def test_top_tokens_coherence(spark, tiny_phi):
+    from bigartm_spark.operators.topk import top_tokens, top_tokens_coherence
+
+    cooc = spark.createDataFrame(
+        [("a", "b", 4.0), ("b", "c", 2.0)],
+        "token_a string, token_b string, value double",
+    )
+    top = top_tokens(tiny_phi.to_long(), k=2)
+    coh = {
+        r["topic"]: r["coherence"]
+        for r in top_tokens_coherence(top, cooc, k=2).collect()
+    }
+    # t0 top-2 = a, b -> cooc 4; coherence = 2/(2*1) * 4 = 4
+    assert abs(coh["t0"] - 4.0) < 1e-12
+    # t1 top-2 = c, b -> pair (b, c) = 2 -> coherence 2
+    assert abs(coh["t1"] - 2.0) < 1e-12
