@@ -34,6 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    import bigartm_spark.plans.event_queries  # noqa: F401 — registers
     import bigartm_spark.plans.pipeline_queries  # noqa: F401 — registers
     from bigartm_spark.plans.driver_queries import QUERIES
 
@@ -41,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    import bigartm_spark.plans.event_queries  # noqa: F401 — registers
     import bigartm_spark.plans.pipeline_queries  # noqa: F401 — registers
     from bigartm_spark.plans.driver_queries import ORACLES
 

@@ -1,0 +1,121 @@
+"""Event-table queries: processing-time ordering, sessionization, JSON
+props — the relational face of the online-EM machinery (§2.K: ordered
+batch groups) plus generic time/window coverage over the events table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bigartm_spark.plans.driver_queries import _r6, register
+
+
+def _events(spark, sf_dir):
+    """events with ts normalized to a microsecond timestamp (the parquet
+    column is TIMESTAMP(NANOS); read as long via nanosAsLong, floor-divide
+    to micros exactly like DuckDB's ns->us truncation)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    return ev
+
+
+@register(
+    "ev_hourly_type_agg",
+    """
+SELECT event_type,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 6) AS total_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+""",
+)
+def ev_hourly_type_agg(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    out = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("total_value"),
+    )
+    return _r6(out, "total_value")
+
+
+@register(
+    "ev_sessionize",
+    """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM o GROUP BY user_id
+""",
+)
+def ev_sessionize(spark, sf_dir):
+    """30-min-gap sessionization: the lag/threshold window shape (E8's
+    change-point machinery on a real event stream)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("_ns", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("_ns").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "ev_json_props",
+    """
+SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
+FROM events
+""",
+)
+def ev_json_props(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+@register(
+    "ev_batch_groups",
+    """
+SELECT CAST((year(ts) * 400 + dayofyear(ts) - 1) // 2 AS BIGINT) AS group_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+""",
+)
+def ev_batch_groups(spark, sf_dir):
+    """G6 update_after grouping: ordered two-day micro-batch groups (the
+    offline replay of the online trainer's batch boundaries). Calendar
+    arithmetic, no epoch/timezone semantics involved."""
+    ev = _events(spark, sf_dir)
+    gid = F.floor(
+        (F.year("ts") * 400 + F.dayofyear("ts") - 1) / F.lit(2)
+    ).alias("group_id")
+    return ev.groupBy(gid).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

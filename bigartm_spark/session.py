@@ -50,6 +50,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+        # the driver testdata's events.ts is TIMESTAMP(NANOS), which the
+        # vectorized parquet reader rejects; read as long nanos and let
+        # corpus helpers convert (DuckDB truncates ns->us the same way)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
