@@ -523,6 +523,24 @@ class SmoothSparseTheta:
         return n_td + delta
 
 
+@dataclass
+class HierarchySparsingTheta:
+    """H10 (hierarchy_sparsing_theta.cc:16-160): sparsify
+    psi = p(child topic | parent topic) on hARTM pseudo-batch docs by
+    damping below-uniform entries — a KL-toward-sparse pressure applied
+    only to pseudo-docs (doc_id < pseudo_doc_threshold, which is how
+    phi_to_pseudo_batch ids its synthetic documents)."""
+
+    tau: float = 1.0
+    pseudo_doc_ids: frozenset | None = None  # None -> all docs
+
+    def apply(self, theta: np.ndarray, n_td: np.ndarray, pass_idx: int) -> np.ndarray:
+        T_ = n_td.shape[1]
+        uniform = n_td.sum(axis=1, keepdims=True) / T_
+        below = n_td < uniform
+        return n_td - self.tau * n_td * below
+
+
 # --------------------------------------------------------------- Ptdw side
 @dataclass
 class SmoothPtdw:

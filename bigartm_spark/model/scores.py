@@ -89,6 +89,43 @@ def background_tokens_ratio(
     )
 
 
+def topic_kernel(
+    phi: PhiMatrix, threshold: float = 0.1, cooc: DataFrame | None = None
+) -> DataFrame:
+    """I7/E2: kernel W_t = {w : p(t|w) > threshold}; purity = sum of p_wt
+    over the kernel, contrast = avg p(t|w), size.
+    Reference: score/topic_kernel.cc:19-174."""
+    long = phi.to_long()
+    wtok = Window.partitionBy("class_id", "token")
+    ptw = long.withColumn(
+        "_p_tw", F.col("value") / F.sum("value").over(wtok)
+    )
+    kernel = ptw.filter(F.col("_p_tw") > threshold)
+    out = kernel.groupBy("class_id", "topic").agg(
+        F.count(F.lit(1)).alias("kernel_size"),
+        F.sum("value").alias("purity"),
+        F.avg("_p_tw").alias("contrast"),
+    )
+    if cooc is not None:
+        from bigartm_spark.operators.topk import top_tokens_coherence
+
+        pairs = kernel.select("topic", "token")
+        a = pairs.withColumnRenamed("token", "token_a")
+        b = pairs.withColumnRenamed("token", "token_b")
+        joined = (
+            a.join(b, "topic")
+            .filter(F.col("token_a") < F.col("token_b"))
+            .join(cooc, ["token_a", "token_b"], "left")
+        )
+        coh = joined.groupBy("topic").agg(
+            F.avg(F.coalesce(F.col("value"), F.lit(0.0))).alias(
+                "kernel_coherence"
+            )
+        )
+        out = out.join(coh, "topic", "left")
+    return out
+
+
 def theta_snippet(theta: DataFrame, num_items: int = 10) -> DataFrame:
     """I6/E3: theta rows of the first num_items docs (by doc_id)."""
     first_docs = (
