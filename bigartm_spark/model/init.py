@@ -84,3 +84,93 @@ def initialize_phi(
     from bigartm_spark.model.mstep import normalize
 
     return normalize(nwt, None, name=name)
+
+
+# ---------------------------------------------------------------------------
+# Bit-exact replica of the reference's seeded init (helpers.cc:79-135):
+# Java-style 31*h+c rolling hash over (class_id, keyword, seed) in wrapping
+# uint64 -> mt19937 seeded with the low 32 bits -> uniform_real<float>
+# draws (float(u32)/float(2^32-1), verified bit-identical against
+# std::mt19937 ground truth) -> row normalized by the float32 sum.
+# ---------------------------------------------------------------------------
+_U64 = (1 << 64) - 1
+
+
+def reference_token_hash(class_id: str, keyword: str, seed: int = 0) -> int:
+    h = 1125899906842597
+    if class_id != "@default_class":
+        for c in class_id:
+            h = (31 * h + ord(c)) & _U64
+    h = (31 * h + 255) & _U64
+    for c in keyword:
+        h = (31 * h + ord(c)) & _U64
+    if seed > 0:
+        h = (31 * h + seed) & _U64
+    return h
+
+
+def reference_random_vector(
+    size: int, h: int, guaranteed_zeros_rate: float = 0.0
+):
+    """float32 vector exactly as GenerateRandomVector(size, seed=h)."""
+    import numpy as np
+
+    rs = np.random.RandomState(h & 0xFFFFFFFF)
+    div = np.float32(0xFFFFFFFF)
+
+    def draw():
+        return np.float32(rs.randint(0, 2**32, dtype=np.uint32)) / div
+
+    out = np.empty(size, dtype=np.float32)
+    if guaranteed_zeros_rate > 1e-37:
+        for i in range(size):
+            out[i] = draw() if draw() > guaranteed_zeros_rate else np.float32(0)
+    else:
+        for i in range(size):
+            out[i] = draw()
+    s = np.float32(0.0)
+    for i in range(size):
+        s = np.float32(s + out[i])
+    if s > 0:
+        out = (out / s).astype(np.float32)
+    return out
+
+
+def initialize_phi_reference(
+    dictionary: DataFrame,
+    topics: list[str],
+    seed: int = 0,
+    name: str = "pwt",
+) -> PhiMatrix:
+    """G1 with bit-parity to the reference RNG (use for golden-trajectory
+    reproduction; the portable generator remains the default because the
+    DuckDB oracle can replay it)."""
+    import pandas as pd
+
+    n = len(topics)
+
+    def gen(batches):
+        for pdf in batches:
+            vals = [
+                reference_random_vector(
+                    n, reference_token_hash(c, t, seed)
+                ).astype("float64")
+                for c, t in zip(pdf["class_id"], pdf["token"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "class_id": pdf["class_id"],
+                    "token": pdf["token"],
+                    "values": vals,
+                }
+            )
+
+    from bigartm_spark.schemas import phi_compact_schema
+
+    compact = dictionary.select("class_id", "token").mapInPandas(
+        gen, phi_compact_schema()
+    )
+    nwt = PhiMatrix(name=name, topics=list(topics), compact=compact)
+    from bigartm_spark.model.mstep import normalize
+
+    return normalize(nwt, None, name=name)

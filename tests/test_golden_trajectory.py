@@ -70,6 +70,51 @@ def test_synthetic_perplexity_trajectory(spark, synthetic_docs):
     assert (diffs <= 1e-6).all(), traj
 
 
+def test_reference_rng_parity_exact_trajectory(spark, synthetic_docs):
+    """THE golden test: with the bit-exact replica of the reference's
+    seeded init (mt19937 + uniform_real<float>, helpers.cc:79-135), the
+    fit reproduces test_01_synthetic_collection.py's pinned perplexities
+    within the reference's own 1e-3 tolerance."""
+    from bigartm_spark.model.artm import ARTM
+    from bigartm_spark.model.init import initialize_phi_reference
+    from bigartm_spark.operators.dictionary import gather_dictionary
+
+    d = gather_dictionary(synthetic_docs).cache()
+    m = ARTM(num_topics=10, num_document_passes=10)
+    m.dictionary = d
+    m.pwt = initialize_phi_reference(d, m.topics, seed=0).cache()
+    m._broadcast_phi = True
+    m.fit_offline(synthetic_docs, 10)
+    expected = [
+        54.616, 38.472, 28.655, 24.362, 22.355,
+        21.137, 20.808, 20.791, 20.746, 20.581,
+    ]
+    got = m.score_tracker["perplexity"]
+    for e, g in zip(expected, got):
+        assert abs(g - e) < 1e-3, (expected, got)
+
+
+def test_reference_rng_unit_vectors():
+    """Spot-check the RNG replica: hash wraps in uint64, vector rows are
+    normalized float32 uniforms."""
+    import numpy as np
+
+    from bigartm_spark.model.init import (
+        reference_random_vector,
+        reference_token_hash,
+    )
+
+    h = reference_token_hash("@default_class", "token_0", 0)
+    assert 0 <= h <= (1 << 64) - 1
+    # default class is excluded from the fold: hash differs from custom
+    assert h != reference_token_hash("other_class", "token_0", 0)
+    v = reference_random_vector(10, h)
+    assert v.dtype == np.float32
+    assert abs(float(v.sum()) - 1.0) < 1e-6
+    # deterministic
+    np.testing.assert_array_equal(v, reference_random_vector(10, h))
+
+
 def test_synthetic_determinism(spark, synthetic_docs):
     """Same seed -> identical phi across independent fits (the
     repeatable_result_test.cc guarantee, no rand() anywhere)."""
