@@ -41,6 +41,7 @@ class ARTM:
         theta_agents: list | None = None,
         phi_transforms: list | None = None,
         cache_theta: bool = False,
+        reuse_theta: bool = False,
     ):
         if topic_names is None:
             topic_names = [f"topic_{i}" for i in range(num_topics or 10)]
@@ -51,7 +52,8 @@ class ARTM:
         self.phi_regularizers = phi_regularizers or []
         self.theta_agents = theta_agents or []
         self.phi_transforms = phi_transforms or []
-        self.cache_theta = cache_theta
+        self.cache_theta = cache_theta or reuse_theta
+        self.reuse_theta = reuse_theta
         self.pwt: PhiMatrix | None = None
         self.nwt: PhiMatrix | None = None
         self.theta: DataFrame | None = None
@@ -90,6 +92,11 @@ class ARTM:
             emit_theta=self.cache_theta,
             compute_scores=True,
             broadcast_phi=getattr(self, "_broadcast_phi", True),
+            theta_cache=(
+                estep.theta_to_cache(self.theta, self.topics)
+                if self.reuse_theta and self.theta is not None
+                else None
+            ),
         ).cache()
 
         nwt_df = estep.aggregate_nwt(kernel_out, len(self.topics))

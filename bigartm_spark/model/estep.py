@@ -81,6 +81,9 @@ def _doc_kernel_factory(
             if len(pdf) == 0:
                 return pd.DataFrame(columns=_OUT_COLS)
         pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        theta_init_col = (
+            pdf["_theta_init"] if "_theta_init" in pdf.columns else None
+        )
         w = pdf["weight"].to_numpy(dtype=np.float64)
         if phi_bcast is not None:
             phi_rows = mat[pdf["_row_idx"].to_numpy()]  # (nnz, T) view-copy
@@ -96,6 +99,14 @@ def _doc_kernel_factory(
 
         T_ = num_topics
         theta = np.full((n_docs, T_), 1.0 / T_)
+        if theta_init_col is not None:
+            # C5 reuse_theta: cached rows override the uniform init
+            # (processor_helpers.cc:81-92); docs without a cache entry
+            # keep the default
+            firsts = theta_init_col.to_numpy()[starts]
+            for i, t0 in enumerate(firsts):
+                if t0 is not None and len(t0) == T_:
+                    theta[i] = np.asarray(t0, dtype=np.float64)
 
         def compute_ptdw(th):
             num = phi_rows * th[seg]  # (nnz, T)
@@ -251,6 +262,7 @@ def process_batches(
     emit_ptdw: bool = False,
     transaction_mode: bool = False,
     transaction_weights: dict[str, float] | None = None,
+    theta_cache: DataFrame | None = None,
 ) -> DataFrame:
     """One E-step pass over the corpus. Returns the kernel output relation
     (kind, key, class_id, doc_id, pos, values) — callers aggregate it.
@@ -289,6 +301,9 @@ def process_batches(
             phi_df, ["class_id", "token"]
         )  # B5: inner join drops tokens absent from the model
 
+    if theta_cache is not None and not transaction_mode:
+        # C5 reuse_theta: left join the cached per-doc theta rows
+        joined = joined.join(theta_cache, "doc_id", "left")
     if num_buckets is None:
         num_buckets = max(
             docs.sparkSession.sparkContext.defaultParallelism * 2, 8
@@ -468,6 +483,30 @@ def extract_theta(kernel_out: DataFrame, topics: list[str]) -> DataFrame:
             "doc_id",
             F.element_at(tarr, F.col("_i") + 1).alias("topic"),
             "value",
+        )
+    )
+
+
+def theta_to_cache(theta: DataFrame, topics: list[str]) -> DataFrame:
+    """Long theta -> (doc_id, _theta_init array) for C5 reuse."""
+    idx = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in topics]),
+        F.array(*[F.lit(i) for i in range(len(topics))]),
+    )
+    n = len(topics)
+    return (
+        theta.withColumn("_i", idx[F.col("topic")])
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_i"), F.col("value")))
+            ).alias("_m")
+        )
+        .select(
+            "doc_id",
+            F.array(
+                *[F.coalesce(F.col("_m").getItem(i), F.lit(0.0)) for i in range(n)]
+            ).alias("_theta_init"),
         )
     )
 

@@ -152,3 +152,27 @@ def test_predict_class_id(spark, sf_dir):
     )
     prec = class_precision(preds, truth).collect()[0]
     assert 0.0 <= prec["precision"] <= 1.0
+
+
+def test_reuse_theta_converges_further(spark, docs):
+    """C5: carrying theta across passes must not crash and should give a
+    perplexity <= the fresh-theta run at the same pass count (more
+    effective inner iterations)."""
+    from bigartm_spark.operators.dictionary import gather_dictionary
+
+    d = gather_dictionary(docs)
+
+    def run(reuse):
+        m = ARTM(
+            topic_names=list(TOPICS3),
+            num_document_passes=2,
+            seed=5,
+            reuse_theta=reuse,
+        )
+        m.initialize(d)
+        m.fit_offline(docs, 3)
+        return m.score_tracker["perplexity"]
+
+    fresh, reused = run(False), run(True)
+    assert len(reused) == 3
+    assert reused[-1] <= fresh[-1] * 1.001, (fresh, reused)

@@ -140,3 +140,17 @@ def test_score_tracker_roundtrip(tmpdir_mod):
     p = str(tmpdir_mod / "tracker.json")
     export_score_tracker(t, p)
     assert import_score_tracker(p) == t
+
+
+def test_from_n_wd(spark):
+    import numpy as np
+
+    from bigartm_spark.sources.memory import from_n_wd, import_batches
+
+    n_wd = np.array([[2, 0], [0, 3], [1, 1]])  # W=3 tokens, D=2 docs
+    docs = from_n_wd(spark, n_wd, ["a", "b", "c"])
+    rows = {(r.doc_id, r.token): r.weight for r in docs.collect()}
+    assert rows == {(0, "a"): 2.0, (1, "b"): 3.0, (0, "c"): 1.0, (1, "c"): 1.0}
+    more = from_n_wd(spark, np.array([[1], [1], [1]]), ["a", "b", "c"])
+    combined = import_batches(docs, more)
+    assert combined.count() == 7
