@@ -1,0 +1,164 @@
+"""A11: command-line interface — the `bigartm` CLI re-expressed.
+
+Reference: /root/reference/src/bigartm/srcmain.cc (flag surface:
+--read-vw-corpus/--read-uci-docword/--read-uci-vocab, -t/--topics,
+-p/--passes, --num-document-passes, --regularizer, --dictionary-min-df /
+--dictionary-max-df, --write-model-readable, --write-dictionary-readable,
+--save-model/--load-model, --write-predictions).
+
+    python -m bigartm_spark --read-vw-corpus corpus.vw -t 16 -p 10 \
+        --regularizer "0.1 SmoothSparsePhi" --write-model-readable out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bigartm_spark", description="BigARTM-on-Spark CLI"
+    )
+    src = p.add_argument_group("input")
+    src.add_argument("--read-vw-corpus", help="Vowpal Wabbit corpus file")
+    src.add_argument("--read-uci-docword", help="UCI docword file")
+    src.add_argument("--read-uci-vocab", help="UCI vocab file")
+    src.add_argument("--use-batches", help="parquet batch store (A5)")
+    p.add_argument("-t", "--topics", type=int, default=16)
+    p.add_argument("-p", "--passes", type=int, default=10)
+    p.add_argument("--num-document-passes", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dictionary-min-df", type=float, default=None)
+    p.add_argument("--dictionary-max-df", type=float, default=None)
+    p.add_argument(
+        "--regularizer",
+        action="append",
+        default=[],
+        help='"tau Name [gamma]" e.g. "0.1 SmoothSparsePhi", '
+        '"-0.5 SmoothSparseTheta", "100 DecorrelatorPhi"',
+    )
+    out = p.add_argument_group("output")
+    out.add_argument("--save-model", help="directory for phi parquet (A8)")
+    out.add_argument("--load-model", help="skip fit, load phi (A8)")
+    out.add_argument("--save-batches", help="write parsed corpus as parquet (A7)")
+    out.add_argument("--write-model-readable", help="CSV pivot of phi (A11)")
+    out.add_argument("--write-dictionary-readable", help="dictionary CSV")
+    out.add_argument("--write-predictions", help="theta CSV for the corpus")
+    out.add_argument("--write-vw-corpus", help="re-export corpus as VW")
+    out.add_argument("--score-tracker", help="JSON path for score history (A10)")
+    return p
+
+
+def parse_regularizers(specs: list[str]):
+    from bigartm_spark.model import regularizers as R
+
+    phi_regs, theta_agents = [], []
+    for spec in specs:
+        parts = spec.split()
+        tau, name = float(parts[0]), parts[1]
+        gamma = float(parts[2]) if len(parts) > 2 else None
+        if name == "SmoothSparsePhi":
+            r = R.SmoothSparsePhi(tau=tau)
+            r.gamma = gamma
+            phi_regs.append(r)
+        elif name == "DecorrelatorPhi":
+            r = R.DecorrelatorPhi(tau=tau)
+            r.gamma = gamma
+            phi_regs.append(r)
+        elif name == "SmoothSparseTheta":
+            theta_agents.append(R.SmoothSparseTheta(tau=tau))
+        elif name == "TopicSelectionTheta":
+            theta_agents.append(R.TopicSelectionTheta(tau=tau))
+        else:
+            raise SystemExit(f"unknown regularizer: {name}")
+    return phi_regs, theta_agents
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from bigartm_spark.model.artm import ARTM
+    from bigartm_spark.operators.dictionary import filter_dictionary, gather_dictionary
+    from bigartm_spark.session import get_spark
+    from bigartm_spark.sources import io as sio
+
+    spark = get_spark("bigartm_spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.read_vw_corpus:
+        from bigartm_spark.sources.vw import read_vowpal_wabbit
+
+        docs = read_vowpal_wabbit(spark, args.read_vw_corpus)
+    elif args.read_uci_docword and args.read_uci_vocab:
+        from bigartm_spark.sources.uci import read_uci
+
+        docs = read_uci(spark, args.read_uci_docword, args.read_uci_vocab)
+    elif args.use_batches:
+        docs = sio.load_batches(spark, args.use_batches)
+    else:
+        raise SystemExit("no input: use --read-vw-corpus / --read-uci-* / --use-batches")
+    docs = docs.cache()
+
+    if args.save_batches:
+        sio.save_batches(docs, args.save_batches)
+
+    dictionary = gather_dictionary(docs)
+    if args.dictionary_min_df is not None or args.dictionary_max_df is not None:
+        dictionary = filter_dictionary(
+            dictionary,
+            min_df=args.dictionary_min_df,
+            max_df=args.dictionary_max_df,
+            recalculate_value=True,
+        )
+    if args.write_dictionary_readable:
+        dictionary.coalesce(1).write.mode("overwrite").option(
+            "header", True
+        ).csv(args.write_dictionary_readable)
+
+    phi_regs, theta_agents = parse_regularizers(args.regularizer)
+    model = ARTM(
+        num_topics=args.topics,
+        num_document_passes=args.num_document_passes,
+        seed=args.seed,
+        phi_regularizers=phi_regs,
+        theta_agents=theta_agents,
+    )
+    if args.load_model:
+        from bigartm_spark.sources.io import import_model
+
+        model.dictionary = dictionary.cache()
+        model.pwt = import_model(spark, args.load_model).cache()
+        model.topics = model.pwt.topics
+        model._broadcast_phi = True
+    else:
+        model.initialize(dictionary)
+        model.fit_offline(docs, num_collection_passes=args.passes)
+        for i, ppl in enumerate(model.score_tracker.get("perplexity", [])):
+            print(f"pass {i}: perplexity = {ppl:.4f}")
+
+    if args.save_model:
+        sio.export_model(model.pwt, args.save_model)
+    if args.write_model_readable:
+        sio.write_model_readable(model.pwt, args.write_model_readable)
+    if args.write_predictions:
+        theta = model.transform(docs)
+        (
+            theta.groupBy("doc_id")
+            .pivot("topic", model.topics)
+            .sum("value")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(args.write_predictions)
+        )
+    if args.write_vw_corpus:
+        sio.write_corpus_vw(docs, args.write_vw_corpus)
+    if args.score_tracker:
+        sio.export_score_tracker(model.score_tracker, args.score_tracker)
+    print(json.dumps({"status": "ok", "topics": len(model.topics)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

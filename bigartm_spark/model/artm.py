@@ -42,7 +42,11 @@ class ARTM:
         phi_transforms: list | None = None,
         cache_theta: bool = False,
         reuse_theta: bool = False,
+        phi_scores: dict | None = None,
     ):
+        """phi_scores: optional {name: callable(PhiMatrix) -> float}
+        evaluated on the fresh p_wt after every pass (the non-cumulative
+        score hook — sparsity-phi, topic mass, ...)."""
         if topic_names is None:
             topic_names = [f"topic_{i}" for i in range(num_topics or 10)]
         self.topics = topic_names
@@ -54,6 +58,7 @@ class ARTM:
         self.phi_transforms = phi_transforms or []
         self.cache_theta = cache_theta or reuse_theta
         self.reuse_theta = reuse_theta
+        self.phi_scores = phi_scores or {}
         self.pwt: PhiMatrix | None = None
         self.nwt: PhiMatrix | None = None
         self.theta: DataFrame | None = None
@@ -135,6 +140,8 @@ class ARTM:
         kernel_out.unpersist()
         for k, v in scores.items():
             self.score_tracker.setdefault(k, []).append(v)
+        for name, fn in self.phi_scores.items():
+            self.score_tracker.setdefault(name, []).append(float(fn(self.pwt)))
 
     # -- G6 ---------------------------------------------------------------
     def fit_online(
