@@ -292,8 +292,25 @@ class ARTM:
         return out
 
     # -- retrieval (B6) ----------------------------------------------------
-    def get_phi(self, eps: float | None = None) -> DataFrame:
-        return self.pwt.to_long(eps=eps)
+    def get_phi(
+        self,
+        eps: float | None = None,
+        topic_names: list[str] | None = None,
+        class_ids: list[str] | None = None,
+        tokens: list[str] | None = None,
+    ) -> DataFrame:
+        """GetTopicModelArgs filters (phi_matrix_operations.cc:93-190):
+        select by topic / class / token; eps>0 = sparse COO layout."""
+        from pyspark.sql import functions as F
+
+        out = self.pwt.to_long(eps=eps)
+        if topic_names is not None:
+            out = out.filter(F.col("topic").isin(list(topic_names)))
+        if class_ids is not None:
+            out = out.filter(F.col("class_id").isin(list(class_ids)))
+        if tokens is not None:
+            out = out.filter(F.col("token").isin(list(tokens)))
+        return out
 
     def get_theta(self) -> DataFrame:
         if self.theta is None:

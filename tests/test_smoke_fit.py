@@ -50,3 +50,21 @@ def test_transform_theta_normalized(spark, docs):
     assert len(sums) > 0
     for r in sums:
         assert abs(r["s"] - 1.0) < 1e-6
+
+
+def test_lda_facade_and_retrieval_filters(spark, docs):
+    from bigartm_spark.model.artm import LDA
+    from bigartm_spark.operators.dictionary import gather_dictionary
+
+    lda = LDA(num_topics=4, alpha=0.02, beta=0.02, num_document_passes=2, seed=9)
+    lda.initialize(gather_dictionary(docs))
+    lda.fit_offline(docs, num_collection_passes=2)
+    ppl = lda.score_tracker["perplexity"]
+    assert len(ppl) == 2 and ppl[1] <= ppl[0] * 1.0001
+    # B6 retrieval filters
+    sub = lda.get_phi(topic_names=["topic_0", "topic_2"], tokens=["p1", "p2"])
+    rows = sub.collect()
+    assert {r["topic"] for r in rows} <= {"topic_0", "topic_2"}
+    assert {r["token"] for r in rows} <= {"p1", "p2"}
+    sparse = lda.get_phi(eps=1e-3)
+    assert sparse.filter(sparse.value <= 1e-3).count() == 0
