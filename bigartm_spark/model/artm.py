@@ -104,44 +104,7 @@ class ARTM:
             ),
         ).cache()
 
-        nwt_df = estep.aggregate_nwt(kernel_out, len(self.topics))
-        nwt_new = PhiMatrix("nwt", self.topics, nwt_df)
-        if decay_weight != 0.0 and self.nwt is not None:
-            # G6 online merge: n_wt <- decay*n_wt + apply*n̂_wt (D6)
-            nwt_new = mstep.merge_nwt(
-                [(self.nwt, decay_weight), (nwt_new, apply_weight)], "nwt"
-            )
-        self.nwt = nwt_new
-
-        ctx = RegularizeContext(
-            dictionary=self.dictionary,
-            topic_totals=mstep.topic_totals(self.nwt)
-            if self.phi_regularizers
-            else None,
-        )
-        rwt_df = regularize(self.pwt, self.nwt, self.phi_regularizers, ctx)
-        new_pwt = mstep.normalize(self.nwt, rwt_df, name="pwt")
-        for transform in self.phi_transforms:
-            new_pwt = transform(new_pwt)
-        # materialize + break lineage before the next pass reads it, then
-        # release the previous pass's blocks (long fits would otherwise
-        # accumulate checkpointed RDDs -> executor memory pressure)
-        old_pwt = self.pwt
-        self.pwt = new_pwt.checkpoint()
-        try:
-            old_pwt.compact.unpersist()
-        except Exception:
-            pass
-
-        scores = estep.extract_scores(kernel_out)
-        if self.cache_theta:
-            self.theta = estep.extract_theta(kernel_out, self.topics)
-            self.theta = self.theta.localCheckpoint(eager=True)
-        kernel_out.unpersist()
-        for k, v in scores.items():
-            self.score_tracker.setdefault(k, []).append(v)
-        for name, fn in self.phi_scores.items():
-            self.score_tracker.setdefault(name, []).append(float(fn(self.pwt)))
+        self._merge_and_normalize(kernel_out, decay_weight, apply_weight)
 
     # -- G6 ---------------------------------------------------------------
     def fit_online(
@@ -159,6 +122,91 @@ class ARTM:
             rho = math.pow(tau0 + t, -kappa)
             self._one_pass(group, decay_weight=1.0 - rho, apply_weight=rho)
         return self
+
+    # -- G7 ---------------------------------------------------------------
+    def fit_online_async(
+        self,
+        doc_groups: list[DataFrame],
+        tau0: float = 1024.0,
+        kappa: float = 0.7,
+        update_every: int = 1,
+    ) -> "ARTM":
+        """G7 async online EM (master_component.cc:1387-1439): the E-step
+        of group k+1 overlaps the merge/normalize of group k, so group k+1
+        is processed against the *previous* phi (the reference's
+        "deferred await" — results differ slightly from the synchronous
+        algorithm, exactly as upstream documents). Spark jobs submitted
+        from separate Python threads run concurrently in one session."""
+        import math as _math
+        from concurrent.futures import ThreadPoolExecutor
+
+        def launch(group):
+            out = estep.process_batches(
+                group,
+                self.pwt,
+                num_document_passes=self.num_document_passes,
+                class_weights=self.class_weights,
+                theta_agents=self.theta_agents,
+                emit_nwt=True,
+                emit_theta=self.cache_theta,
+                compute_scores=True,
+                broadcast_phi=getattr(self, "_broadcast_phi", True),
+            ).cache()
+            out.count()  # materialize in the background thread
+            return out
+
+        t = 0
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            pending = pool.submit(launch, doc_groups[0])
+            for k in range(len(doc_groups)):
+                kernel_out = pending.result()
+                if k + 1 < len(doc_groups):
+                    # launched BEFORE this group's merge -> stale phi
+                    pending = pool.submit(launch, doc_groups[k + 1])
+                t += update_every
+                rho = _math.pow(tau0 + t, -kappa)
+                self._merge_and_normalize(
+                    kernel_out, decay_weight=1.0 - rho, apply_weight=rho
+                )
+        return self
+
+    def _merge_and_normalize(
+        self, kernel_out, decay_weight: float, apply_weight: float
+    ):
+        """M-step half of a pass given a materialized kernel output."""
+        nwt_df = estep.aggregate_nwt(kernel_out, len(self.topics))
+        nwt_new = PhiMatrix("nwt", self.topics, nwt_df)
+        if decay_weight != 0.0 and self.nwt is not None:
+            nwt_new = mstep.merge_nwt(
+                [(self.nwt, decay_weight), (nwt_new, apply_weight)], "nwt"
+            )
+        self.nwt = nwt_new
+        ctx = RegularizeContext(
+            dictionary=self.dictionary,
+            topic_totals=mstep.topic_totals(self.nwt)
+            if self.phi_regularizers
+            else None,
+        )
+        rwt_df = regularize(self.pwt, self.nwt, self.phi_regularizers, ctx)
+        new_pwt = mstep.normalize(self.nwt, rwt_df, name="pwt")
+        for transform in self.phi_transforms:
+            new_pwt = transform(new_pwt)
+        old_pwt = self.pwt
+        self.pwt = new_pwt.checkpoint()
+        try:
+            old_pwt.compact.unpersist()
+        except Exception:
+            pass
+        scores = estep.extract_scores(kernel_out)
+        if self.cache_theta:
+            self.theta = estep.extract_theta(
+                kernel_out, self.topics
+            ).localCheckpoint(eager=True)
+        kernel_out.unpersist()
+        for k, v in scores.items():
+            self.score_tracker.setdefault(k, []).append(v)
+        for name, fn in self.phi_scores.items():
+            self.score_tracker.setdefault(name, []).append(float(fn(self.pwt)))
 
     # -- G4 ---------------------------------------------------------------
     def transform(self, docs: DataFrame) -> DataFrame:

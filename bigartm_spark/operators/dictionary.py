@@ -20,18 +20,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def gather_dictionary(docs: DataFrame) -> DataFrame:
-    """D1. dictionary(class_id, token, value, tf, df) from a long corpus."""
+def gather_dictionary(docs: DataFrame, vocab: DataFrame | None = None) -> DataFrame:
+    """D1. dictionary(class_id, token, value, tf, df) from a long corpus.
+
+    vocab (E10): optional (token_id, token [, class_id]) from read_vocab —
+    adds a vocab_order column so exports follow vocab-file order
+    (dictionary_operations.cc:336-396); hash order otherwise."""
     stats = docs.groupBy("class_id", "token").agg(
         F.sum("weight").alias("tf"),
         F.countDistinct("doc_id").cast("double").alias("df"),
     )
     class_tot = stats.groupBy("class_id").agg(F.sum("tf").alias("_class_tf"))
-    return (
+    out = (
         stats.join(F.broadcast(class_tot), "class_id")
         .withColumn("value", F.col("tf") / F.col("_class_tf"))
         .select("class_id", "token", "value", "tf", "df")
     )
+    if vocab is not None:
+        order = vocab.select(
+            "token", F.col("token_id").alias("vocab_order")
+        )
+        out = out.join(F.broadcast(order), "token", "left")
+    return out
 
 
 def num_items(docs: DataFrame) -> int:

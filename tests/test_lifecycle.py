@@ -176,3 +176,39 @@ def test_reuse_theta_converges_further(spark, docs):
     fresh, reused = run(False), run(True)
     assert len(reused) == 3
     assert reused[-1] <= fresh[-1] * 1.001, (fresh, reused)
+
+
+def test_fit_online_async_pipeline(spark, docs):
+    """G7: async online fit (stale-phi overlap) completes and tracks
+    scores for every group."""
+    from bigartm_spark.streaming.online import split_batch_groups
+
+    m = ARTM(topic_names=list(TOPICS3), num_document_passes=2, seed=3)
+    m.initialize(gather_dictionary(docs))
+    groups = split_batch_groups(docs, update_every=16)[:3]
+    m.fit_online_async(groups, tau0=64)
+    ppl = m.score_tracker["perplexity"]
+    assert len(ppl) == 3
+    assert all(np.isfinite(p) and p > 0 for p in ppl)
+    # phi still a valid distribution per topic
+    sums = (
+        m.get_phi().groupBy("topic").agg(F.sum("value").alias("s")).collect()
+    )
+    for r in sums:
+        assert abs(r["s"] - 1.0) < 1e-6
+
+
+def test_gather_dictionary_vocab_order(spark, tmp_path):
+    from bigartm_spark.sources.uci import read_uci
+    from bigartm_spark.operators.dictionary import gather_dictionary
+    from bigartm_spark.sources.uci import read_vocab
+
+    docword = tmp_path / "dw.txt"
+    vocab = tmp_path / "v.txt"
+    docword.write_text("2\n3\n4\n1 3 2\n1 1 5\n2 2 1\n2 1 4\n")
+    vocab.write_text("zed\nalpha\nmid\n")
+    docs = read_uci(spark, str(docword), str(vocab))
+    v = read_vocab(spark, str(vocab))
+    d = gather_dictionary(docs, vocab=v)
+    ordered = [r["token"] for r in d.orderBy("vocab_order").collect()]
+    assert ordered == ["zed", "alpha", "mid"]  # vocab-file order, not hash
