@@ -316,6 +316,7 @@ def process_batches(
             emit_nwt,
             emit_theta,
             transaction_weights,
+            compute_scores=compute_scores,
         )
     else:
         kernel = _doc_kernel_factory(
@@ -342,6 +343,7 @@ def _transaction_kernel_factory(
     emit_nwt: bool,
     emit_theta: bool,
     transaction_weights: dict[str, float] | None,
+    compute_scores: bool = False,
 ):
     """E-step with typed-transaction semantics
     (processor_transaction_helpers.cc:28-160):
@@ -451,6 +453,37 @@ def _transaction_kernel_factory(
                 out_rows["pos"].append(None)
                 out_rows["values"].append(theta[i])
 
+        if compute_scores:
+            # D7 with per-transaction-type breakdown (perplexity.cc's
+            # transaction rollup): raw/normalizer per tt_name + totals
+            helper, z = tx_helper(theta)
+            names_all = pdf["transaction_typename"].to_numpy()[tx_starts]
+            pz = np.maximum(z, 1e-300)
+            raw_terms = n_kdx * np.log(pz)
+            for nm in pd.unique(names_all):
+                sel = names_all == nm
+                for key, val in (
+                    (f"perplexity_raw@{nm}", float(raw_terms[sel].sum())),
+                    (f"perplexity_normalizer@{nm}", float(n_kdx[sel].sum())),
+                ):
+                    out_rows["kind"].append("score")
+                    out_rows["key"].append(key)
+                    out_rows["class_id"].append(None)
+                    out_rows["doc_id"].append(None)
+                    out_rows["pos"].append(None)
+                    out_rows["values"].append(np.array([val]))
+            for key, val in (
+                ("perplexity_raw", float(raw_terms.sum())),
+                ("perplexity_normalizer", float(n_kdx.sum())),
+                ("items_processed", float(n_docs)),
+            ):
+                out_rows["kind"].append("score")
+                out_rows["key"].append(key)
+                out_rows["class_id"].append(None)
+                out_rows["doc_id"].append(None)
+                out_rows["pos"].append(None)
+                out_rows["values"].append(np.array([val]))
+
         out = pd.DataFrame(out_rows)
         out["pos"] = pd.array(out["pos"], dtype="Int32")
         return out
@@ -537,10 +570,12 @@ def extract_scores(kernel_out: DataFrame) -> dict[str, float]:
         .collect()
     )
     out = {r["key"]: r["v"] for r in rows}
-    if "perplexity_raw" in out and out.get("perplexity_normalizer"):
-        out["perplexity"] = math.exp(
-            -out["perplexity_raw"] / out["perplexity_normalizer"]
-        )
+    # final transform: exp(-raw/normalizer), total and per-transaction-type
+    for k in [k for k in out if k.startswith("perplexity_raw")]:
+        suffix = k[len("perplexity_raw"):]
+        norm = out.get(f"perplexity_normalizer{suffix}")
+        if norm:
+            out[f"perplexity{suffix}"] = math.exp(-out[k] / norm)
     if "sparsity_theta_total" in out and out["sparsity_theta_total"]:
         out["sparsity_theta"] = (
             out["sparsity_theta_zero"] / out["sparsity_theta_total"]

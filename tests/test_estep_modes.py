@@ -109,3 +109,23 @@ def test_transaction_weights_drop_type(spark, docs):
         F.sum(F.aggregate("values", F.lit(0.0), lambda a, x: a + x))
     ).collect()[0][0]
     assert tot == 0.0
+
+
+def test_transaction_perplexity_breakdown(spark, docs):
+    """D7 rollup: per-transaction-type perplexity components + total."""
+    sub = docs.filter(F.col("doc_id") < 200)
+    out = estep.process_batches(
+        sub,
+        _phi(docs),
+        num_document_passes=1,
+        emit_nwt=False,
+        compute_scores=True,
+        transaction_mode=True,
+    )
+    scores = estep.extract_scores(out)
+    assert "perplexity" in scores and scores["perplexity"] > 0
+    assert "perplexity@@default_transaction" in scores
+    # single-type corpus: the breakdown equals the total
+    assert abs(
+        scores["perplexity"] - scores["perplexity@@default_transaction"]
+    ) < 1e-9
