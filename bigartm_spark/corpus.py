@@ -87,6 +87,35 @@ def docs_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-text corpus: the documents table tokenized into the long
+    bag-of-words layout (token = word, weight = in-doc count) — the
+    A3-style parse applied to a parquet text column. Pure expressions:
+    split -> posexplode -> count per (doc, word)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0)
+    exploded = d.select(
+        "doc_id", F.explode(words).alias("token")
+    )
+    counts = exploded.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("weight")
+    )
+    w = Window.partitionBy("doc_id").orderBy("token")
+    return counts.select(
+        "doc_id",
+        F.col("doc_id").cast("string").alias("title"),
+        (F.col("doc_id") % 16).cast("string").alias("batch_id"),
+        F.lit(DEFAULT_CLASS).alias("class_id"),
+        "token",
+        "weight",
+        F.row_number().over(w).cast("int").alias("pos"),
+    ).withColumn("transaction_id", F.col("pos")).withColumn(
+        "transaction_typename", F.lit(DEFAULT_TRANSACTION)
+    )
+
+
 # DuckDB replicas (the driver pre-registers the raw tables as views).
 _POS_SQL = (
     "CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey "

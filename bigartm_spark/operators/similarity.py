@@ -126,6 +126,99 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_assign(
+    embeddings: DataFrame, centroids: DataFrame, metric: str = "cosine"
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid (broadcast the centroid table — it is tiny by construction).
+    centroids(cell_id, centroid array<float|double>)."""
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "label",
+        "cell_id",
+        cosine(F.col("embedding"), F.col("centroid")).alias("_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_sim"), F.asc("cell_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "label", "cell_id", F.col("_sim").alias("centroid_sim"))
+    )
+
+
+def seed_centroids(embeddings: DataFrame, k: int) -> DataFrame:
+    """Deterministic coarse centroids: the k lowest vec_ids (replace with
+    k-means++ at scale; determinism matters more here than quality)."""
+    return (
+        embeddings.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").cast("int").alias("cell_id"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+
+
+def ivf_refine_centroids(
+    embeddings: DataFrame, centroids: DataFrame, iterations: int = 2
+) -> DataFrame:
+    """Lloyd refinement: assignment + per-cell mean, iterated. Each round
+    is one broadcast join + one groupBy — no driver-side loops over data."""
+    dim_row = embeddings.select(F.size("embedding").alias("d")).first()
+    dim = dim_row["d"]
+    cur = centroids
+    for _ in range(iterations):
+        assigned = ivf_assign(embeddings, cur)
+        joined = embeddings.join(assigned.select("vec_id", "cell_id"), "vec_id")
+        cur = joined.groupBy("cell_id").agg(
+            F.array(
+                *[
+                    F.avg(F.col("embedding")[i].cast("double"))
+                    for i in range(dim)
+                ]
+            ).alias("centroid")
+        )
+    return cur
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    query_id: int = 0,
+    k: int = 5,
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF search: rank centroids against the query, scan only the
+    n_probe nearest cells. At scale cell_id is the partition key of the
+    vector table, so the probe prunes the scan itself."""
+    assigned = ivf_assign(embeddings, centroids).select("vec_id", "cell_id")
+    q = _query_vec(embeddings, query_id)
+    qcells = (
+        centroids.crossJoin(q)
+        .select("cell_id", cosine(F.col("centroid"), F.col("_q")).alias("_s"))
+        .orderBy(F.desc("_s"), F.asc("cell_id"))
+        .limit(n_probe)
+        .select("cell_id")
+    )
+    candidates = (
+        embeddings.join(assigned, "vec_id")
+        .join(F.broadcast(qcells), "cell_id")
+        .filter(F.col("vec_id") != query_id)
+    )
+    scored = candidates.crossJoin(q).select(
+        "vec_id",
+        "label",
+        "cell_id",
+        cosine(F.col("embedding"), F.col("_q")).alias("cosine"),
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "label", "cell_id", "cosine", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.9
 ) -> DataFrame:

@@ -241,6 +241,79 @@ def embedding_near_dup_pairs(spark, sf_dir):
     return _r6(similarity.cosine_near_dup_pairs(emb, threshold=0.3), "cosine")
 
 
+_CENTROID_CTE = """
+cents AS (
+  SELECT CAST(vec_id AS INT) AS cell_id, embedding AS centroid
+  FROM embeddings WHERE vec_id < 8
+)
+""".strip()
+
+
+@register(
+    "ann_ivf_assign",
+    f"""
+WITH {_CENTROID_CTE},
+s AS (
+  SELECT e.vec_id, e.label, c.cell_id,
+         {_cos_sql('e.embedding', 'c.centroid')} AS sim
+  FROM embeddings e CROSS JOIN cents c
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, cell_id ASC) AS rn
+      FROM s)
+SELECT vec_id, label, cell_id, ROUND(sim, 6) AS centroid_sim
+FROM r WHERE rn = 1
+""",
+)
+def ann_ivf_assign(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.seed_centroids(emb, 8)
+    return _r6(similarity.ivf_assign(emb, cents), "centroid_sim")
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+WITH {_CENTROID_CTE},
+s AS (
+  SELECT e.vec_id, e.label, e.embedding, c.cell_id,
+         {_cos_sql('e.embedding', 'c.centroid')} AS sim
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, label, embedding, cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cell_id ASC) AS rn
+    FROM s) WHERE rn = 1
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qcell AS (
+  SELECT cell_id FROM (
+    SELECT c.cell_id, {_cos_sql('c.centroid', 'qe')} AS sim
+    FROM cents c, q
+    ORDER BY sim DESC, cell_id ASC LIMIT 1)
+),
+cand AS (
+  SELECT a.vec_id, a.label, a.cell_id,
+         {_cos_sql('a.embedding', 'qe')} AS cosine
+  FROM assigned a, q
+  WHERE a.cell_id IN (SELECT cell_id FROM qcell) AND a.vec_id <> 0
+),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM cand)
+SELECT vec_id, label, cell_id, ROUND(cosine, 6) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+""",
+)
+def ann_ivf_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.seed_centroids(emb, 8)
+    return _r6(
+        similarity.ivf_topk(emb, cents, query_id=0, k=5, n_probe=1), "cosine"
+    )
+
+
 # ------------------------------------------------------------- textstats
 @register(
     "text_token_count",
@@ -320,6 +393,33 @@ def text_quality_score(spark, sf_dir):
         "distinct_ratio",
         "mean_word_len",
         "quality",
+    )
+
+
+@register(
+    "text_tokenize_corpus",
+    f"""
+WITH docw AS (SELECT doc_id, {WORDS_SQL} AS ws FROM documents),
+ex AS (SELECT doc_id, UNNEST(ws) AS token FROM docw),
+counts AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM ex GROUP BY doc_id, token
+)
+SELECT doc_id, CAST(doc_id AS VARCHAR) AS title,
+       CAST(doc_id % 16 AS VARCHAR) AS batch_id,
+       '@default_class' AS class_id, token, weight,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY token) AS INT)
+         AS pos
+FROM counts
+""",
+)
+def text_tokenize_corpus(spark, sf_dir):
+    """documents.text -> long bag-of-words docs view (the real-text A3
+    parse; ARTM fits directly on this relation)."""
+    from bigartm_spark.corpus import docs_from_documents
+
+    return docs_from_documents(spark, sf_dir).drop(
+        "transaction_id", "transaction_typename"
     )
 
 

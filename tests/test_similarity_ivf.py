@@ -1,0 +1,73 @@
+"""IVF ANN: assignment coverage, Lloyd refinement, probe recall, and a
+real-text ARTM fit over the documents corpus view."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_ivf_assign_partitions_everything(spark, sf_dir):
+    from bigartm_spark.operators.similarity import ivf_assign, seed_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = seed_centroids(emb, 8)
+    assigned = ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()  # every vector in exactly one cell
+    n_cells = assigned.select("cell_id").distinct().count()
+    assert 1 < n_cells <= 8
+
+
+def test_ivf_lloyd_refinement_improves_quantization(spark, sf_dir):
+    from bigartm_spark.operators.similarity import (
+        ivf_assign,
+        ivf_refine_centroids,
+        seed_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    seeds = seed_centroids(emb, 8).cache()
+    refined = ivf_refine_centroids(emb, seeds, iterations=2).cache()
+
+    def mean_sim(cents):
+        return (
+            ivf_assign(emb, cents).agg(F.avg("centroid_sim")).collect()[0][0]
+        )
+
+    assert mean_sim(refined) >= mean_sim(seeds) - 1e-9
+
+
+def test_ivf_probe_recall_vs_brute_force(spark, sf_dir):
+    from bigartm_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        seed_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    cents = seed_centroids(emb, 4)
+    exact = {r["vec_id"] for r in brute_force_topk(emb, 0, 5).collect()}
+    # probing every cell must recover the exact result
+    full_probe = {
+        r["vec_id"] for r in ivf_topk(emb, cents, 0, 5, n_probe=4).collect()
+    }
+    assert full_probe == exact
+    # 1-probe returns 5 candidates from the query's own cell
+    one = ivf_topk(emb, cents, 0, 5, n_probe=1).collect()
+    assert len(one) == 5
+
+
+def test_artm_on_real_text_corpus(spark, sf_dir):
+    from bigartm_spark.corpus import docs_from_documents
+    from bigartm_spark.model.artm import ARTM
+    from bigartm_spark.operators.dictionary import gather_dictionary
+    from bigartm_spark.operators.topk import top_tokens
+
+    docs = docs_from_documents(spark, sf_dir).cache()
+    m = ARTM(num_topics=4, num_document_passes=3, seed=21)
+    m.initialize(gather_dictionary(docs))
+    m.fit_offline(docs, num_collection_passes=2)
+    ppl = m.score_tracker["perplexity"]
+    assert ppl[-1] <= ppl[0] * 1.0001
+    top = top_tokens(m.get_phi(), k=5).collect()
+    assert len(top) == 20  # 4 topics x 5 real word tokens
+    assert all(r["token"].isalpha() for r in top)
