@@ -43,10 +43,15 @@ class ARTM:
         cache_theta: bool = False,
         reuse_theta: bool = False,
         phi_scores: dict | None = None,
+        theta_cache_path: str | None = None,
     ):
         """phi_scores: optional {name: callable(PhiMatrix) -> float}
         evaluated on the fresh p_wt after every pass (the non-cumulative
-        score hook — sparsity-phi, topic mass, ...)."""
+        score hook — sparsity-phi, topic mass, ...).
+
+        theta_cache_path: persist the theta cache as a parquet state table
+        instead of executor memory (the reference's disk_cache_path,
+        cache_manager.h:36-60 / messages.proto:792)."""
         if topic_names is None:
             topic_names = [f"topic_{i}" for i in range(num_topics or 10)]
         self.topics = topic_names
@@ -56,9 +61,10 @@ class ARTM:
         self.phi_regularizers = phi_regularizers or []
         self.theta_agents = theta_agents or []
         self.phi_transforms = phi_transforms or []
-        self.cache_theta = cache_theta or reuse_theta
+        self.cache_theta = cache_theta or reuse_theta or bool(theta_cache_path)
         self.reuse_theta = reuse_theta
         self.phi_scores = phi_scores or {}
+        self.theta_cache_path = theta_cache_path
         self.pwt: PhiMatrix | None = None
         self.nwt: PhiMatrix | None = None
         self.theta: DataFrame | None = None
@@ -199,9 +205,15 @@ class ARTM:
             pass
         scores = estep.extract_scores(kernel_out)
         if self.cache_theta:
-            self.theta = estep.extract_theta(
-                kernel_out, self.topics
-            ).localCheckpoint(eager=True)
+            theta = estep.extract_theta(kernel_out, self.topics)
+            if self.theta_cache_path:
+                # disk state table (the reference's theta disk cache)
+                theta.write.mode("overwrite").parquet(self.theta_cache_path)
+                self.theta = theta.sparkSession.read.parquet(
+                    self.theta_cache_path
+                )
+            else:
+                self.theta = theta.localCheckpoint(eager=True)
         kernel_out.unpersist()
         for k, v in scores.items():
             self.score_tracker.setdefault(k, []).append(v)

@@ -212,3 +212,49 @@ def test_gather_dictionary_vocab_order(spark, tmp_path):
     d = gather_dictionary(docs, vocab=v)
     ordered = [r["token"] for r in d.orderBy("vocab_order").collect()]
     assert ordered == ["zed", "alpha", "mid"]  # vocab-file order, not hash
+
+
+def test_theta_disk_cache(spark, docs, tmp_path):
+    """§2.K theta disk cache: theta persisted as a parquet state table."""
+    import os
+
+    path = str(tmp_path / "theta_state")
+    m = ARTM(
+        topic_names=list(TOPICS3),
+        num_document_passes=2,
+        seed=6,
+        theta_cache_path=path,
+    )
+    m.initialize(gather_dictionary(docs))
+    m.fit_offline(docs, 1)
+    assert os.path.isdir(path)
+    theta = m.get_theta()
+    sums = theta.groupBy("doc_id").agg(F.sum("value").alias("s")).limit(20).collect()
+    for r in sums:
+        assert abs(r["s"] - 1.0) < 1e-9
+
+
+def test_fit_with_cooc_regularizer_integration(spark, docs):
+    """ImproveCoherencePhi wired through a real fit (cooc from D14)."""
+    from bigartm_spark.model.regularizers import ImproveCoherencePhi
+    from bigartm_spark.operators.cooc import cooc_gather
+
+    cooc = (
+        cooc_gather(docs, window=2, min_tf=5)
+        .withColumnRenamed("cooc_tf", "value")
+        .select("token_a", "token_b", "value")
+        .cache()
+    )
+    m = ARTM(
+        topic_names=list(TOPICS3),
+        num_document_passes=2,
+        seed=8,
+        phi_regularizers=[ImproveCoherencePhi(tau=1e-4, cooc=cooc)],
+    )
+    m.initialize(gather_dictionary(docs))
+    m.fit_offline(docs, 2)
+    ppl = m.score_tracker["perplexity"]
+    assert len(ppl) == 2 and all(p > 0 for p in ppl)
+    sums = m.get_phi().groupBy("topic").agg(F.sum("value").alias("s")).collect()
+    for r in sums:
+        assert abs(r["s"] - 1.0) < 1e-6
