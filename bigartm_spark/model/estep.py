@@ -273,6 +273,9 @@ def process_batches(
     token->phi-row unordered_map lookup). For larger models pass False and
     let AQE plan a shuffle join on (class_id, token).
     """
+    from bigartm_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(docs.sparkSession)
     docs = apply_class_weights(docs, class_weights)
     need_pos = bool(ptdw_agents) or emit_ptdw
     cols = ["doc_id", "class_id", "token", "weight"]

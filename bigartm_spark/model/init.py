@@ -147,6 +147,9 @@ def initialize_phi_reference(
     DuckDB oracle can replay it)."""
     import pandas as pd
 
+    from bigartm_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(dictionary.sparkSession)
     n = len(topics)
 
     def gen(batches):

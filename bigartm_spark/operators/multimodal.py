@@ -80,6 +80,10 @@ def extract_features(
     integrity metadata. Arrow batch shape: one pandas frame per ~64k rows;
     memory is bounded by batch size regardless of partition size."""
 
+    from bigartm_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, shas, nb = [], [], []

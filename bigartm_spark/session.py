@@ -13,6 +13,40 @@ import os
 from pyspark.sql import SparkSession
 
 
+_SHIPPED: set[str] = set()
+
+
+def ensure_package_shipped(spark) -> None:
+    """Make `bigartm_spark` importable on Python workers for sessions we
+    did not create (e.g. the driver's own SparkSession): zip the package
+    and addPyFile it. Idempotent per application."""
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if app in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # per-process name: never ship a stale zip from an older code state
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"bigartm_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            base = os.path.join(repo_root, "bigartm_spark")
+            for root, _, files in os.walk(base):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, repo_root))
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # already added by a previous session against this context
+    _SHIPPED.add(app)
+
+
 def get_spark(
     app_name: str = "bigartm_spark",
     shuffle_partitions: int | None = None,

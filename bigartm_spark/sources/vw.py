@@ -95,6 +95,9 @@ def parse_vw_line(line: str) -> list[tuple]:
 
 
 def read_vowpal_wabbit(spark: SparkSession, path: str) -> DataFrame:
+    from bigartm_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
     lines = spark.read.text(path)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
