@@ -34,6 +34,26 @@ def token_count(documents: DataFrame) -> DataFrame:
     )
 
 
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def bpe_ish_tokens(documents: DataFrame) -> DataFrame:
+    """Tokenizer-style counting: a GPT-2-like pre-tokenization regex
+    (letter runs | digit runs | single punctuation) — the cheap proxy for
+    'how many BPE tokens will this cost'. Adds a pieces-per-word ratio."""
+    pieces = F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0)
+    n_pieces = F.size(pieces).cast("long")
+    n_words = F.size(words_col()).cast("long")
+    return documents.select(
+        "doc_id",
+        n_pieces.alias("n_pieces"),
+        n_words.alias("n_words"),
+        F.when(n_words > 0, n_pieces.cast("double") / n_words)
+        .otherwise(F.lit(0.0))
+        .alias("pieces_per_word"),
+    )
+
+
 def lang_id(documents: DataFrame) -> DataFrame:
     """Stopword-ratio language heuristic: per language, the share of the
     doc's tokens found in that language's tiny stopword list; predict the

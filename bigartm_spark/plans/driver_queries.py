@@ -1013,6 +1013,106 @@ def e3_theta_snippet(spark, sf_dir):
     return _r6(theta_snippet(theta, 10), "value")
 
 
+# ==================================================== H1: smooth/sparse
+@register(
+    "h1_smooth_sparse_phi_delta",
+    f"""
+WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
+dictv AS (SELECT class_id, token,
+                 tf / SUM(tf) OVER (PARTITION BY class_id) AS dv
+          FROM dict)
+SELECT p.class_id, p.token,
+       'topic_' || CAST(p.topic_idx AS VARCHAR) AS topic,
+       ROUND(-0.5 * d.dv, 6) AS delta
+FROM phi p JOIN dictv d
+  ON d.class_id = p.class_id AND d.token = p.token
+""",
+)
+def h1_smooth_sparse_phi_delta(spark, sf_dir):
+    """SmoothSparsePhi with dictionary coefficients: delta = tau * dict.value."""
+    from bigartm_spark.model.regularizers import (
+        RegularizeContext,
+        SmoothSparsePhi,
+    )
+
+    docs = docs_from_lineitem(spark, sf_dir)
+    d = gather_dictionary(docs)
+    _, _, phi = _spark_phi(spark, sf_dir)
+    reg = SmoothSparsePhi(tau=-0.5, use_dictionary=True)
+    delta = reg.rwt_delta(phi, phi, RegularizeContext(dictionary=d))
+    from bigartm_spark.model.phi import PhiMatrix
+
+    out = PhiMatrix("r", TOPICS, delta).to_long().withColumnRenamed(
+        "value", "delta"
+    )
+    return _r6(out, "delta")
+
+
+# ==================================================== H3: decorrelator
+@register(
+    "h3_decorrelator_phi_delta",
+    f"""
+WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
+rs AS (SELECT class_id, token, topic_idx, value,
+              SUM(value) OVER (PARTITION BY class_id, token) AS rowsum
+       FROM phi)
+SELECT class_id, token, 'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
+       ROUND(-2.0 * value * (rowsum - value), 6) AS delta
+FROM rs
+""",
+)
+def h3_decorrelator_phi_delta(spark, sf_dir):
+    from bigartm_spark.model.phi import PhiMatrix
+    from bigartm_spark.model.regularizers import (
+        DecorrelatorPhi,
+        RegularizeContext,
+    )
+
+    _, _, phi = _spark_phi(spark, sf_dir)
+    delta = DecorrelatorPhi(tau=2.0).rwt_delta(phi, phi, RegularizeContext())
+    out = PhiMatrix("r", TOPICS, delta).to_long().withColumnRenamed(
+        "value", "delta"
+    )
+    return _r6(out, "delta")
+
+
+# ==================================================== H4: label reg
+@register(
+    "h4_label_regularization_delta",
+    f"""
+WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
+nt AS (SELECT class_id, topic_idx, SUM(value) AS n_t
+       FROM phi GROUP BY class_id, topic_idx),
+wt AS (SELECT p.class_id, p.token, p.topic_idx, p.value * n.n_t AS wv
+       FROM phi p JOIN nt n
+         ON n.class_id = p.class_id AND n.topic_idx = p.topic_idx),
+den AS (SELECT class_id, token, SUM(wv) AS d
+        FROM wt GROUP BY class_id, token)
+SELECT w.class_id, w.token,
+       'topic_' || CAST(w.topic_idx AS VARCHAR) AS topic,
+       ROUND(CASE WHEN de.d > 0 THEN 1.5 * w.wv / de.d ELSE 0.0 END, 6)
+         AS delta
+FROM wt w JOIN den de
+  ON de.class_id = w.class_id AND de.token = w.token
+""",
+)
+def h4_label_regularization_delta(spark, sf_dir):
+    from bigartm_spark.model import mstep
+    from bigartm_spark.model.phi import PhiMatrix
+    from bigartm_spark.model.regularizers import (
+        LabelRegularizationPhi,
+        RegularizeContext,
+    )
+
+    _, _, phi = _spark_phi(spark, sf_dir)
+    ctx = RegularizeContext(topic_totals=mstep.topic_totals(phi))
+    delta = LabelRegularizationPhi(tau=1.5).rwt_delta(phi, phi, ctx)
+    out = PhiMatrix("r", TOPICS, delta).to_long().withColumnRenamed(
+        "value", "delta"
+    )
+    return _r6(out, "delta")
+
+
 # ==================================================== I4: items processed
 @register(
     "i4_items_processed",

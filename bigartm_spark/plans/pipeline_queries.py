@@ -330,6 +330,28 @@ def text_token_count(spark, sf_dir):
     return textstats.token_count(docs)
 
 
+@register(
+    "text_bpe_ish_tokens",
+    f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+              '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_pieces,
+         CAST(len({WORDS_SQL}) AS BIGINT) AS n_words
+  FROM documents
+)
+SELECT doc_id, n_pieces, n_words,
+       ROUND(CASE WHEN n_words > 0
+                  THEN CAST(n_pieces AS DOUBLE) / n_words ELSE 0.0 END, 6)
+         AS pieces_per_word
+FROM m
+""",
+)
+def text_bpe_ish_tokens(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _r6(textstats.bpe_ish_tokens(docs), "pieces_per_word")
+
+
 def _langid_sql() -> str:
     langs = sorted(textstats.LANG_STOPWORDS)
     score_exprs = []
