@@ -87,6 +87,20 @@ def docs_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """SQL API surface: register the raw tables plus the engine's corpus
+    views as temp views so `spark.sql(...)` works directly:
+
+        register_views(spark, sf_dir)
+        spark.sql("SELECT token, SUM(weight) tf FROM docs GROUP BY token")
+    """
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    docs_from_lineitem(spark, sf_dir).createOrReplaceTempView("docs")
+    docs_multimodal(spark, sf_dir).createOrReplaceTempView("docs_multimodal")
+    docs_from_documents(spark, sf_dir).createOrReplaceTempView("docs_text")
+
+
 def docs_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-text corpus: the documents table tokenized into the long
     bag-of-words layout (token = word, weight = in-doc count) — the

@@ -102,3 +102,29 @@ def test_label_regularization_phi(spark):
     np.testing.assert_allclose(out["a"], [0.6, 0.4], atol=1e-12)
     # deltas per row sum to tau (a proper distribution over topics)
     assert abs(sum(out["b"]) - 1.0) < 1e-12
+
+
+def test_sql_api_views(spark, sf_dir):
+    from bigartm_spark.corpus import register_views
+
+    register_views(spark, sf_dir)
+    out = spark.sql(
+        """
+        SELECT d.class_id, COUNT(DISTINCT d.token) AS vocab,
+               SUM(d.weight) AS mass
+        FROM docs d GROUP BY d.class_id
+        """
+    ).collect()
+    assert len(out) == 1 and out[0]["vocab"] > 0
+    # the raw tables are queryable too
+    n = spark.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0]["n"]
+    assert n > 0
+    # real-text corpus view joins against documents metadata
+    j = spark.sql(
+        """
+        SELECT COUNT(*) AS n FROM docs_text t
+        JOIN documents m ON m.doc_id = t.doc_id
+        WHERE m.lang = 'en'
+        """
+    ).collect()[0]["n"]
+    assert j > 0
