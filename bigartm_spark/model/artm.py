@@ -44,6 +44,7 @@ class ARTM:
         reuse_theta: bool = False,
         phi_scores: dict | None = None,
         theta_cache_path: str | None = None,
+        num_buckets: int | None = None,
     ):
         """phi_scores: optional {name: callable(PhiMatrix) -> float}
         evaluated on the fresh p_wt after every pass (the non-cumulative
@@ -51,7 +52,11 @@ class ARTM:
 
         theta_cache_path: persist the theta cache as a parquet state table
         instead of executor memory (the reference's disk_cache_path,
-        cache_manager.h:36-60 / messages.proto:792)."""
+        cache_manager.h:36-60 / messages.proto:792).
+
+        num_buckets: E-step kernel group count (default 2x parallelism).
+        Kernel memory per task ~ (corpus_nnz / num_buckets) * num_topics
+        * 8B; raise it until that fits executor memory at your scale."""
         if topic_names is None:
             topic_names = [f"topic_{i}" for i in range(num_topics or 10)]
         self.topics = topic_names
@@ -65,6 +70,7 @@ class ARTM:
         self.reuse_theta = reuse_theta
         self.phi_scores = phi_scores or {}
         self.theta_cache_path = theta_cache_path
+        self.num_buckets = num_buckets
         self.pwt: PhiMatrix | None = None
         self.nwt: PhiMatrix | None = None
         self.theta: DataFrame | None = None
@@ -103,6 +109,7 @@ class ARTM:
             emit_theta=self.cache_theta,
             compute_scores=True,
             broadcast_phi=getattr(self, "_broadcast_phi", True),
+            num_buckets=self.num_buckets,
             theta_cache=(
                 estep.theta_to_cache(self.theta, self.topics)
                 if self.reuse_theta and self.theta is not None
