@@ -14,7 +14,10 @@ from bigartm_spark.plans.driver_queries import _r6, register
 def _events(spark, sf_dir):
     """events with ts normalized to a microsecond timestamp (the parquet
     column is TIMESTAMP(NANOS); read as long via nanosAsLong, floor-divide
-    to micros exactly like DuckDB's ns->us truncation)."""
+    to micros exactly like DuckDB's ns->us truncation). The conf is a
+    runtime SQL conf — set it here so sessions we did not create (the
+    driver's own) can still scan the file."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes)["ts"] == "bigint":
         ev = ev.withColumn(
