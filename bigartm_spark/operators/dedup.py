@@ -75,54 +75,91 @@ def _spread(documents: DataFrame) -> DataFrame:
     return documents
 
 
-def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct."""
-    return (
-        _spread(documents)
-        .select("doc_id", F.explode(shingles_col(n)).alias("shingle"))
-        .distinct()
+def doc_shingles(
+    documents: DataFrame, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, shingle); ``distinct=True`` gives set semantics (a full
+    shuffle — only pay it where sets matter, e.g. Jaccard)."""
+    sh = _spread(documents).select(
+        "doc_id", F.explode(shingles_col(n)).alias("shingle")
     )
+    return sh.distinct() if distinct else sh
 
 
-def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, sig_idx, minhash hex-string): k permutation minima over
-    the doc's shingle set; permutation i = md5('<i>|' + shingle), minimum
-    in lexicographic order. One explode + one groupBy with k min()
-    aggregates — all codegen, no interpreted lambdas."""
-    sh = doc_shingles(documents, n)
+def _perm_hash(i: int, hash_fn: str) -> F.Column:
+    """Permutation-i hash of the shingle column. ``md5`` (hex string,
+    DuckDB-replayable — used by the oracle-paired plans) or ``xxhash64``
+    (64-bit long, the faster production default: one intrinsic, no
+    string concat/hex encode)."""
+    if hash_fn == "md5":
+        return F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))
+    if hash_fn == "xxhash64":
+        return F.xxhash64(F.lit(i), F.col("shingle"))
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def _minhash_wide(
+    documents: DataFrame, n: int = 3, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(doc_id, _m0.._m{k-1}): k permutation minima per doc.
+
+    min() is duplicate-insensitive, so the exploded shingles are fed
+    WITHOUT a distinct: map-side partial aggregation collapses every
+    partition to ≤k values per doc before the single shuffle — the
+    distinct would itself be a full shuffle of the exploded relation
+    and buys nothing (r1 bench: 12.2s -> this shape)."""
+    sh = doc_shingles(documents, n, distinct=False)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"_m{i}")
-        for i in range(MINHASH_K)
+        F.min(_perm_hash(i, hash_fn)).alias(f"_m{i}") for i in range(MINHASH_K)
     ]
-    per_doc = sh.groupBy("doc_id").agg(*aggs)
-    sigs = per_doc.select(
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(
+    documents: DataFrame, n: int = 3, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(doc_id, sig_idx, minhash): k permutation minima over the doc's
+    shingle set; permutation i hashes the shingle with seed i, minimum in
+    the hash type's natural order (lexicographic for md5 hex, numeric for
+    xxhash64). One explode + one groupBy with k min() aggregates — all
+    codegen, no interpreted lambdas, no distinct."""
+    per_doc = _minhash_wide(documents, n, hash_fn)
+    return per_doc.select(
         "doc_id",
         F.posexplode(
             F.array(*[F.col(f"_m{i}") for i in range(MINHASH_K)])
         ).alias("sig_idx", "minhash"),
     )
-    return sigs
 
 
-def lsh_candidate_pairs(documents: DataFrame, n: int = 3) -> DataFrame:
+def lsh_candidate_pairs(
+    documents: DataFrame, n: int = 3, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """MinHash-LSH: band the signature, bucket-join, emit candidate pairs
     (doc_a < doc_b, with the colliding band). The join is on
-    (band, band-signature) — only same-bucket docs ever meet."""
-    sigs = minhash_signatures(documents, n)
-    bands = (
-        sigs.withColumn("band", (F.col("sig_idx") / LSH_BAND_SIZE).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    (band, band-signature) — only same-bucket docs ever meet.
+
+    Bands are sliced straight out of the wide per-doc signature row
+    (columns are already in sig_idx order), so there is no
+    posexplode + re-groupBy round trip: one agg shuffle, one join."""
+    n_bands = MINHASH_K // LSH_BAND_SIZE
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
             F.concat_ws(
                 ",",
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct("sig_idx", "minhash"))
-                    ),
-                    lambda s: s["minhash"],
-                ),
-            ).alias("band_sig")
+                *[
+                    F.col(f"_m{band * LSH_BAND_SIZE + j}").cast("string")
+                    for j in range(LSH_BAND_SIZE)
+                ],
+            ).alias("band_sig"),
         )
+        for band in range(n_bands)
+    ]
+    bands = (
+        _minhash_wide(documents, n, hash_fn)
+        .select("doc_id", F.explode(F.array(*band_structs)).alias("_b"))
+        .select("doc_id", "_b.band", "_b.band_sig")
     ).cache()  # both sides of the bucket self-join read this relation
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band", "band_sig"
@@ -130,21 +167,40 @@ def lsh_candidate_pairs(documents: DataFrame, n: int = 3) -> DataFrame:
     b = bands.select(
         F.col("doc_id").alias("doc_b"), "band", "band_sig"
     )
+    # one row per (doc_a, doc_b, band) by construction (bands has one row
+    # per (doc, band)) — no distinct needed.
     return (
         a.join(b, ["band", "band_sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "band")
-        .distinct()
     )
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.1
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.1,
+    max_shingle_df: int | None = 100,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard via the shingle inverted index:
     |A ∩ B| from the self-join, sizes from per-doc counts.
-    jaccard = inter / (|A| + |B| - inter) >= threshold."""
+    jaccard = inter / (|A| + |B| - inter) >= threshold.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    docs from the index BEFORE the self-join (a shingle with df=d emits
+    d²/2 join rows, so stop-phrase shingles are a skew bomb at scale;
+    capping is standard practice). Sizes and intersections are both
+    computed over the capped index, so the result is the exact Jaccard
+    over the reduced shingle universe. None disables the cap."""
     sh = doc_shingles(documents, n).cache()
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -177,15 +233,23 @@ def ngram_jaccard_pairs(
     return out
 
 
-def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
+def simhash(
+    documents: DataFrame, bits: int = 16, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """(doc_id, simhash): per-bit weighted vote over word hashes
-    (weight = word multiplicity). Word hash = first 16 bits of md5."""
+    (weight = word multiplicity). Word hash = low ``bits`` of xxhash64
+    (one intrinsic — production default) or the first 4 hex digits of
+    md5 (DuckDB-replayable, used by the oracle-paired plan)."""
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("long")
+    elif hash_fn == "xxhash64":
+        # mask to non-negative so shiftright semantics match across bits
+        h = F.xxhash64("word").bitwiseAND(F.lit((1 << bits) - 1))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     w = _spread(documents).select(
         "doc_id", F.explode(words_col()).alias("word")
-    ).withColumn(
-        "_h",
-        F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("long"),
-    )
+    ).withColumn("_h", h)
     votes = [
         F.sum(
             (F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) * 2 - 1)

@@ -63,7 +63,7 @@ SELECT doc_id, CAST(sig_idx AS INT) AS sig_idx, minhash FROM sig
 )
 def dedup_minhash_signatures(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.minhash_signatures(docs)
+    return dedup.minhash_signatures(docs, hash_fn="md5")
 
 
 @register(
@@ -82,17 +82,19 @@ FROM bands a JOIN bands b
 )
 def dedup_lsh_candidates(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.lsh_candidate_pairs(docs)
+    return dedup.lsh_candidate_pairs(docs, hash_fn="md5")
 
 
 @register(
     "dedup_ngram_jaccard",
     f"""
 WITH {SHINGLES_CTE},
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -136,7 +138,7 @@ SELECT doc_id, CAST({simexpr} AS BIGINT) AS simhash FROM v
 @register("dedup_simhash", _simhash_sql())
 def dedup_simhash(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.simhash(docs)
+    return dedup.simhash(docs, hash_fn="md5")
 
 
 # ------------------------------------------------------------- similarity
@@ -226,19 +228,25 @@ def ann_lsh_bucketed_topk(spark, sf_dir):
 @register(
     "embedding_near_dup_pairs",
     f"""
-WITH pairs AS (
-  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+WITH be AS (
+  SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS INT) AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
          {_cos_sql('a.embedding', 'b.embedding')} AS cosine
-  FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM be a JOIN be b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT label, vec_a, vec_b, ROUND(cosine, 6) AS cosine
+SELECT bucket, vec_a, vec_b, ROUND(cosine, 6) AS cosine
 FROM pairs WHERE cosine >= 0.3
 """,
 )
 def embedding_near_dup_pairs(spark, sf_dir):
+    """Near-dup pairs blocked by sign-LSH bucket (not label): candidate
+    generation is sum(|bucket|²), the scale-safe shape."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return _r6(similarity.cosine_near_dup_pairs(emb, threshold=0.3), "cosine")
+    return _r6(similarity.near_dup_pairs_lsh(emb, threshold=0.3), "cosine")
 
 
 _CENTROID_CTE = """
