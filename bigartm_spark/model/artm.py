@@ -85,9 +85,11 @@ class ARTM:
         ).cache()
         # C1 join strategy: broadcast phi while |vocab| x T x 8B fits a
         # generous executor budget; beyond that fall back to a shuffle
-        # join on (class_id, token) (AQE handles skew). ~256MB cutoff.
+        # join on (class_id, token) (AQE handles skew).
         vocab_rows = self.dictionary.count()
-        self._broadcast_phi = vocab_rows * len(self.topics) * 8 < 256 * 1024 * 1024
+        self._broadcast_phi = estep.should_broadcast_phi(
+            vocab_rows, len(self.topics)
+        )
         return self
 
     # -- G5 ---------------------------------------------------------------
@@ -153,10 +155,15 @@ class ARTM:
         import math as _math
         from concurrent.futures import ThreadPoolExecutor
 
-        def launch(group):
+        def launch(group, pwt, theta_cache):
+            # phi and theta-cache are captured AT SUBMIT TIME: the main
+            # thread reassigns self.pwt concurrently in
+            # _merge_and_normalize, so reading it here would make "stale
+            # or fresh phi" timing-dependent instead of the reference's
+            # deterministic deferred scheme
             out = estep.process_batches(
                 group,
-                self.pwt,
+                pwt,
                 num_document_passes=self.num_document_passes,
                 class_weights=self.class_weights,
                 theta_agents=self.theta_agents,
@@ -164,27 +171,58 @@ class ARTM:
                 emit_theta=self.cache_theta,
                 compute_scores=True,
                 broadcast_phi=getattr(self, "_broadcast_phi", True),
+                num_buckets=self.num_buckets,
+                theta_cache=theta_cache,
             ).cache()
             out.count()  # materialize in the background thread
             return out
 
+        def theta_cache_df():
+            return (
+                estep.theta_to_cache(self.theta, self.topics)
+                if self.reuse_theta and self.theta is not None
+                else None
+            )
+
         t = 0
+        retired: list = []  # phis awaiting unpersist (in-flight E-step may hold them)
         with ThreadPoolExecutor(max_workers=1) as pool:
-            pending = pool.submit(launch, doc_groups[0])
+            pending = pool.submit(launch, doc_groups[0], self.pwt, theta_cache_df())
             for k in range(len(doc_groups)):
                 kernel_out = pending.result()
+                # the E-step that captured any retired phi has completed
+                for old in retired:
+                    try:
+                        old.compact.unpersist()
+                    except Exception:
+                        pass
+                retired.clear()
                 if k + 1 < len(doc_groups):
-                    # launched BEFORE this group's merge -> stale phi
-                    pending = pool.submit(launch, doc_groups[k + 1])
+                    # launched BEFORE this group's merge -> stale phi by design
+                    pending = pool.submit(
+                        launch, doc_groups[k + 1], self.pwt, theta_cache_df()
+                    )
                 t += update_every
                 rho = _math.pow(tau0 + t, -kappa)
+                old_pwt = self.pwt
                 self._merge_and_normalize(
-                    kernel_out, decay_weight=1.0 - rho, apply_weight=rho
+                    kernel_out, decay_weight=1.0 - rho, apply_weight=rho,
+                    unpersist_old=False,
                 )
+                retired.append(old_pwt)
+        for old in retired:
+            try:
+                old.compact.unpersist()
+            except Exception:
+                pass
         return self
 
     def _merge_and_normalize(
-        self, kernel_out, decay_weight: float, apply_weight: float
+        self,
+        kernel_out,
+        decay_weight: float,
+        apply_weight: float,
+        unpersist_old: bool = True,
     ):
         """M-step half of a pass given a materialized kernel output."""
         nwt_df = estep.aggregate_nwt(kernel_out, len(self.topics))
@@ -206,10 +244,11 @@ class ARTM:
             new_pwt = transform(new_pwt)
         old_pwt = self.pwt
         self.pwt = new_pwt.checkpoint()
-        try:
-            old_pwt.compact.unpersist()
-        except Exception:
-            pass
+        if unpersist_old:
+            try:
+                old_pwt.compact.unpersist()
+            except Exception:
+                pass
         scores = estep.extract_scores(kernel_out)
         if self.cache_theta:
             theta = estep.extract_theta(kernel_out, self.topics)

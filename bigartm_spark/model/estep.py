@@ -49,6 +49,42 @@ KERNEL_OUT_SCHEMA = T.StructType(
 
 _OUT_COLS = ["kind", "key", "class_id", "doc_id", "pos", "values"]
 
+# Auto-sizing threshold for the broadcast-phi fast path: above this
+# estimated in-memory size (|vocab| x T x 8B x 2 overhead factor) the
+# plan-level shuffle join is used instead of a driver collect+broadcast.
+PHI_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+# per-worker-process memo of the merge key frame rebuilt from a broadcast
+# (keyed by Spark broadcast id; the value itself is cached by Spark per
+# worker, this avoids re-assembling the pandas frame per task)
+_KF_CACHE: dict[int, object] = {}
+
+
+def should_broadcast_phi(
+    n_rows: int, num_topics: int, limit: int = PHI_BROADCAST_MAX_BYTES
+) -> bool:
+    """True if an (n_rows x num_topics) double phi fits the broadcast
+    budget (2x factor covers key strings + pandas/pickle overhead)."""
+    return n_rows * num_topics * 8 * 2 <= limit
+
+
+def _bcast_lookup(phi_bcast):
+    """(key_frame, matrix) from a (cls, tok, mat) numpy broadcast.
+    Memo keyed by the identity of the worker-cached value tuple (the
+    strong ref kept in the cache pins it, so the id stays valid; the
+    `is` check guards against id reuse after eviction)."""
+    val = phi_bcast.value
+    entry = _KF_CACHE.get(id(val))
+    if entry is not None and entry[0] is val:
+        return entry[1], val[2]
+    cls_arr, tok_arr, mat = val
+    kf = pd.DataFrame({"class_id": cls_arr, "token": tok_arr})
+    kf["_row_idx"] = np.arange(len(kf), dtype=np.int64)
+    if len(_KF_CACHE) > 8:  # bound per-process memory across models
+        _KF_CACHE.clear()
+    _KF_CACHE[id(val)] = (val, kf)
+    return kf, mat
+
 
 def _doc_kernel_factory(
     num_topics: int,
@@ -76,7 +112,7 @@ def _doc_kernel_factory(
         if len(pdf) == 0:
             return pd.DataFrame(columns=_OUT_COLS)
         if phi_bcast is not None:
-            key_frame, mat = phi_bcast.value
+            key_frame, mat = _bcast_lookup(phi_bcast)
             pdf = pdf.merge(key_frame, on=["class_id", "token"], how="inner")
             if len(pdf) == 0:
                 return pd.DataFrame(columns=_OUT_COLS)
@@ -127,7 +163,11 @@ def _doc_kernel_factory(
             ptdw, z = compute_ptdw(theta)
             n_td = np.add.reduceat(w[:, None] * ptdw, starts, axis=0)
             for agent in theta_agents:
-                n_td = agent.apply(theta, n_td, p)
+                if getattr(agent, "needs_doc_ids", False):
+                    # e.g. HierarchySparsingTheta: damp pseudo-docs only
+                    n_td = agent.apply(theta, n_td, p, doc_ids=uniq_docs)
+                else:
+                    n_td = agent.apply(theta, n_td, p)
             np.maximum(n_td, 0.0, out=n_td)
             tot = n_td.sum(axis=1)
             theta = np.divide(
@@ -257,7 +297,7 @@ def process_batches(
     emit_theta: bool = False,
     compute_scores: bool = True,
     num_buckets: int | None = None,
-    broadcast_phi: bool = True,
+    broadcast_phi: bool | None = None,
     ptdw_agents: list | None = None,
     emit_ptdw: bool = False,
     transaction_mode: bool = False,
@@ -268,10 +308,14 @@ def process_batches(
     (kind, key, class_id, doc_id, pos, values) — callers aggregate it.
 
     broadcast_phi: phi has |vocab| rows (vocab x topics doubles). Up to
-    ~10^6 x 100 topics this fits the 64MB broadcast budget comfortably and
-    turns the join into a map-side hash join (C1: the reference's
-    token->phi-row unordered_map lookup). For larger models pass False and
-    let AQE plan a shuffle join on (class_id, token).
+    ~10^6 x 100 topics this fits the broadcast budget comfortably and
+    turns the join into a worker-side hash merge (C1: the reference's
+    token->phi-row unordered_map lookup). For larger models the
+    plan-level shuffle join on (class_id, token) avoids materializing
+    phi on the driver. None (default) auto-sizes: estimate
+    |vocab| x T x 8B x 2 and broadcast only under
+    PHI_BROADCAST_MAX_BYTES — nothing is ever pulled to the driver
+    above the threshold.
     """
     from bigartm_spark.session import ensure_package_shipped
 
@@ -284,25 +328,37 @@ def process_batches(
     if transaction_mode:
         cols += ["transaction_id", "transaction_typename"]
 
+    if broadcast_phi is None and not transaction_mode:
+        # count() on the (checkpointed/cached) phi is one cheap job,
+        # nothing driver-side
+        broadcast_phi = should_broadcast_phi(
+            pwt.compact.count(), pwt.num_topics
+        )
+
     phi_bcast = None
     if broadcast_phi and not transaction_mode:
-        # ship phi once per executor as (key_frame, matrix); the shuffle
-        # then carries only the bare occurrence rows
+        # ship phi once per executor as raw numpy (cls, tok, matrix) —
+        # cheaper to pickle than a pandas frame; the shuffle then
+        # carries only the bare occurrence rows
         phi_pdf = pwt.compact.toPandas()
         mat = (
             np.stack(phi_pdf["values"].to_numpy())
             if len(phi_pdf)
             else np.zeros((0, pwt.num_topics))
         )
-        key_frame = phi_pdf[["class_id", "token"]].copy()
-        key_frame["_row_idx"] = np.arange(len(phi_pdf))
-        phi_bcast = docs.sparkSession.sparkContext.broadcast((key_frame, mat))
+        phi_bcast = docs.sparkSession.sparkContext.broadcast(
+            (
+                phi_pdf["class_id"].to_numpy(),
+                phi_pdf["token"].to_numpy(),
+                mat,
+            )
+        )
         joined = docs.select(*cols)
     else:
-        phi_df = F.broadcast(pwt.compact) if broadcast_phi else pwt.compact
         joined = docs.select(*cols).join(
-            phi_df, ["class_id", "token"]
-        )  # B5: inner join drops tokens absent from the model
+            pwt.compact, ["class_id", "token"]
+        )  # B5: inner join drops tokens absent from the model; AQE picks
+        # the join strategy (broadcast if small, else shuffle)
 
     if theta_cache is not None and not transaction_mode:
         # C5 reuse_theta: left join the cached per-doc theta rows
@@ -411,7 +467,10 @@ def _transaction_kernel_factory(
             contrib = (ttw * n_kdx)[:, None] * ptdx
             n_td = np.add.reduceat(contrib, doc_starts_tx, axis=0)
             for agent in theta_agents:
-                n_td = agent.apply(theta, n_td, it)
+                if getattr(agent, "needs_doc_ids", False):
+                    n_td = agent.apply(theta, n_td, it, doc_ids=uniq_docs)
+                else:
+                    n_td = agent.apply(theta, n_td, it)
             np.maximum(n_td, 0.0, out=n_td)
             tot = n_td.sum(axis=1)
             theta = np.divide(

@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from bigartm_spark.functions.hashing import base_hash, uniform_from_base
+from bigartm_spark.functions.hashing import (
+    base_hash,
+    uniform_from_base,
+    unit_uniform,
+)
 from bigartm_spark.model.phi import PhiMatrix
 
 

@@ -528,17 +528,32 @@ class HierarchySparsingTheta:
     """H10 (hierarchy_sparsing_theta.cc:16-160): sparsify
     psi = p(child topic | parent topic) on hARTM pseudo-batch docs by
     damping below-uniform entries — a KL-toward-sparse pressure applied
-    only to pseudo-docs (doc_id < pseudo_doc_threshold, which is how
-    phi_to_pseudo_batch ids its synthetic documents)."""
+    ONLY to pseudo-docs. The reference disables this regularizer unless
+    the batch is a parent-phi pseudo-batch (hierarchy_sparsing_theta.cc:
+    regularization_on gated on batch.description == kParentPhiMatrixBatch);
+    here pseudo-docs are identified by their synthetic negative ids
+    (doc_id <= pseudo_doc_threshold, see hierarchy.phi_to_pseudo_batch),
+    so corpus-doc thetas are never distorted."""
 
     tau: float = 1.0
-    pseudo_doc_ids: frozenset | None = None  # None -> all docs
+    pseudo_doc_threshold: int = -1_000_000  # phi_to_pseudo_batch offset
+    needs_doc_ids = True  # kernel passes per-row doc ids of n_td
 
-    def apply(self, theta: np.ndarray, n_td: np.ndarray, pass_idx: int) -> np.ndarray:
+    def apply(
+        self,
+        theta: np.ndarray,
+        n_td: np.ndarray,
+        pass_idx: int,
+        doc_ids: np.ndarray | None = None,
+    ) -> np.ndarray:
         T_ = n_td.shape[1]
         uniform = n_td.sum(axis=1, keepdims=True) / T_
         below = n_td < uniform
-        return n_td - self.tau * n_td * below
+        damp = self.tau * n_td * below
+        if doc_ids is not None:
+            is_pseudo = doc_ids <= self.pseudo_doc_threshold
+            damp = damp * is_pseudo[:, None]
+        return n_td - damp
 
 
 # --------------------------------------------------------------- Ptdw side

@@ -53,8 +53,10 @@ def ev_hourly_type_agg(spark, sf_dir):
     """
 WITH o AS (
   SELECT user_id, ts,
-         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   > INTERVAL 30 MINUTE OR
+         CASE WHEN epoch_us(ts) -
+                   epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id))
+                   > 1800000000 OR
                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    IS NULL
               THEN 1 ELSE 0 END AS new_session
@@ -71,9 +73,12 @@ def ev_sessionize(spark, sf_dir):
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
+    # microsecond-precision gap compare on BOTH engines (epoch_us in the
+    # oracle): a whole-second cast would misclassify sub-second straddles
+    # of the 1800s boundary (e.g. a 1800.8s gap)
     new_session = F.when(
         prev.isNull()
-        | (F.col("ts").cast("long") - prev.cast("long") > 1800),
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1_800_000_000),
         1,
     ).otherwise(0)
     return (

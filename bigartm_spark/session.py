@@ -28,12 +28,12 @@ def ensure_package_shipped(spark) -> None:
     import zipfile
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # per-process name: never ship a stale zip from an older code state
-    zpath = os.path.join(
-        tempfile.gettempdir(), f"bigartm_spark_pkg_{os.getpid()}.zip"
-    )
-    if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as z:
+    # mkstemp: unique 0600 path owned by this process — never trust (or
+    # let another local user pre-create) a predictable /tmp name, and
+    # never ship a stale zip from an older code state
+    fd, zpath = tempfile.mkstemp(prefix="bigartm_spark_pkg_", suffix=".zip")
+    with os.fdopen(fd, "wb") as fh:
+        with zipfile.ZipFile(fh, "w") as z:
             base = os.path.join(repo_root, "bigartm_spark")
             for root, _, files in os.walk(base):
                 for f in files:

@@ -129,3 +129,49 @@ def test_transaction_perplexity_breakdown(spark, docs):
     assert abs(
         scores["perplexity"] - scores["perplexity@@default_transaction"]
     ) < 1e-9
+
+
+def test_should_broadcast_phi_thresholds():
+    assert estep.should_broadcast_phi(10_000, 10)
+    # 1e9-token vocab x 100 topics is ~1.6TB with overhead: never broadcast
+    assert not estep.should_broadcast_phi(1_000_000_000, 100)
+    assert not estep.should_broadcast_phi(100, 10, limit=10_000)
+
+
+def test_auto_size_takes_join_path_without_driver_collect(
+    spark, docs, monkeypatch
+):
+    """broadcast_phi=None on an over-threshold model must use the
+    plan-level join and never materialize phi on the driver."""
+    from pyspark.sql import DataFrame
+
+    sub = docs.filter(F.col("doc_id") < 200)
+    phi = _phi(docs)
+    ref = estep.aggregate_nwt(
+        estep.process_batches(
+            sub, phi, num_document_passes=2, compute_scores=False,
+            broadcast_phi=True,
+        ),
+        3,
+    )
+    ref_nwt = {
+        (r["class_id"], r["token"]): r["values"] for r in ref.collect()
+    }
+
+    monkeypatch.setattr(estep, "should_broadcast_phi", lambda *a, **k: False)
+
+    def boom(self):
+        raise AssertionError("driver-side phi materialization on join path")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    out = estep.aggregate_nwt(
+        estep.process_batches(
+            sub, phi, num_document_passes=2, compute_scores=False,
+            broadcast_phi=None,
+        ),
+        3,
+    )
+    got = {(r["class_id"], r["token"]): r["values"] for r in out.collect()}
+    assert got.keys() == ref_nwt.keys()
+    for k in got:
+        np.testing.assert_allclose(got[k], ref_nwt[k], rtol=1e-9)

@@ -57,6 +57,39 @@ def test_hierarchy_sparsing_agent():
     # below-uniform entries damped, above-uniform untouched
     np.testing.assert_allclose(out[0], [4.0, 0.5, 0.5])
     np.testing.assert_allclose(out[1], [2.0, 2.0, 2.0])
+    # with doc ids: only pseudo-docs (<= -1_000_000) are damped — corpus
+    # docs pass through untouched (reference gates on the parent-phi batch)
+    n_td2 = np.array([[4.0, 1.0, 1.0], [4.0, 1.0, 1.0]])
+    out2 = agent.apply(None, n_td2, 0, doc_ids=np.array([-1_000_000, 7]))
+    np.testing.assert_allclose(out2[0], [4.0, 0.5, 0.5])
+    np.testing.assert_allclose(out2[1], [4.0, 1.0, 1.0])
+    assert agent.needs_doc_ids
+
+
+def test_sparse_init_gate(spark):
+    """E5 sparse init: dense_init_rate<1 + guaranteed_zeros_rate>0 zeroes
+    some cells of low-tf rows and never touches high-tf rows."""
+    from pyspark.sql import functions as F
+
+    from bigartm_spark.model.init import initialize_phi
+
+    rows = [("@default_class", f"tok{i:03d}", float(100 - i), 1.0) for i in range(40)]
+    d = spark.createDataFrame(rows, "class_id string, token string, tf double, df double")
+    phi = initialize_phi(
+        d, [f"t{i}" for i in range(8)], seed=3,
+        dense_init_rate=0.5, guaranteed_zeros_rate=0.8,
+    )
+    pdf = phi.compact.toPandas().set_index("token")
+    n_zero = {t: sum(1 for v in pdf.loc[t, "values"] if v == 0.0) for t in pdf.index}
+    # top-half tf tokens (rank <= 50%) keep a fully dense row
+    assert all(n_zero[f"tok{i:03d}"] == 0 for i in range(20))
+    # the sparse tail has zeroed cells somewhere
+    assert sum(n_zero[f"tok{i:03d}"] for i in range(21, 40)) > 0
+    # final phi is the M-step column-normalization: each topic sums to 1
+    import numpy as np
+
+    mat = np.stack(pdf["values"].to_numpy())
+    np.testing.assert_allclose(mat.sum(axis=0), 1.0, atol=1e-9)
 
 
 def test_peak_memory(spark):
