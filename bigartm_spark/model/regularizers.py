@@ -29,6 +29,47 @@ from pyspark.sql import functions as F
 from bigartm_spark.model.phi import PhiMatrix
 
 
+@dataclass
+class TransformFunction:
+    """f applied to the smoothed value (transform_function.cc:35-47,
+    messages.proto TransformConfig): Constant f(x)=1, Logarithm
+    f(x)=ln(x) for x>0 else 0, Polynomial f(x)=a*x^n for x>0 else 0.
+    Usable as a Column expression (phi side) and as numpy (theta-agent
+    side, inside the E-step kernel)."""
+
+    kind: str = "constant"  # constant | logarithm | polynomial
+    a: float = 1.0
+    n: float = 1.0
+
+    def __post_init__(self):
+        if self.kind not in ("constant", "logarithm", "polynomial"):
+            raise ValueError(f"unknown transform kind {self.kind!r}")
+
+    @property
+    def is_constant(self) -> bool:
+        return self.kind == "constant"
+
+    def column(self, v: F.Column) -> F.Column:
+        if self.kind == "constant":
+            return F.lit(1.0)
+        if self.kind == "logarithm":
+            return F.when(v > 0, F.log(v)).otherwise(F.lit(0.0))
+        return F.when(
+            v > 0, F.lit(float(self.a)) * F.pow(v, F.lit(float(self.n)))
+        ).otherwise(F.lit(0.0))
+
+    def numpy(self, x: np.ndarray) -> np.ndarray:
+        if self.kind == "constant":
+            return np.ones_like(x)
+        pos = x > 0
+        if self.kind == "logarithm":
+            return np.where(pos, np.log(np.where(pos, x, 1.0)), 0.0)
+        return np.where(pos, self.a * np.power(np.where(pos, x, 1.0), self.n), 0.0)
+
+
+CONSTANT_TRANSFORM = TransformFunction("constant")
+
+
 # ---------------------------------------------------------------- Phi side
 @dataclass
 class RegularizeContext:
@@ -65,15 +106,24 @@ class PhiRegularizer:
 
 
 class SmoothSparsePhi(PhiRegularizer):
-    """H1: r_wt += tau * f(p_wt) * dict_coef[w]; f = const 1 by default
-    (transform_function.cc Constant). dict coef = dictionary.value when a
-    dictionary is supplied, else 1 (smooth_sparse_phi.cc:25-85).
+    """H1: r_wt += tau * f(p_wt) * dict_coef[w]; f defaults to Constant
+    and supports Logarithm / Polynomial (transform_function.cc:35-47,
+    smooth_sparse_phi.cc:25-85 applies f to the p_wt cell). dict coef =
+    dictionary.value when a dictionary is supplied, else 1.
     tau > 0 smooths, tau < 0 sparses (LDA alpha/beta when constant)."""
 
-    def __init__(self, tau: float, topic_names=None, class_ids=None, use_dictionary=False):
+    def __init__(
+        self,
+        tau: float,
+        topic_names=None,
+        class_ids=None,
+        use_dictionary=False,
+        transform_function: TransformFunction | None = None,
+    ):
         super().__init__(tau, topic_names)
         self.class_ids = class_ids
         self.use_dictionary = use_dictionary
+        self.transform_function = transform_function or CONSTANT_TRANSFORM
 
     def rwt_delta(self, pwt, nwt, ctx):
         mask = self._topic_mask(pwt.topics)
@@ -90,11 +140,12 @@ class SmoothSparsePhi(PhiRegularizer):
                 F.col("class_id").isin(list(self.class_ids)), coef
             ).otherwise(F.lit(0.0))
         marr = F.array(*[F.lit(m) for m in mask])
+        tf = self.transform_function
         out = base.select(
             "class_id",
             "token",
             F.zip_with(
-                "values", marr, lambda _v, m: coef * m
+                "values", marr, lambda v, m: coef * m * tf.column(v)
             ).alias("values"),
         )
         return out
@@ -505,19 +556,26 @@ def specified_sparse_phi_transform(
 # -------------------------------------------------------------- Theta side
 @dataclass
 class SmoothSparseTheta:
-    """H2: n_td += tau * alpha_iter[pass] * mult_t
-    (smooth_sparse_theta.cc:30-170; f = const). Runs inside the E-step
-    kernel as vectorized numpy."""
+    """H2: n_td += tau * alpha_iter[pass] * mult_t * f(n_td), added only
+    where f(n_td) > 0 (smooth_sparse_theta.cc:30-66: the agent applies
+    the transform to the n_td cell and skips non-positive transformed
+    values). f defaults to Constant; Logarithm/Polynomial supported.
+    Runs inside the E-step kernel as vectorized numpy."""
 
     tau: float
     alpha_iter: list[float] | None = None
     topic_mask: np.ndarray | None = None  # (T,) 0/1
+    transform_function: TransformFunction | None = None
 
     def apply(self, theta: np.ndarray, n_td: np.ndarray, pass_idx: int) -> np.ndarray:
         a = 1.0
         if self.alpha_iter is not None:
             a = self.alpha_iter[min(pass_idx, len(self.alpha_iter) - 1)]
         delta = self.tau * a
+        tf = self.transform_function or CONSTANT_TRANSFORM
+        if not tf.is_constant:
+            v = tf.numpy(n_td)
+            delta = delta * np.where(v > 0, v, 0.0)
         if self.topic_mask is not None:
             return n_td + delta * self.topic_mask[None, :]
         return n_td + delta

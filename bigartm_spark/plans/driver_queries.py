@@ -1048,6 +1048,47 @@ def h1_smooth_sparse_phi_delta(spark, sf_dir):
     return _r6(out, "delta")
 
 
+@register(
+    "h1b_log_transform_delta",
+    f"""
+WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
+dictv AS (SELECT class_id, token,
+                 tf / SUM(tf) OVER (PARTITION BY class_id) AS dv
+          FROM dict)
+SELECT p.class_id, p.token,
+       'topic_' || CAST(p.topic_idx AS VARCHAR) AS topic,
+       ROUND(-0.5 * d.dv *
+             (CASE WHEN p.value > 0 THEN ln(p.value) ELSE 0 END), 6) AS delta
+FROM phi p JOIN dictv d
+  ON d.class_id = p.class_id AND d.token = p.token
+""",
+)
+def h1b_log_transform_delta(spark, sf_dir):
+    """SmoothSparsePhi with the Logarithm TransformFunction
+    (transform_function.cc:35-38): delta = tau * dict.value * ln(p_wt)."""
+    from bigartm_spark.model.regularizers import (
+        RegularizeContext,
+        SmoothSparsePhi,
+        TransformFunction,
+    )
+
+    docs = docs_from_lineitem(spark, sf_dir)
+    d = gather_dictionary(docs)
+    _, _, phi = _spark_phi(spark, sf_dir)
+    reg = SmoothSparsePhi(
+        tau=-0.5,
+        use_dictionary=True,
+        transform_function=TransformFunction("logarithm"),
+    )
+    delta = reg.rwt_delta(phi, phi, RegularizeContext(dictionary=d))
+    from bigartm_spark.model.phi import PhiMatrix
+
+    out = PhiMatrix("r", TOPICS, delta).to_long().withColumnRenamed(
+        "value", "delta"
+    )
+    return _r6(out, "delta")
+
+
 # ==================================================== H3: decorrelator
 @register(
     "h3_decorrelator_phi_delta",

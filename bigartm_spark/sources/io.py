@@ -29,7 +29,20 @@ def save_batches(docs: DataFrame, path: str, num_batches: int | None = None):
 
 
 def load_batches(spark: SparkSession, path: str) -> DataFrame:
-    """A5: lazy scan of the batch store."""
+    """A5: lazy scan of the batch store. Accepts BOTH formats: our
+    parquet store and a directory of reference ``.batch`` protobuf files
+    (one serialized Batch per file, messages.proto:65-74) — sniffed by
+    the presence of *.batch entries."""
+    try:
+        import glob
+
+        has_pb = bool(glob.glob(os.path.join(path, "*.batch")))
+    except OSError:
+        has_pb = False
+    if has_pb:
+        from bigartm_spark.sources.batch_pb import read_batch_folder
+
+        return read_batch_folder(spark, path)
     df = spark.read.parquet(path)
     cols = [f.name for f in DOCS_SCHEMA.fields]
     return df.select(*[F.col(c).cast(dict_field_type(DOCS_SCHEMA, c)) for c in cols])

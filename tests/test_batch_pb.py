@@ -1,0 +1,125 @@
+"""Reference .batch protobuf importer (messages.proto:26-74;
+helpers.cc SaveMessage = raw SerializeToOstream, no framing)."""
+
+from __future__ import annotations
+
+import struct
+
+from bigartm_spark.sources.batch_pb import (
+    batch_to_rows,
+    parse_batch,
+    parse_item,
+    serialize_batch,
+)
+
+
+def _sample_batch() -> dict:
+    """Shape collection_parser.cc:225-303 writes for regular text:
+    per-batch token/class tables, one Item per doc, token_id indexes the
+    batch tables, transaction_start_index = 0..n + trailing total."""
+    return {
+        "token": ["apple", "banana", "cherry"],
+        "class_id": ["@default_class", "@default_class", "@labels"],
+        "item": [
+            {
+                "id": 7,
+                "title": "doc7",
+                "token_id": [0, 1, 2],
+                "token_weight": [2.0, 1.0, 3.0],
+                "transaction_start_index": [0, 1, 2, 3],
+                "transaction_typename_id": [0, 0, 0],
+            },
+            {
+                "id": 8,
+                "title": None,
+                "token_id": [1],
+                "token_weight": [5.0],
+                "transaction_start_index": [0, 1],
+                "transaction_typename_id": [0],
+            },
+        ],
+        "description": None,
+        "id": "b-0001",
+        "transaction_typename": ["@default_transaction"],
+    }
+
+
+def test_round_trip():
+    b = _sample_batch()
+    buf = serialize_batch(b)
+    out = parse_batch(buf)
+    assert out["token"] == b["token"]
+    assert out["class_id"] == b["class_id"]
+    assert out["id"] == "b-0001"
+    assert out["transaction_typename"] == ["@default_transaction"]
+    assert len(out["item"]) == 2
+    it = out["item"][0]
+    assert it["id"] == 7 and it["title"] == "doc7"
+    assert it["token_id"] == [0, 1, 2]
+    assert it["token_weight"] == [2.0, 1.0, 3.0]
+    assert it["transaction_start_index"] == [0, 1, 2, 3]
+
+
+def test_packed_decoding():
+    """proto2 parsers must accept packed repeated scalars even when the
+    schema default is unpacked — craft an Item with packed fields."""
+    out = bytearray()
+    out += bytes([0x08, 0x07])  # field 1 varint id=7
+    # field 4 (token_id), wire 2 packed: varints 0,1,2
+    out += bytes([0x22, 0x03, 0x00, 0x01, 0x02])
+    # field 5 (token_weight), wire 2 packed: two floats
+    floats = struct.pack("<2f", 1.5, 2.5)
+    out += bytes([0x2A, len(floats)]) + floats
+    it = parse_item(bytes(out))
+    assert it["id"] == 7
+    assert it["token_id"] == [0, 1, 2]
+    assert it["token_weight"] == [1.5, 2.5]
+
+
+def test_batch_to_rows():
+    rows = batch_to_rows(serialize_batch(_sample_batch()), "fallback")
+    assert len(rows) == 4
+    r0 = rows[0]
+    # (doc_id, title, batch_id, class_id, token, weight, pos, tx, tt)
+    assert r0 == (
+        7, "doc7", "b-0001", "@default_class", "apple", 2.0, 1, 0,
+        "@default_transaction",
+    )
+    assert rows[2][3] == "@labels" and rows[2][4] == "cherry"
+    # missing title falls back to str(doc_id)
+    assert rows[3][0] == 8 and rows[3][1] == "8" and rows[3][5] == 5.0
+
+
+def test_read_batch_folder_and_load_batches(spark, tmp_path):
+    d = tmp_path / "batches"
+    d.mkdir()
+    b = _sample_batch()
+    (d / "b-0001.batch").write_bytes(serialize_batch(b))
+    b2 = dict(b, id=None)  # id falls back to the file stem
+    b2["item"] = [dict(b["item"][0], id=9, title="doc9")]
+    (d / "deadbeef.batch").write_bytes(serialize_batch(b2))
+
+    from bigartm_spark.sources.batch_pb import read_batch_folder
+    from bigartm_spark.sources.io import load_batches
+    from bigartm_spark.schemas import DOCS_SCHEMA
+
+    df = read_batch_folder(spark, str(d))
+    assert df.schema == DOCS_SCHEMA
+    rows = {(r["doc_id"], r["token"]): r for r in df.collect()}
+    assert len(rows) == 7
+    assert rows[(7, "apple")]["weight"] == 2.0
+    assert rows[(7, "apple")]["batch_id"] == "b-0001"
+    assert rows[(9, "apple")]["batch_id"] == "deadbeef"
+
+    # load_batches sniffs the protobuf format
+    via_loader = load_batches(spark, str(d))
+    assert via_loader.count() == 7
+
+    # ... and the model fits directly on the imported relation
+    from bigartm_spark.model.artm import ARTM
+    from bigartm_spark.operators.dictionary import gather_dictionary
+
+    m = ARTM(num_topics=2, num_document_passes=2, seed=1)
+    m.initialize(gather_dictionary(df))
+    m.fit_offline(df, num_collection_passes=1)
+    assert m.score_tracker["perplexity"][0] > 0

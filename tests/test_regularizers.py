@@ -176,3 +176,75 @@ def test_top_tokens_coherence(spark, tiny_phi):
     assert abs(coh["t0"] - 4.0) < 1e-12
     # t1 top-2 = c, b -> pair (b, c) = 2 -> coherence 2
     assert abs(coh["t1"] - 2.0) < 1e-12
+
+
+def test_transform_function_variants(spark):
+    """TransformFunction (transform_function.cc:35-47): Constant f=1,
+    Logarithm f=ln(x) for x>0 else 0, Polynomial f=a*x^n for x>0 else 0 —
+    closed-form check on both the Column and numpy faces."""
+    import math
+
+    from bigartm_spark.model.regularizers import TransformFunction
+
+    x = np.array([[0.5, 0.0], [2.0, 1.0]])
+    np.testing.assert_allclose(TransformFunction("constant").numpy(x), 1.0)
+    np.testing.assert_allclose(
+        TransformFunction("logarithm").numpy(x),
+        [[math.log(0.5), 0.0], [math.log(2.0), 0.0]],
+    )
+    np.testing.assert_allclose(
+        TransformFunction("polynomial", a=3.0, n=2.0).numpy(x),
+        [[3.0 * 0.25, 0.0], [12.0, 3.0]],
+    )
+    df = spark.createDataFrame([(0.5,), (0.0,), (2.0,)], "v double")
+    for tf, expect in [
+        (TransformFunction("logarithm"), [math.log(0.5), 0.0, math.log(2.0)]),
+        (TransformFunction("polynomial", a=3.0, n=2.0), [0.75, 0.0, 12.0]),
+    ]:
+        got = [r[0] for r in df.select(tf.column(F.col("v"))).collect()]
+        np.testing.assert_allclose(got, expect, rtol=1e-12)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        TransformFunction("exp")
+
+
+def test_smooth_sparse_phi_log_transform(spark):
+    """H1 + Logarithm: delta = tau * ln(p_wt) where p>0."""
+    from bigartm_spark.model.phi import PhiMatrix
+    from bigartm_spark.model.regularizers import (
+        RegularizeContext,
+        SmoothSparsePhi,
+        TransformFunction,
+    )
+
+    compact = spark.createDataFrame(
+        [("@default_class", "a", [0.5, 0.5]), ("@default_class", "b", [1.0, 0.0])],
+        "class_id string, token string, values array<double>",
+    )
+    phi = PhiMatrix("pwt", ["t0", "t1"], compact)
+    reg = SmoothSparsePhi(tau=2.0, transform_function=TransformFunction("logarithm"))
+    delta = {
+        r["token"]: r["values"]
+        for r in reg.rwt_delta(phi, phi, RegularizeContext()).collect()
+    }
+    import math
+
+    np.testing.assert_allclose(delta["a"], [2.0 * math.log(0.5)] * 2)
+    np.testing.assert_allclose(delta["b"], [2.0 * math.log(1.0), 0.0])
+
+
+def test_smooth_sparse_theta_polynomial_transform():
+    """H2 + Polynomial: n_td += tau * a * n^p where transformed > 0."""
+    from bigartm_spark.model.regularizers import (
+        SmoothSparseTheta,
+        TransformFunction,
+    )
+
+    agent = SmoothSparseTheta(
+        tau=0.5, transform_function=TransformFunction("polynomial", a=2.0, n=2.0)
+    )
+    n_td = np.array([[2.0, 0.0], [3.0, 1.0]])
+    out = agent.apply(None, n_td.copy(), 0)
+    # delta = 0.5 * 2 * n^2 (zero cells transformed to 0 -> no add)
+    np.testing.assert_allclose(out, [[2.0 + 4.0, 0.0], [3.0 + 9.0, 1.0 + 1.0]])
