@@ -33,11 +33,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dictionary-min-df", type=float, default=None)
     p.add_argument("--dictionary-max-df", type=float, default=None)
     p.add_argument(
+        "--use-modality",
+        default=None,
+        help='modalities to use with weights, "@default_class,@labels:5" '
+        "(srcmain.cc parseKeyValuePairs; unlisted modalities are dropped)",
+    )
+    p.add_argument(
         "--regularizer",
         action="append",
         default=[],
-        help='"tau Name [gamma]" e.g. "0.1 SmoothSparsePhi", '
-        '"-0.5 SmoothSparseTheta", "100 DecorrelatorPhi"',
+        help='"tau Name [#topics] [@class_ids] [?dictionary]" — names per '
+        "srcmain.cc:554-650: SmoothPhi, SparsePhi, SmoothTheta, "
+        "SparseTheta, Decorrelation, TopicSelection, LabelRegularization "
+        "(Sparse* negate tau); long names SmoothSparsePhi etc. also accepted",
+    )
+    p.add_argument(
+        "--predict-class",
+        default=None,
+        help="class_id to predict with --write-class-predictions",
     )
     out = p.add_argument_group("output")
     out.add_argument("--save-model", help="directory for phi parquet (A8)")
@@ -46,30 +59,115 @@ def build_parser() -> argparse.ArgumentParser:
     out.add_argument("--write-model-readable", help="CSV pivot of phi (A11)")
     out.add_argument("--write-dictionary-readable", help="dictionary CSV")
     out.add_argument("--write-predictions", help="theta CSV for the corpus")
+    out.add_argument(
+        "--write-class-predictions",
+        help="argmax-token CSV for --predict-class (srcmain.cc:1237-1276)",
+    )
     out.add_argument("--write-vw-corpus", help="re-export corpus as VW")
     out.add_argument("--score-tracker", help="JSON path for score history (A10)")
     return p
 
 
-def parse_regularizers(specs: list[str]):
+def parse_key_value_pairs(s: str) -> dict[str, float]:
+    """srcmain.cc parseKeyValuePairs: "name[:weight],name2[:weight]",
+    weight defaults to 1.0; separators comma or semicolon."""
+    out: dict[str, float] = {}
+    for part in s.replace(";", ",").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if ":" in part:
+            name, w = part.rsplit(":", 1)
+            out[name.strip()] = float(w)
+        else:
+            out[part] = 1.0
+    return out
+
+
+def _parse_topic_spec(spec: str, topics: list[str]) -> list[str]:
+    """'#a,b,c' topic lists; 'i:j' integer ranges index into the model's
+    topic names (srcmain.cc parseTopics)."""
+    names: list[str] = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if ":" in part:
+            lo, hi = part.split(":", 1)
+            names.extend(topics[int(lo) : int(hi)])
+        elif part in topics:
+            names.append(part)
+        else:
+            names.append(part)  # resolved against phi rows downstream
+    return names
+
+
+def parse_regularizers(specs: list[str], topics: list[str]):
+    """Inline regularizer grammar per srcmain.cc configureRegularizer:
+    "tau Name [#topics] [@class_ids] [?dictionary]" (case-insensitive
+    names, Sparse* negates tau). The legacy third-token float is still
+    read as gamma for backwards compatibility."""
+    import numpy as np
+
     from bigartm_spark.model import regularizers as R
 
     phi_regs, theta_agents = [], []
     for spec in specs:
         parts = spec.split()
+        if len(parts) < 2:
+            raise SystemExit(f"invalid regularizer: {spec!r}")
         tau, name = float(parts[0]), parts[1]
-        gamma = float(parts[2]) if len(parts) > 2 else None
-        if name == "SmoothSparsePhi":
-            r = R.SmoothSparsePhi(tau=tau)
+        lname = name.lower()
+        gamma = None
+        topic_names: list[str] | None = None
+        class_ids: list[str] | None = None
+        use_dictionary = False
+        for elem in parts[2:]:
+            if not elem:
+                continue
+            if elem[0] == "#":
+                topic_names = _parse_topic_spec(elem[1:], topics)
+            elif elem[0] == "@":
+                class_ids = list(parse_key_value_pairs(elem[1:]))
+            elif elem[0] == "?":
+                use_dictionary = True
+            else:
+                try:
+                    gamma = float(elem)  # legacy "tau Name gamma"
+                except ValueError:
+                    raise SystemExit(
+                        f"bad element {elem!r} in regularizer {spec!r}"
+                    )
+        if lname in ("smoothphi", "sparsephi", "smoothsparsephi"):
+            if lname == "sparsephi":
+                tau = -tau
+            r = R.SmoothSparsePhi(
+                tau=tau,
+                topic_names=topic_names,
+                class_ids=class_ids,
+                use_dictionary=use_dictionary,
+            )
             r.gamma = gamma
             phi_regs.append(r)
-        elif name == "DecorrelatorPhi":
-            r = R.DecorrelatorPhi(tau=tau)
+        elif lname in ("decorrelation", "decorrelatorphi"):
+            r = R.DecorrelatorPhi(tau=tau, topic_names=topic_names)
             r.gamma = gamma
             phi_regs.append(r)
-        elif name == "SmoothSparseTheta":
-            theta_agents.append(R.SmoothSparseTheta(tau=tau))
-        elif name == "TopicSelectionTheta":
+        elif lname in ("labelregularization", "labelregularizationphi"):
+            r = R.LabelRegularizationPhi(tau=tau, topic_names=topic_names)
+            r.gamma = gamma
+            phi_regs.append(r)
+        elif lname in ("smooththeta", "sparsetheta", "smoothsparsetheta"):
+            if lname == "sparsetheta":
+                tau = -tau
+            mask = None
+            if topic_names is not None:
+                sel = set(topic_names)
+                mask = np.array(
+                    [1.0 if t in sel else 0.0 for t in topics]
+                )
+            theta_agents.append(R.SmoothSparseTheta(tau=tau, topic_mask=mask))
+        elif lname in ("topicselection", "topicselectiontheta"):
             theta_agents.append(R.TopicSelectionTheta(tau=tau))
         else:
             raise SystemExit(f"unknown regularizer: {name}")
@@ -78,6 +176,10 @@ def parse_regularizers(specs: list[str]):
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.write_class_predictions and not args.predict_class:
+        raise SystemExit(
+            "--write-class-predictions requires --predict-class"
+        )  # srcmain.cc:427-429
     from bigartm_spark.model.artm import ARTM
     from bigartm_spark.operators.dictionary import filter_dictionary, gather_dictionary
     from bigartm_spark.session import get_spark
@@ -116,11 +218,16 @@ def main(argv: list[str] | None = None) -> int:
             "header", True
         ).csv(args.write_dictionary_readable)
 
-    phi_regs, theta_agents = parse_regularizers(args.regularizer)
+    class_weights = (
+        parse_key_value_pairs(args.use_modality) if args.use_modality else None
+    )
+    topic_names = [f"topic_{i}" for i in range(args.topics)]
+    phi_regs, theta_agents = parse_regularizers(args.regularizer, topic_names)
     model = ARTM(
-        num_topics=args.topics,
+        topic_names=topic_names,
         num_document_passes=args.num_document_passes,
         seed=args.seed,
+        class_weights=class_weights,
         phi_regularizers=phi_regs,
         theta_agents=theta_agents,
     )
@@ -151,6 +258,14 @@ def main(argv: list[str] | None = None) -> int:
             .write.mode("overwrite")
             .option("header", True)
             .csv(args.write_predictions)
+        )
+    if args.write_class_predictions:
+        preds = model.predict_class_id(docs, args.predict_class)
+        (
+            preds.coalesce(1)
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(args.write_class_predictions)
         )
     if args.write_vw_corpus:
         sio.write_corpus_vw(docs, args.write_vw_corpus)

@@ -333,7 +333,10 @@ class SmoothTimeInTopicsPhi(PhiRegularizer):
             pwt.compact.filter(F.col("class_id") == self.class_id)
             .join(F.broadcast(self.token_order), "token")
         )
-        w = Window.orderBy("ord")
+        # partition by class_id: the chain order is per-modality, so the
+        # sequential unit is one modality's vocab, not the global table
+        # (a bare orderBy would funnel every row through one task)
+        w = Window.partitionBy("class_id").orderBy("ord")
         prev = F.lag("values").over(w)
         nxt = F.lead("values").over(w)
         tau = float(self.tau)

@@ -88,9 +88,10 @@ def quality_score(documents: DataFrame) -> DataFrame:
     ws = words_col()
     n_words = F.size(ws).cast("double")
     n_distinct = F.size(F.array_distinct(ws)).cast("double")
-    total_wl = F.aggregate(
-        ws, F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double")
-    )
+    # sum(len(w)) == len(concat(words)): one codegen'd string op instead
+    # of an interpreted HOF fold; integer-valued doubles sum exactly, so
+    # the value is bit-identical to the oracle's left-to-right reduce
+    total_wl = F.length(F.concat_ws("", ws)).cast("double")
     mean_wl = F.when(n_words > 0, total_wl / n_words).otherwise(F.lit(0.0))
     distinct_ratio = F.when(n_words > 0, n_distinct / n_words).otherwise(
         F.lit(0.0)

@@ -64,3 +64,76 @@ def test_cli_load_model_and_predict(spark, tmp_path):
     assert csvs
     header = open(os.path.join(pred_dir, csvs[0])).readline().strip().split(",")
     assert header[0] == "doc_id" and len(header) == 3
+
+
+def test_cli_modality_and_class_predictions(spark, tmp_path):
+    """--use-modality weights + --predict-class/--write-class-predictions
+    (srcmain.cc:279-280,427-429,1237-1276)."""
+    from bigartm_spark.cli import main
+
+    corpus = tmp_path / "c3.vw"
+    lines = []
+    for d in range(24):
+        label = "pos" if d % 2 == 0 else "neg"
+        toks = " ".join(f"w{(d + j) % 7}" for j in range(5))
+        lines.append(f"doc{d} {toks} |@labels {label}")
+    corpus.write_text("\n".join(lines) + "\n")
+    pred_dir = str(tmp_path / "cls_preds")
+    rc = main(
+        [
+            "--read-vw-corpus", str(corpus),
+            "-t", "2", "-p", "2",
+            "--use-modality", "@default_class,@labels:3",
+            "--regularizer", "0.05 SparsePhi @@default_class",
+            "--regularizer", "0.1 SmoothTheta",
+            "--predict-class", "@labels",
+            "--write-class-predictions", pred_dir,
+        ]
+    )
+    assert rc == 0
+    import os
+
+    csvs = [f for f in os.listdir(pred_dir) if f.endswith(".csv")]
+    assert csvs
+    body = open(os.path.join(pred_dir, csvs[0])).read().strip().splitlines()
+    assert body[0].split(",")[:2] == ["doc_id", "predicted"]
+    preds = {line.split(",")[1] for line in body[1:]}
+    assert preds <= {"pos", "neg"} and len(body) == 25
+
+
+def test_cli_class_predictions_requires_predict_class(tmp_path):
+    import pytest
+
+    from bigartm_spark.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["--read-vw-corpus", "x.vw", "--write-class-predictions", "p/"])
+
+
+def test_parse_regularizer_grammar():
+    """Reference spec grammar: tau name [#topics] [@classes] [?dict]."""
+    import numpy as np
+
+    from bigartm_spark.cli import parse_key_value_pairs, parse_regularizers
+
+    topics = [f"topic_{i}" for i in range(4)]
+    phi, theta = parse_regularizers(
+        [
+            "0.5 SparsePhi #0:2 @@default_class ?d",
+            "2 Decorrelation",
+            "0.3 SparseTheta #topic_0",
+            "0.1 TopicSelection",
+            "0.2 SmoothSparsePhi 0.4",  # legacy gamma form
+        ],
+        topics,
+    )
+    assert len(phi) == 3 and len(theta) == 2
+    assert phi[0].tau == -0.5  # Sparse* negates
+    assert phi[0].topic_names == ["topic_0", "topic_1"]
+    assert phi[0].class_ids == ["@default_class"]
+    assert phi[0].use_dictionary
+    assert phi[1].tau == 2.0
+    assert phi[2].gamma == 0.4
+    assert theta[0].tau == -0.3
+    np.testing.assert_allclose(theta[0].topic_mask, [1, 0, 0, 0])
+    assert parse_key_value_pairs("@a,@b:5") == {"@a": 1.0, "@b": 5.0}
