@@ -249,6 +249,110 @@ def batch_to_rows(buf: bytes, batch_id_fallback: str) -> list[tuple]:
     return rows
 
 
+def rows_to_batch(pdf, batch_id: str) -> bytes:
+    """Long-docs rows of ONE batch -> serialized Batch bytes, laid out
+    like collection_parser.cc:225-303 (per-batch token/class tables in
+    first-seen order, items sorted by doc_id, transaction runs from the
+    transaction_id column when present)."""
+    pdf = pdf.sort_values(
+        ["doc_id"] + (["pos"] if "pos" in pdf.columns else []),
+        kind="mergesort",
+    )
+    import pandas as pd
+
+    tok_index: dict[tuple, int] = {}
+    tokens: list[str] = []
+    classes: list[str] = []
+    tt_index: dict[str, int] = {}
+    tt_names: list[str] = []
+    items = []
+    for doc_id, g in pdf.groupby("doc_id", sort=True):
+        token_ids, weights, tsi, tt_ids = [], [], [], []
+        last_tx = object()
+        for row in g.itertuples(index=False):
+            key = (row.class_id, row.token)
+            if key not in tok_index:
+                tok_index[key] = len(tokens)
+                tokens.append(row.token)
+                classes.append(row.class_id)
+            tx = getattr(row, "transaction_id", None)
+            if tx is not None and pd.isna(tx):
+                tx = None
+            tt = getattr(row, "transaction_typename", None)
+            if tt is None or (not isinstance(tt, str) and pd.isna(tt)):
+                tt = DEFAULT_TRANSACTION
+            if tx is None or tx != last_tx:
+                tsi.append(len(token_ids))
+                if tt not in tt_index:
+                    tt_index[tt] = len(tt_names)
+                    tt_names.append(tt)
+                tt_ids.append(tt_index[tt])
+                last_tx = tx if tx is not None else object()  # singleton runs
+            token_ids.append(tok_index[key])
+            weights.append(float(row.weight))
+        tsi.append(len(token_ids))  # trailing sentinel, parser parity
+        title = getattr(row, "title", None)
+        if title is not None and not isinstance(title, str) and pd.isna(title):
+            title = None
+        if int(doc_id) != _int32(int(doc_id)):
+            raise ValueError(
+                f"doc_id {doc_id} does not fit the Batch proto's int32 item id"
+            )
+        items.append(
+            {
+                "id": int(doc_id),
+                "title": str(title) if title is not None else str(doc_id),
+                "token_id": token_ids,
+                "token_weight": weights,
+                "transaction_start_index": tsi,
+                "transaction_typename_id": tt_ids,
+            }
+        )
+    return serialize_batch(
+        {
+            "token": tokens,
+            "class_id": classes,
+            "item": items,
+            "id": batch_id,
+            "transaction_typename": tt_names or [DEFAULT_TRANSACTION],
+        }
+    )
+
+
+def write_batch_folder(docs: DataFrame, path: str) -> list[str]:
+    """Long docs -> one reference-layout ``.batch`` file per batch_id.
+
+    Each batch is assembled and written by the executor that owns its
+    group (applyInPandas over batch_id — one shuffle, no driver
+    bottleneck). Local/shared filesystems only, like the reference's
+    target_folder; at cloud scale point ``path`` at a fuse mount or swap
+    the open() for an object-store client."""
+    import os
+
+    import pandas as pd
+
+    from bigartm_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(docs.sparkSession)
+    os.makedirs(path, exist_ok=True)
+
+    def write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        batch_id = str(key[0])
+        buf = rows_to_batch(pdf, batch_id)
+        fname = os.path.join(path, f"{batch_id}.batch")
+        with open(fname, "wb") as f:
+            f.write(buf)
+        return pd.DataFrame(
+            {"batch_id": [batch_id], "path": [fname],
+             "n_items": [pdf["doc_id"].nunique()]}
+        )
+
+    out = docs.groupBy("batch_id").applyInPandas(
+        write_group, "batch_id string, path string, n_items long"
+    )
+    return [r["path"] for r in out.collect()]
+
+
 def read_batch_folder(spark: SparkSession, path: str) -> DataFrame:
     """Directory of reference ``.batch`` files -> long docs DataFrame.
 

@@ -78,6 +78,18 @@ def import_dictionary(spark: SparkSession, path: str) -> DataFrame:
     return df.select(*[f.name for f in DICTIONARY_SCHEMA.fields])
 
 
+def import_cooc(spark: SparkSession, path: str) -> DataFrame | None:
+    """Cooc stats bundled with an exported dictionary (the reference
+    embeds cooc triplets inside the dictionary object,
+    messages.proto:555-568 / dictionary.h — ours ride alongside as a
+    second parquet in the same export dir). None if absent."""
+    import glob
+
+    if not glob.glob(os.path.join(path, "cooc.parquet", "*")):
+        return None
+    return spark.read.parquet(f"{path}/cooc.parquet")
+
+
 def export_score_tracker(tracker: dict[str, list[float]], path: str):
     """A10: per-pass score history as JSON."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -123,3 +123,68 @@ def test_read_batch_folder_and_load_batches(spark, tmp_path):
     m.initialize(gather_dictionary(df))
     m.fit_offline(df, num_collection_passes=1)
     assert m.score_tracker["perplexity"][0] > 0
+
+
+def test_write_batch_folder_round_trip(spark, tmp_path):
+    """Export long docs as reference .batch files, re-import, and get the
+    identical relation (the full migration round trip)."""
+    from pyspark.sql import functions as F
+
+    from bigartm_spark.schemas import DOCS_SCHEMA
+    from bigartm_spark.sources.batch_pb import (
+        read_batch_folder,
+        write_batch_folder,
+    )
+
+    rows = []
+    for d in range(12):
+        for p in range(1, 5):
+            rows.append(
+                (
+                    d, f"doc{d}", f"b{d % 3}",
+                    "@default_class" if p < 4 else "@labels",
+                    # transaction_id is 0-based per doc: the proto stores
+                    # only transaction RUNS, so readback renumbers from 0
+                    f"tok{(d + p) % 5}", float(p), p, p - 1,
+                    "@default_transaction",
+                )
+            )
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    out_dir = str(tmp_path / "pb_out")
+    paths = write_batch_folder(docs, out_dir)
+    assert sorted(paths) == [f"{out_dir}/b{i}.batch" for i in range(3)]
+
+    back = read_batch_folder(spark, out_dir)
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_dictionary_cooc_export_round_trip(spark, tmp_path):
+    """A9 with embedded cooc stats: export_dictionary(cooc=) and read
+    both back (dictionary.h embeds cooc in the reference's dictionary)."""
+    from bigartm_spark.schemas import COOC_SCHEMA, DICTIONARY_SCHEMA
+    from bigartm_spark.sources.io import (
+        export_dictionary,
+        import_cooc,
+        import_dictionary,
+    )
+
+    d = spark.createDataFrame(
+        [("@default_class", "a", 0.5, 10.0, 3.0),
+         ("@default_class", "b", 0.5, 6.0, 2.0)],
+        DICTIONARY_SCHEMA,
+    )
+    cooc = spark.createDataFrame(
+        [("a", "b", 1.0, 4.0, 2.0)], COOC_SCHEMA
+    )
+    path = str(tmp_path / "dict_exp")
+    export_dictionary(d, path, cooc=cooc)
+    d2 = import_dictionary(spark, path)
+    c2 = import_cooc(spark, path)
+    assert sorted(map(tuple, d.collect())) == sorted(map(tuple, d2.collect()))
+    assert sorted(map(tuple, cooc.collect())) == sorted(map(tuple, c2.collect()))
+    # absent cooc -> None
+    path2 = str(tmp_path / "dict_exp2")
+    export_dictionary(d, path2)
+    assert import_cooc(spark, path2) is None
