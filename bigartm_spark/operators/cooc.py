@@ -52,9 +52,16 @@ def cooc_gather(
             F.greatest("_tok_i", "_tok_j").alias("token_b"),
         )
     )
-    out = pairs.groupBy("token_a", "token_b").agg(
-        F.count(F.lit(1)).cast("double").alias("cooc_tf"),
-        F.countDistinct("doc_id").cast("double").alias("cooc_df"),
+    # two-stage agg instead of count(distinct doc_id): the Expand that
+    # implements countDistinct doubles the shuffled rows; pre-aggregating
+    # per (pair, doc) gets map-side combine on within-doc repeats, then
+    # df is a plain count of the per-doc rows
+    per_doc = pairs.groupBy("token_a", "token_b", "doc_id").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    out = per_doc.groupBy("token_a", "token_b").agg(
+        F.sum("_c").cast("double").alias("cooc_tf"),
+        F.count(F.lit(1)).cast("double").alias("cooc_df"),
     )
     if min_tf is not None:
         out = out.filter(F.col("cooc_tf") >= min_tf)
