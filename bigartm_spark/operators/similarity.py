@@ -283,8 +283,9 @@ def ivf_assign(
 
 
 def seed_centroids(embeddings: DataFrame, k: int) -> DataFrame:
-    """Deterministic coarse centroids: the k lowest vec_ids (replace with
-    k-means++ at scale; determinism matters more here than quality)."""
+    """Deterministic coarse centroids: the k lowest vec_ids (the
+    oracle-replayable baseline; use ``kmeans_parallel_seed`` for
+    production-quality seeding at scale)."""
     return (
         embeddings.orderBy("vec_id")
         .limit(k)
@@ -292,6 +293,106 @@ def seed_centroids(embeddings: DataFrame, k: int) -> DataFrame:
             F.col("vec_id").cast("int").alias("cell_id"),
             F.col("embedding").alias("centroid"),
         )
+    )
+
+
+def kmeans_parallel_seed(
+    embeddings: DataFrame, k: int, rounds: int = 3, oversample: float = 2.0
+) -> DataFrame:
+    """k-means|| seeding (Bahmani et al., VLDB'12), deterministic across
+    retries: instead of k sequential k-means++ draws (k cluster passes),
+    each of ``rounds`` passes samples ~oversample*k candidates with
+    probability ∝ cosine distance to the nearest candidate so far. The
+    pseudo-randomness is xxhash64(vec_id, round) — stable under task
+    retry/reordering, unlike rand(). The oversampled candidate set
+    (≤ 1 + rounds*oversample*k rows) is reduced to k on the driver by a
+    farthest-first sweep — bounded, cluster-independent work.
+
+    Returns (cell_id 0..k-1, centroid) for ivf_assign / ivf_topk."""
+    first = (
+        embeddings.orderBy("vec_id")
+        .limit(1)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    if not first:
+        raise ValueError("empty embeddings")
+    cands = [
+        (int(first[0]["vec_id"]), np.asarray(first[0]["embedding"], np.float64))
+    ]
+    target = max(int(oversample * k), 1)
+    for rnd in range(rounds):
+        C = np.stack([c for _, c in cands])
+        c_norms = np.asarray([math.sqrt(_lr_scalar_sq_norm(c)) for c in C])
+        schema = StructType(
+            [
+                embeddings.schema["vec_id"],
+                StructField("_d2", DoubleType(), True),
+                StructField("_u", DoubleType(), True),
+            ]
+        )
+
+        def score(batches, _C=C, _n=c_norms, _rnd=rnd):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                E = _stack(pdf["embedding"])
+                _, sim = _assign_kernel(E, _C, _n)
+                d2 = np.square(1.0 - sim)  # cosine distance^2
+                # deterministic uniform in [0,1) from (vec_id, round)
+                h = np.array(
+                    [
+                        hash((int(v), _rnd)) & 0xFFFFFFFF
+                        for v in pdf["vec_id"]
+                    ],
+                    dtype=np.float64,
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "_d2": d2,
+                        "_u": h / float(0x100000000),
+                    }
+                )
+
+        scored = embeddings.select("vec_id", "embedding").mapInPandas(
+            score, schema
+        )
+        tot = scored.agg(F.sum("_d2").alias("s")).collect()[0]["s"] or 0.0
+        if tot <= 0:
+            break
+        # P(select v) = min(1, target * d2/sum_d2); one filter, no sort
+        picked = (
+            scored.filter(F.col("_u") < F.lit(float(target)) * F.col("_d2") / F.lit(tot))
+            .select("vec_id")
+            .join(embeddings.select("vec_id", "embedding"), "vec_id")
+            .collect()
+        )
+        seen = {v for v, _ in cands}
+        for r in picked:
+            if r["vec_id"] not in seen:
+                seen.add(r["vec_id"])
+                cands.append(
+                    (int(r["vec_id"]), np.asarray(r["embedding"], np.float64))
+                )
+    # farthest-first reduction to k (deterministic; ties -> lowest vec_id)
+    chosen = [0]
+    C = np.stack([c for _, c in cands])
+    c_norms = np.asarray([math.sqrt(_lr_scalar_sq_norm(c)) for c in C])
+    sims = np.empty((len(cands), len(cands)))
+    for i in range(len(cands)):
+        sims[i] = _lr_dot(C, C[i]) / (c_norms * c_norms[i])
+    while len(chosen) < min(k, len(cands)):
+        best_sim = sims[:, chosen].max(axis=1)
+        best_sim[chosen] = np.inf
+        nxt = int(np.argmin(best_sim))
+        chosen.append(nxt)
+    spark = embeddings.sparkSession
+    rows = [
+        (i, [float(x) for x in C[c]]) for i, c in enumerate(sorted(chosen))
+    ]
+    return spark.createDataFrame(
+        rows, "cell_id int, centroid array<double>"
     )
 
 

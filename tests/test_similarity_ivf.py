@@ -71,3 +71,26 @@ def test_artm_on_real_text_corpus(spark, sf_dir):
     top = top_tokens(m.get_phi(), k=5).collect()
     assert len(top) == 20  # 4 topics x 5 real word tokens
     assert all(r["token"].isalpha() for r in top)
+
+
+def test_kmeans_parallel_seed_deterministic(spark):
+    """k-means|| seeding: k centroids, deterministic across invocations
+    (xxhash-style pseudo-randomness, not rand()), usable by ivf_assign."""
+    from bigartm_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_parallel_seed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    c1 = kmeans_parallel_seed(emb, k=8, rounds=2)
+    c2 = kmeans_parallel_seed(emb, k=8, rounds=2)
+    r1 = sorted((r["cell_id"], tuple(r["centroid"])) for r in c1.collect())
+    r2 = sorted((r["cell_id"], tuple(r["centroid"])) for r in c2.collect())
+    assert r1 == r2
+    assert len(r1) == 8
+    assert len({c for _, c in r1}) == 8  # all distinct
+    assigned = ivf_assign(emb, c1)
+    per_cell = assigned.groupBy("cell_id").count().collect()
+    # seeding spread: a healthy majority of cells get members
+    assert len(per_cell) >= 4
+    assert sum(r["count"] for r in per_cell) == 500
