@@ -26,9 +26,15 @@ def gather_dictionary(docs: DataFrame, vocab: DataFrame | None = None) -> DataFr
     vocab (E10): optional (token_id, token [, class_id]) from read_vocab —
     adds a vocab_order column so exports follow vocab-file order
     (dictionary_operations.cc:336-396); hash order otherwise."""
-    stats = docs.groupBy("class_id", "token").agg(
-        F.sum("weight").alias("tf"),
-        F.countDistinct("doc_id").cast("double").alias("df"),
+    # two-stage agg instead of countDistinct(doc_id): the Expand that
+    # implements a mixed count-distinct doubles the shuffled rows; the
+    # per-(token, doc) pre-agg gets map-side combine on occurrence rows
+    per_doc = docs.groupBy("class_id", "token", "doc_id").agg(
+        F.sum("weight").alias("_w")
+    )
+    stats = per_doc.groupBy("class_id", "token").agg(
+        F.sum("_w").alias("tf"),
+        F.count(F.lit(1)).cast("double").alias("df"),
     )
     class_tot = stats.groupBy("class_id").agg(F.sum("tf").alias("_class_tf"))
     out = (
