@@ -20,8 +20,11 @@ def _events(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes)["ts"] == "bigint":
+        # integer DIV, never floor(ts/1000.0): epoch-ns values (~1.7e18)
+        # exceed double's 2^53 mantissa, so the float division is off by
+        # up to ~256ns and floor() then lands on the wrong microsecond
         ev = ev.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
         )
     return ev
 
@@ -88,6 +91,50 @@ def ev_sessionize(spark, sf_dir):
             F.sum("_ns").cast("long").alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"),
         )
+    )
+
+
+@register(
+    "ev_session_windows",
+    """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) -
+                   epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id))
+                   >= 1800000000 OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       MIN(epoch_us(ts)) AS session_start_us,
+       MAX(epoch_us(ts)) + 1800000000 AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+)
+def ev_session_windows(spark, sf_dir):
+    """Spark's session_window (the streaming-native gap sessionizer,
+    streaming/events.py) vs a lag/cumsum reconstruction in the oracle.
+    Session boundary is half-open: an event exactly gap after the last
+    one starts a NEW session (>= in the oracle's gap test)."""
+    from bigartm_spark.streaming.events import sessionize_events
+
+    ev = _events(spark, sf_dir)
+    out = sessionize_events(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
     )
 
 
