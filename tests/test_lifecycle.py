@@ -198,6 +198,22 @@ def test_fit_online_async_pipeline(spark, docs):
         assert abs(r["s"] - 1.0) < 1e-6
 
 
+def test_fit_online_async_deterministic(spark, docs):
+    """G7 regression: phi is captured at submit time, so the async run is
+    the reference's deterministic deferred scheme — two runs produce
+    bit-identical score trajectories (no race on self.pwt)."""
+    from bigartm_spark.streaming.online import split_batch_groups
+
+    def run():
+        m = ARTM(topic_names=list(TOPICS3), num_document_passes=2, seed=3)
+        m.initialize(gather_dictionary(docs))
+        groups = split_batch_groups(docs, update_every=16)[:3]
+        m.fit_online_async(groups, tau0=64)
+        return m.score_tracker["perplexity"]
+
+    assert run() == run()
+
+
 def test_gather_dictionary_vocab_order(spark, tmp_path):
     from bigartm_spark.sources.uci import read_uci
     from bigartm_spark.operators.dictionary import gather_dictionary
