@@ -188,3 +188,67 @@ def test_dictionary_cooc_export_round_trip(spark, tmp_path):
     path2 = str(tmp_path / "dict_exp2")
     export_dictionary(d, path2)
     assert import_cooc(spark, path2) is None
+
+
+def test_codec_property_round_trip():
+    """Property test: arbitrary unicode tokens / weights / ids survive
+    the wire round trip byte-exactly (float32 weights compared as f32)."""
+    import struct as _struct
+
+    from hypothesis import given, settings, strategies as st
+
+    token = st.text(min_size=0, max_size=30)
+    item = st.fixed_dictionaries(
+        {
+            "id": st.integers(min_value=0, max_value=2**31 - 1),
+            "title": st.one_of(st.none(), st.text(max_size=20)),
+            "token_id": st.lists(
+                st.integers(min_value=0, max_value=100), max_size=20
+            ),
+            "token_weight": st.lists(
+                st.floats(
+                    min_value=0, max_value=1e6, allow_nan=False, width=32
+                ),
+                max_size=20,
+            ),
+            "transaction_start_index": st.lists(
+                st.integers(min_value=0, max_value=100), max_size=20
+            ),
+            "transaction_typename_id": st.lists(
+                st.integers(min_value=0, max_value=10), max_size=20
+            ),
+        }
+    )
+    batch = st.fixed_dictionaries(
+        {
+            "token": st.lists(token, max_size=10),
+            "class_id": st.lists(token, max_size=10),
+            "item": st.lists(item, max_size=5),
+            "description": st.one_of(st.none(), st.text(max_size=10)),
+            "id": st.one_of(st.none(), st.text(min_size=1, max_size=16)),
+            "transaction_typename": st.lists(token, max_size=3),
+        }
+    )
+
+    def f32(x):
+        return _struct.unpack("<f", _struct.pack("<f", x))[0]
+
+    @settings(max_examples=150, deadline=None)
+    @given(batch)
+    def check(b):
+        out = parse_batch(serialize_batch(b))
+        assert out["token"] == b["token"]
+        assert out["class_id"] == b["class_id"]
+        assert out["id"] == b["id"]
+        assert out["description"] == b["description"]
+        assert out["transaction_typename"] == b["transaction_typename"]
+        assert len(out["item"]) == len(b["item"])
+        for got, want in zip(out["item"], b["item"]):
+            assert got["id"] == want["id"]
+            assert got["title"] == want["title"]
+            assert got["token_id"] == want["token_id"]
+            assert got["token_weight"] == [f32(w) for w in want["token_weight"]]
+            assert got["transaction_start_index"] == want["transaction_start_index"]
+            assert got["transaction_typename_id"] == want["transaction_typename_id"]
+
+    check()
