@@ -52,6 +52,16 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="class_id to predict with --write-class-predictions",
     )
+    cooc = p.add_argument_group("cooc gathering (srcmain.cc:261-309)")
+    cooc.add_argument("--cooc-window", type=int, default=5)
+    cooc.add_argument("--cooc-min-tf", type=float, default=None)
+    cooc.add_argument("--cooc-min-df", type=float, default=None)
+    cooc.add_argument(
+        "--write-cooc-tf", help="CSV sink: token_a,token_b,cooc_tf (+ppmi)"
+    )
+    cooc.add_argument(
+        "--write-cooc-df", help="CSV sink: token_a,token_b,cooc_df"
+    )
     out = p.add_argument_group("output")
     out.add_argument("--save-model", help="directory for phi parquet (A8)")
     out.add_argument("--load-model", help="skip fit, load phi (A8)")
@@ -213,6 +223,28 @@ def main(argv: list[str] | None = None) -> int:
             max_df=args.dictionary_max_df,
             recalculate_value=True,
         )
+    if args.write_cooc_tf or args.write_cooc_df:
+        from bigartm_spark.operators.cooc import cooc_ppmi
+
+        cooc = cooc_ppmi(
+            docs,
+            window=args.cooc_window,
+            min_tf=args.cooc_min_tf,
+            min_df=args.cooc_min_df,
+        )
+        if args.write_cooc_tf:
+            cooc.select(
+                "token_a", "token_b", "cooc_tf", "ppmi"
+            ).coalesce(1).write.mode("overwrite").option("header", True).csv(
+                args.write_cooc_tf
+            )
+        if args.write_cooc_df:
+            cooc.select("token_a", "token_b", "cooc_df").coalesce(
+                1
+            ).write.mode("overwrite").option("header", True).csv(
+                args.write_cooc_df
+            )
+
     if args.write_dictionary_readable:
         dictionary.coalesce(1).write.mode("overwrite").option(
             "header", True

@@ -137,3 +137,31 @@ def test_parse_regularizer_grammar():
     assert theta[0].tau == -0.3
     np.testing.assert_allclose(theta[0].topic_mask, [1, 0, 0, 0])
     assert parse_key_value_pairs("@a,@b:5") == {"@a": 1.0, "@b": 5.0}
+
+
+def test_cli_cooc_gathering(spark, tmp_path):
+    """--cooc-window/--write-cooc-tf/--write-cooc-df (srcmain.cc:261-309)."""
+    import os
+
+    from bigartm_spark.cli import main
+
+    corpus = tmp_path / "c4.vw"
+    corpus.write_text(
+        "\n".join(f"d{d} w{d % 3} w{(d + 1) % 3} w2" for d in range(15)) + "\n"
+    )
+    tf_dir = str(tmp_path / "cooc_tf")
+    df_dir = str(tmp_path / "cooc_df")
+    rc = main(
+        [
+            "--read-vw-corpus", str(corpus), "-t", "2", "-p", "1",
+            "--cooc-window", "2", "--cooc-min-tf", "1",
+            "--write-cooc-tf", tf_dir, "--write-cooc-df", df_dir,
+        ]
+    )
+    assert rc == 0
+    for d, cols in [(tf_dir, "token_a,token_b,cooc_tf,ppmi"),
+                    (df_dir, "token_a,token_b,cooc_df")]:
+        csvs = [f for f in os.listdir(d) if f.endswith(".csv")]
+        assert csvs
+        header = open(os.path.join(d, csvs[0])).readline().strip()
+        assert header == cols
