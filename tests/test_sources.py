@@ -154,3 +154,39 @@ def test_from_n_wd(spark):
     more = from_n_wd(spark, np.array([[1], [1], [1]]), ["a", "b", "c"])
     combined = import_batches(docs, more)
     assert combined.count() == 7
+
+
+def test_read_cooc_file(spark, tmp_path):
+    """--read-cooc adjacency format (dictionary_operations.cc:100-190):
+    modality markers, colon-separated values, symmetric mirroring."""
+    from bigartm_spark.sources.cooc_file import (
+        parse_cooc_line,
+        read_cooc,
+        to_cooc_relation,
+    )
+
+    assert parse_cooc_line("alpha beta:2.5 gamma:1") == [
+        ("@default_class", "alpha", "@default_class", "beta", 2.5),
+        ("@default_class", "alpha", "@default_class", "gamma", 1.0),
+    ]
+    assert parse_cooc_line("|@labels pos neg:3") == [
+        ("@labels", "pos", "@labels", "neg", 3.0)
+    ]
+    assert parse_cooc_line("alpha |@labels pos:2") == [
+        ("@default_class", "alpha", "@labels", "pos", 2.0)
+    ]
+    assert parse_cooc_line("") == []
+
+    f = tmp_path / "cooc.txt"
+    f.write_text("alpha beta:2.5 gamma:1\n|@labels pos neg:3\n\n")
+    df = read_cooc(spark, str(f))
+    rows = sorted(map(tuple, df.collect()))
+    assert len(rows) == 3
+    assert ("@default_class", "alpha", "@default_class", "beta", 2.5) in rows
+
+    sym = read_cooc(spark, str(f), symmetric=True)
+    assert sym.count() == 6
+
+    rel = to_cooc_relation(df)
+    got = sorted(map(tuple, rel.select("token_a", "token_b", "value").collect()))
+    assert got == [("alpha", "beta", 2.5), ("alpha", "gamma", 1.0)]
