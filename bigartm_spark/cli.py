@@ -26,6 +26,11 @@ def build_parser() -> argparse.ArgumentParser:
     src.add_argument("--read-uci-docword", help="UCI docword file")
     src.add_argument("--read-uci-vocab", help="UCI vocab file")
     src.add_argument("--use-batches", help="parquet batch store (A5)")
+    src.add_argument(
+        "--read-cooc",
+        help="co-occurrence adjacency file (srcmain.cc --read-cooc); "
+        "enables ImproveCoherence / Biterms regularizer specs",
+    )
     p.add_argument("-t", "--topics", type=int, default=16)
     p.add_argument("-p", "--passes", type=int, default=10)
     p.add_argument("--num-document-passes", type=int, default=10)
@@ -112,7 +117,7 @@ def _parse_topic_spec(spec: str, topics: list[str]) -> list[str]:
     return names
 
 
-def parse_regularizers(specs: list[str], topics: list[str]):
+def parse_regularizers(specs: list[str], topics: list[str], cooc=None):
     """Inline regularizer grammar per srcmain.cc configureRegularizer:
     "tau Name [#topics] [@class_ids] [?dictionary]" (case-insensitive
     names, Sparse* negates tau). The legacy third-token float is still
@@ -179,6 +184,18 @@ def parse_regularizers(specs: list[str], topics: list[str]):
             theta_agents.append(R.SmoothSparseTheta(tau=tau, topic_mask=mask))
         elif lname in ("topicselection", "topicselectiontheta"):
             theta_agents.append(R.TopicSelectionTheta(tau=tau))
+        elif lname in ("improvecoherence", "improvecoherencephi"):
+            if cooc is None:
+                raise SystemExit(f"{name} requires --read-cooc")
+            phi_regs.append(
+                R.ImproveCoherencePhi(tau=tau, cooc=cooc, topic_names=topic_names)
+            )
+        elif lname in ("biterms", "bitermsphi"):
+            if cooc is None:
+                raise SystemExit(f"{name} requires --read-cooc")
+            phi_regs.append(
+                R.BitermsPhi(tau=tau, cooc=cooc, topic_names=topic_names)
+            )
         else:
             raise SystemExit(f"unknown regularizer: {name}")
     return phi_regs, theta_agents
@@ -253,8 +270,15 @@ def main(argv: list[str] | None = None) -> int:
     class_weights = (
         parse_key_value_pairs(args.use_modality) if args.use_modality else None
     )
+    cooc_rel = None
+    if args.read_cooc:
+        from bigartm_spark.sources.cooc_file import read_cooc, to_cooc_relation
+
+        cooc_rel = to_cooc_relation(read_cooc(spark, args.read_cooc)).cache()
     topic_names = [f"topic_{i}" for i in range(args.topics)]
-    phi_regs, theta_agents = parse_regularizers(args.regularizer, topic_names)
+    phi_regs, theta_agents = parse_regularizers(
+        args.regularizer, topic_names, cooc=cooc_rel
+    )
     model = ARTM(
         topic_names=topic_names,
         num_document_passes=args.num_document_passes,

@@ -165,3 +165,31 @@ def test_cli_cooc_gathering(spark, tmp_path):
         assert csvs
         header = open(os.path.join(d, csvs[0])).readline().strip()
         assert header == cols
+
+
+def test_cli_read_cooc_regularizer(spark, tmp_path):
+    """--read-cooc feeds ImproveCoherence/Biterms regularizer specs."""
+    from bigartm_spark.cli import main
+
+    corpus = tmp_path / "c5.vw"
+    corpus.write_text(
+        "\n".join(f"d{d} a b c{(d % 2)}" for d in range(12)) + "\n"
+    )
+    cooc = tmp_path / "cooc.txt"
+    cooc.write_text("a b:4\nb c0:2 c1:1\n")
+    rc = main(
+        [
+            "--read-vw-corpus", str(corpus), "-t", "2", "-p", "2",
+            "--read-cooc", str(cooc),
+            "--regularizer", "0.1 ImproveCoherence",
+        ]
+    )
+    assert rc == 0
+
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(
+            ["--read-vw-corpus", str(corpus), "-t", "2", "-p", "1",
+             "--regularizer", "0.1 Biterms"]
+        )
