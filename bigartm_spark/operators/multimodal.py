@@ -105,6 +105,92 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("out_width", T.IntegerType(), False),
+        T.StructField("out_height", T.IntegerType(), False),
+        T.StructField("pixels", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def fake_resize(
+    content: bytes, media_type: str, width: int, height: int
+) -> np.ndarray:
+    """Deterministic stand-in for decode+resize: a width*height float
+    raster derived from the content digest (swap for PIL in production;
+    the Spark-side batching/schema is what this module makes real)."""
+    return fake_decode(content, media_type, dim=width * height)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int = 16,
+    height: int = 16,
+    resize_fn: Callable[[bytes, str, int, int], np.ndarray] = fake_resize,
+) -> DataFrame:
+    """mapInPandas image resize: binary -> fixed (width x height) float
+    raster. Output row size is fixed by (width, height), so executor
+    memory is batch-bounded no matter the input asset sizes."""
+    from bigartm_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pix = [
+                resize_fn(bytes(c), mt, width, height)
+                for c, mt in zip(pdf["content"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "out_width": width,
+                    "out_height": height,
+                    "pixels": pix,
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def audio_chunk_plan(media: DataFrame, chunk_ms: int = 5000) -> DataFrame:
+    """Audio chunking *plan*: expand each audio asset into
+    (chunk_start_ms, chunk_end_ms) rows — pure Column expressions, the
+    decode happens downstream. Non-audio rows pass through as one
+    full-span chunk."""
+    is_audio = (F.col("media_type") == "audio") & F.col(
+        "meta_duration_ms"
+    ).isNotNull()
+    starts = F.when(
+        is_audio,
+        F.sequence(F.lit(0), F.col("meta_duration_ms") - 1, F.lit(chunk_ms)),
+    ).otherwise(F.array(F.lit(0)))
+    out = media.select(
+        "asset_id",
+        "media_type",
+        "meta_duration_ms",
+        F.explode(starts).alias("chunk_start_ms"),
+    )
+    return out.select(
+        "asset_id",
+        "media_type",
+        "chunk_start_ms",
+        F.when(
+            F.col("meta_duration_ms").isNotNull(),
+            F.least(
+                F.col("chunk_start_ms") + F.lit(chunk_ms),
+                F.col("meta_duration_ms"),
+            ),
+        )
+        .otherwise(F.col("chunk_start_ms"))
+        .alias("chunk_end_ms"),
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expand each video asset into frame
     timestamps (decode stubbed). Pure Column expressions — the expensive

@@ -161,3 +161,35 @@ def test_sql_api_views(spark, sf_dir):
         """
     ).collect()[0]["n"]
     assert j > 0
+
+
+def test_resize_images_and_audio_chunks(spark):
+    from bigartm_spark.operators.multimodal import (
+        audio_chunk_plan,
+        resize_images,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"img-bytes"), 640, 480, None),
+            (2, "audio", bytearray(b"wav-bytes"), None, None, 12_500),
+            (3, "video", bytearray(b"mp4-bytes"), None, None, 3000),
+        ],
+        "asset_id long, media_type string, content binary, "
+        "meta_width int, meta_height int, meta_duration_ms int",
+    )
+    resized = resize_images(media.filter("media_type = 'image'"), 4, 4)
+    row = resized.collect()[0]
+    assert row["out_width"] == 4 and len(row["pixels"]) == 16
+    # deterministic across calls (fake decode is digest-based)
+    again = resize_images(media.filter("media_type = 'image'"), 4, 4).collect()[0]
+    assert list(row["pixels"]) == list(again["pixels"])
+
+    chunks = {
+        (r["asset_id"], r["chunk_start_ms"], r["chunk_end_ms"])
+        for r in audio_chunk_plan(media, chunk_ms=5000).collect()
+    }
+    # audio: 12.5s -> [0,5000),[5000,10000),[10000,12500); others 1 row
+    assert (2, 0, 5000) in chunks and (2, 10000, 12500) in chunks
+    assert len([c for c in chunks if c[0] == 2]) == 3
+    assert len([c for c in chunks if c[0] == 1]) == 1
