@@ -73,13 +73,20 @@ def cooc_gather(
 def ppmi(cooc: DataFrame) -> DataFrame:
     """PPMI = max(0, ln(n * n_uv / (n_u * n_v))) with n_u = token pair-mass
     marginals, n = total pair mass (both directions)."""
+    # single read of the cooc relation: explode each pair into its two
+    # endpoint contributions (a union would scan it twice); n falls out
+    # of the same marginals (sum_u n_u == 2 * sum(tf))
     marg = (
-        cooc.select(F.col("token_a").alias("token"), "cooc_tf")
-        .unionAll(cooc.select(F.col("token_b").alias("token"), "cooc_tf"))
+        cooc.select(
+            F.explode(
+                F.array(F.col("token_a"), F.col("token_b"))
+            ).alias("token"),
+            "cooc_tf",
+        )
         .groupBy("token")
         .agg(F.sum("cooc_tf").alias("n_u"))
     )
-    n = cooc.agg((F.sum("cooc_tf") * 2).alias("n"))
+    n = marg.agg(F.sum("n_u").alias("n"))
     out = (
         cooc.join(F.broadcast(marg.withColumnRenamed("token", "token_a")
                   .withColumnRenamed("n_u", "_na")), "token_a")
