@@ -1,0 +1,63 @@
+"""Production-vs-oracle hash variants and the shingle-df cap: the
+xxhash64 paths are bench-only, so pin their semantics against the
+oracle-paired md5 paths here."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    for d in range(20):
+        text = base if d % 5 == 0 else f"{base} variant {d} " + " ".join(
+            f"w{d}x{j}" for j in range(6)
+        )
+        rows.append((d, text))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_hash_variants_agree_on_duplicates(spark):
+    """Exact-duplicate docs collide in EVERY band under both hash
+    functions; candidate pairs found by md5 LSH on identical docs are
+    found by xxhash64 LSH too."""
+    from bigartm_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = _docs(spark)
+    dup_pairs = {(a, b) for a in (0, 5, 10, 15) for b in (0, 5, 10, 15) if a < b}
+    for hash_fn in ("md5", "xxhash64"):
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in lsh_candidate_pairs(docs, hash_fn=hash_fn).collect()
+        }
+        assert dup_pairs <= got, (hash_fn, got)
+
+
+def test_simhash_variants_rank_duplicates_identical(spark):
+    """simhash(xxhash64) gives identical hashes for identical texts and
+    (like md5) differing hashes across unrelated texts."""
+    from bigartm_spark.operators.dedup import simhash
+
+    docs = _docs(spark)
+    for hash_fn in ("md5", "xxhash64"):
+        sim = {r["doc_id"]: r["simhash"] for r in simhash(docs, hash_fn=hash_fn).collect()}
+        assert sim[0] == sim[5] == sim[10] == sim[15], hash_fn
+        assert len(set(sim.values())) > 1, hash_fn
+
+
+def test_ngram_jaccard_shingle_df_cap(spark):
+    """The df cap drops near-universal shingles from the index: with a
+    tiny cap the boilerplate-only pairs disappear, with cap=None the
+    exact Jaccard returns."""
+    from bigartm_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark)
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.05, max_shingle_df=None)
+    capped = ngram_jaccard_pairs(docs, threshold=0.05, max_shingle_df=3)
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_un > 0
+    # base-sentence shingles appear in all 20 docs -> removed by cap=3;
+    # only the 4 identical docs (sharing nothing else) can still pair...
+    # and they share ONLY capped shingles, so the capped index yields fewer pairs
+    assert n_cap < n_un
