@@ -96,6 +96,14 @@ class ARTM:
     def fit_offline(self, docs: DataFrame, num_collection_passes: int = 1) -> "ARTM":
         if self.pwt is None:
             raise RuntimeError("call initialize(dictionary) first")
+        if self.num_buckets is None:
+            # size E-step buckets from the corpus, not just parallelism:
+            # one count (amortized over all passes) keeps the per-bucket
+            # kernel working set inside the executor budget at any scale
+            sc = docs.sparkSession.sparkContext
+            self.num_buckets = estep.choose_num_buckets(
+                docs.count(), len(self.topics), sc.defaultParallelism
+            )
         for _ in range(num_collection_passes):
             self._one_pass(docs)
         return self

@@ -68,6 +68,26 @@ def should_broadcast_phi(
     return n_rows * num_topics * 8 * 2 <= limit
 
 
+# Kernel working set per bucket ≈ nnz x T doubles x ~4 live arrays
+# (phi_rows, ptdw, contribs, partial n_wt). Budget per bucket:
+BUCKET_TARGET_BYTES = 512 * 1024 * 1024
+
+
+def choose_num_buckets(
+    corpus_nnz: int,
+    num_topics: int,
+    parallelism: int,
+    target_bytes: int = BUCKET_TARGET_BYTES,
+) -> int:
+    """Bucket count that keeps the per-bucket kernel working set under
+    ``target_bytes`` AND saturates the cluster. Parallelism alone is the
+    wrong default at scale: 100 TB over 2x-parallelism buckets would put
+    billions of rows (x T doubles, x4 arrays) in one applyInPandas
+    group."""
+    need = (corpus_nnz * num_topics * 8 * 4 + target_bytes - 1) // target_bytes
+    return max(parallelism * 2, int(need), 8)
+
+
 def _bcast_lookup(phi_bcast):
     """(key_frame, matrix) from a (cls, tok, mat) numpy broadcast.
     Memo keyed by the identity of the worker-cached value tuple (the

@@ -175,3 +175,12 @@ def test_auto_size_takes_join_path_without_driver_collect(
     assert got.keys() == ref_nwt.keys()
     for k in got:
         np.testing.assert_allclose(got[k], ref_nwt[k], rtol=1e-9)
+
+
+def test_choose_num_buckets_scales_with_corpus():
+    # small corpus: saturate parallelism
+    assert estep.choose_num_buckets(100_000, 10, 32) == 64
+    # 100TB-ish: 2e12 occurrences x 100 topics -> bucket memory governs
+    big = estep.choose_num_buckets(2_000_000_000_000, 100, 2000)
+    assert big * estep.BUCKET_TARGET_BYTES >= 2_000_000_000_000 * 100 * 8 * 4
+    assert big > 4000
