@@ -322,6 +322,45 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+@register(
+    "ann_ivf_refine",
+    f"""
+WITH {_CENTROID_CTE},
+s AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         {_cos_sql('e.embedding', 'c.centroid')} AS sim
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cell_id ASC) AS rn
+    FROM s) WHERE rn = 1
+)
+SELECT cell_id, CAST(t.i AS INT) AS dim_idx,
+       ROUND(AVG(CAST(embedding[t.i] AS DOUBLE)), 6) AS value
+FROM assigned, UNNEST(range(1, 65)) AS t(i)
+GROUP BY cell_id, t.i
+""",
+)
+def ann_ivf_refine(spark, sf_dir):
+    """One Lloyd iteration (ivf_refine_centroids): per-cell mean of the
+    assigned vectors, long (cell_id, dim_idx, value) layout so the hash
+    compare sees scalars, not array formatting."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.seed_centroids(emb, 8)
+    refined = similarity.ivf_refine_centroids(emb, cents, iterations=1)
+    out = refined.select(
+        "cell_id",
+        F.posexplode("centroid").alias("_i", "value"),
+    ).select(
+        "cell_id",
+        (F.col("_i") + 1).cast("int").alias("dim_idx"),
+        "value",
+    )
+    return _r6(out, "value")
+
+
 # ------------------------------------------------------------- textstats
 @register(
     "text_token_count",
