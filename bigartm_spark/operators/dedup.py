@@ -233,6 +233,66 @@ def ngram_jaccard_pairs(
     return out
 
 
+def dedup_clusters(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Connected components over candidate pairs -> (doc_id, canonical):
+    the cluster representative is the minimum doc_id reachable through
+    the duplicate graph — the standard post-LSH canonical-selection step.
+
+    Iterative min-label propagation: each round joins labels to the
+    (bidirectional) edge list and takes the per-node min of own and
+    neighbor labels; stop when a round changes nothing. Near-duplicate
+    clusters have tiny diameter, so rounds ≈ 2-3 in practice; each round
+    is one join + one groupBy (plain shuffles, no driver-side graph).
+    Only docs that appear in some pair are returned."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    ).cache()
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("label").alias("_nl"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("_nl").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "label", F.coalesce("_nbr", F.col("label"))
+                ).alias("label"),
+            )
+        ).cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("canonical"))
+
+
 def simhash(
     documents: DataFrame, bits: int = 16, hash_fn: str = "xxhash64"
 ) -> DataFrame:

@@ -110,6 +110,43 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return _r6(dedup.ngram_jaccard_pairs(docs, threshold=0.05), "jaccard")
 
 
+@register(
+    "dedup_cluster_canonicals",
+    f"""
+WITH RECURSIVE {_minhash_sig_cte()},
+bands AS (
+  SELECT doc_id, CAST(sig_idx // {dedup.LSH_BAND_SIZE} AS INT) AS band,
+         STRING_AGG(CAST(minhash AS VARCHAR), ',' ORDER BY sig_idx) AS band_sig
+  FROM sig GROUP BY doc_id, CAST(sig_idx // {dedup.LSH_BAND_SIZE} AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL SELECT doc_b, doc_a FROM cand
+),
+reach(doc_id, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON r.doc_id = e.dst
+)
+SELECT doc_id, MIN(label) AS canonical FROM reach GROUP BY doc_id
+""",
+)
+def dedup_cluster_canonicals(spark, sf_dir):
+    """Connected components over the MinHash-LSH candidate graph: the
+    canonical (min doc_id) per duplicate cluster — min-label propagation
+    on Spark vs a recursive reachability CTE in the oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.lsh_candidate_pairs(docs, hash_fn="md5").select(
+        "doc_a", "doc_b"
+    )
+    return dedup.dedup_clusters(pairs)
+
+
 _HEX16_SQL = (
     "(strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 4096 + "
     "(strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1) * 256 + "

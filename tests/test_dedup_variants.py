@@ -61,3 +61,17 @@ def test_ngram_jaccard_shingle_df_cap(spark):
     # only the 4 identical docs (sharing nothing else) can still pair...
     # and they share ONLY capped shingles, so the capped index yields fewer pairs
     assert n_cap < n_un
+
+
+def test_dedup_clusters_components(spark):
+    """Min-label propagation: two separate chains resolve to their own
+    canonical mins; isolated docs don't appear."""
+    from bigartm_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        # component {1,2,3,9} (chain) and {5,7}
+        [(1, 2), (2, 3), (3, 9), (5, 7)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["canonical"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
