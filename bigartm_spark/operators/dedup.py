@@ -293,6 +293,35 @@ def dedup_clusters(
     return labels.select("doc_id", F.col("label").alias("canonical"))
 
 
+def deduplicate_corpus(
+    documents: DataFrame,
+    n: int = 3,
+    use_lsh: bool = True,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The end-to-end cleaner: drop exact duplicates (keep min doc_id per
+    md5) then drop MinHash-LSH near-duplicate cluster members (keep the
+    cluster canonical). Returns the surviving documents unchanged.
+
+    Every stage is a bounded shuffle: hash-groupBy, band join, label
+    propagation, two anti-join-free semi-joins — no all-pairs anywhere."""
+    canon_exact = exact_dedup(documents).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    survivors = documents.join(canon_exact, "doc_id")
+    if not use_lsh:
+        return survivors
+    pairs = lsh_candidate_pairs(survivors, n, hash_fn=hash_fn).select(
+        "doc_a", "doc_b"
+    )
+    drop = (
+        dedup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("canonical"))
+        .select("doc_id")
+    )
+    return survivors.join(drop, "doc_id", "left_anti")
+
+
 def simhash(
     documents: DataFrame, bits: int = 16, hash_fn: str = "xxhash64"
 ) -> DataFrame:

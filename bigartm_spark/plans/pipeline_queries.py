@@ -147,6 +147,67 @@ def dedup_cluster_canonicals(spark, sf_dir):
     return dedup.dedup_clusters(pairs)
 
 
+@register(
+    "dedup_corpus_survivors",
+    f"""
+WITH RECURSIVE canon_exact AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+surv AS (
+  SELECT d.* FROM documents d JOIN canon_exact USING (doc_id)
+),
+docw AS (SELECT doc_id, {WORDS_SQL} AS ws FROM surv),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM docw, UNNEST(range(1, GREATEST(len(ws) - 2, 0) + 1)) AS t(i)
+),
+sig AS (
+  SELECT doc_id, t.sig_idx,
+         MIN(md5(CAST(t.sig_idx AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM sh, (SELECT UNNEST(range({dedup.MINHASH_K})) AS sig_idx) t
+  GROUP BY doc_id, t.sig_idx
+),
+bands AS (
+  SELECT doc_id, CAST(sig_idx // {dedup.LSH_BAND_SIZE} AS INT) AS band,
+         STRING_AGG(CAST(minhash AS VARCHAR), ',' ORDER BY sig_idx) AS band_sig
+  FROM sig GROUP BY doc_id, CAST(sig_idx // {dedup.LSH_BAND_SIZE} AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL SELECT doc_b, doc_a FROM cand
+),
+reach(doc_id, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON r.doc_id = e.dst
+),
+drop_docs AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, MIN(label) AS canonical FROM reach GROUP BY doc_id)
+  WHERE doc_id <> canonical
+)
+SELECT s.doc_id, s.lang, s.source,
+       CAST(s.n_chars AS BIGINT) AS n_chars
+FROM surv s LEFT JOIN drop_docs dd ON dd.doc_id = s.doc_id
+WHERE dd.doc_id IS NULL
+""",
+)
+def dedup_corpus_survivors(spark, sf_dir):
+    """End-to-end corpus cleaning: exact dedup then LSH-cluster
+    canonical selection (deduplicate_corpus), metadata of survivors."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup.deduplicate_corpus(docs, hash_fn="md5")
+    return out.select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
 _HEX16_SQL = (
     "(strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 4096 + "
     "(strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1) * 256 + "

@@ -75,3 +75,37 @@ def test_dedup_clusters_components(spark):
     )
     got = {r["doc_id"]: r["canonical"] for r in dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
+
+
+def test_deduplicate_corpus(spark):
+    """Exact dups collapse to min doc_id; LSH near-dup clusters keep the
+    canonical only; distinct docs survive."""
+    from bigartm_spark.operators.dedup import deduplicate_corpus
+
+    from bigartm_spark.operators.dedup import (
+        dedup_clusters,
+        lsh_candidate_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base), (2, base),                      # exact dup pair -> keep 1
+        (3, base + " " + base),                    # near-dup (same shingle core)
+        (4, "totally different text with unique content words only"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    survivors = {r["doc_id"] for r in deduplicate_corpus(docs).collect()}
+    assert 1 in survivors and 4 in survivors
+    assert 2 not in survivors  # exact dup always collapses
+    # LSH banding is probabilistic per fixture: assert self-consistency —
+    # survivors == exact canonicals minus LSH-cluster non-canonicals
+    exact_canon = {1, 3, 4}
+    pairs = lsh_candidate_pairs(
+        docs.filter(F.col("doc_id").isin(list(exact_canon)))
+    ).select("doc_a", "doc_b")
+    dropped = {
+        r["doc_id"]
+        for r in dedup_clusters(pairs).collect()
+        if r["doc_id"] != r["canonical"]
+    }
+    assert survivors == exact_canon - dropped
