@@ -322,6 +322,30 @@ def deduplicate_corpus(
     return survivors.join(drop, "doc_id", "left_anti")
 
 
+def contamination_check(
+    documents: DataFrame, probes: DataFrame, n: int = 3
+) -> DataFrame:
+    """Benchmark decontamination: which documents share word n-grams
+    with any probe text (e.g. eval-set questions)?
+    (doc_id, probe_id, n_shared_shingles) for every overlapping pair.
+
+    The probe set is small by definition, so its shingle index is
+    broadcast — the corpus-side explode joins map-side with no shuffle
+    of the big relation; the count agg shuffles only the matches."""
+    doc_sh = doc_shingles(documents, n)  # distinct: overlap is set-based
+    probe_sh = (
+        probes.select(
+            F.col("probe_id"), F.explode(shingles_col(n)).alias("shingle")
+        )
+        .distinct()
+    )
+    return (
+        doc_sh.join(F.broadcast(probe_sh), "shingle")
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
 def simhash(
     documents: DataFrame, bits: int = 16, hash_fn: str = "xxhash64"
 ) -> DataFrame:

@@ -208,6 +208,35 @@ def dedup_corpus_survivors(spark, sf_dir):
     )
 
 
+@register(
+    "contamination_check",
+    f"""
+WITH {SHINGLES_CTE},
+probes AS (
+  SELECT doc_id AS probe_id, text FROM documents WHERE doc_id < 3
+),
+pw AS (SELECT probe_id, {WORDS_SQL} AS ws FROM probes),
+psh AS (
+  SELECT DISTINCT probe_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM pw, UNNEST(range(1, GREATEST(len(ws) - 2, 0) + 1)) AS t(i)
+)
+SELECT sh.doc_id, psh.probe_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+FROM sh JOIN psh USING (shingle)
+GROUP BY sh.doc_id, psh.probe_id
+""",
+)
+def contamination_check(spark, sf_dir):
+    """Benchmark decontamination: n-gram overlap of every document
+    against a probe set (here: docs 0-2 standing in for an eval set)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probes = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    return dedup.contamination_check(docs, probes)
+
+
 _HEX16_SQL = (
     "(strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 4096 + "
     "(strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1) * 256 + "
@@ -588,6 +617,48 @@ def text_tokenize_corpus(spark, sf_dir):
     return docs_from_documents(spark, sf_dir).drop(
         "transaction_id", "transaction_typename"
     )
+
+
+@register(
+    "corpus_quality_filter",
+    f"""
+WITH docw AS (SELECT doc_id, lang, {WORDS_SQL} AS ws FROM documents),
+m AS (
+  SELECT doc_id, lang,
+         CAST(len(ws) AS DOUBLE) AS n_words,
+         CASE WHEN len(ws) > 0
+              THEN CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+              ELSE 0.0 END AS distinct_ratio,
+         CASE WHEN len(ws) > 0
+              THEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(ws, w -> CAST(len(w) AS DOUBLE))),
+                     (a, x) -> a + x) / len(ws)
+              ELSE 0.0 END AS mean_word_len
+  FROM docw
+),
+q AS (
+  SELECT doc_id, lang,
+         0.4 * LEAST(n_words / 100.0, 1.0)
+         + 0.3 * distinct_ratio
+         + 0.3 * LEAST(mean_word_len / 8.0, 1.0) AS quality
+  FROM m
+)
+SELECT doc_id, lang, ROUND(quality, 6) AS quality
+FROM q WHERE quality >= 0.5 AND lang = 'en'
+""",
+)
+def corpus_quality_filter(spark, sf_dir):
+    """The select step of a training pipeline: keep docs passing the
+    quality heuristic AND a language gate (quality_score + metadata
+    filter compose as plain relational ops; the filter pushes down)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = textstats.quality_score(docs).select("doc_id", "quality")
+    out = (
+        docs.select("doc_id", "lang")
+        .join(q, "doc_id")
+        .filter((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
+    )
+    return _r6(out.select("doc_id", "lang", "quality"), "quality")
 
 
 @register(
