@@ -22,8 +22,6 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main():
-    from pyspark.sql import functions as F
-
     from bigartm_spark.corpus import docs_from_lineitem
     from bigartm_spark.model import estep
     from bigartm_spark.model.artm import ARTM

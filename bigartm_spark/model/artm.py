@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 
 from bigartm_spark.model import estep, mstep
 from bigartm_spark.model.init import initialize_phi

@@ -16,7 +16,7 @@ DuckDB-replayable oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # MinHash: k independent permutations = md5 over seed-prefixed shingles,

@@ -31,7 +31,7 @@ small expressions and tests; hot paths must use the kernels.
 from __future__ import annotations
 
 import math
-from typing import Iterable, Iterator, Sequence
+from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from bigartm_spark.functions.hashing import char_hash_sql
 from bigartm_spark.operators import dedup, similarity, textstats
-from bigartm_spark.plans.driver_queries import ORACLES, QUERIES, _r6, register
+from bigartm_spark.plans.driver_queries import _r6, register
 
 WORDS_SQL = "list_filter(string_split(text, ' '), w -> len(w) > 0)"
 
