@@ -125,9 +125,19 @@ class ARTM:
                 if self.reuse_theta and self.theta is not None
                 else None
             ),
-        ).cache()
-
-        self._merge_and_normalize(kernel_out, decay_weight, apply_weight)
+        )
+        if self.cache_theta:
+            # the theta extraction re-reads the kernel output -> cache it
+            kernel_out = kernel_out.cache()
+            self._merge_and_normalize(kernel_out, decay_weight, apply_weight)
+        else:
+            # single-action pass: scores ride an Observation on the same
+            # job that materializes the new phi — no cache of the kernel
+            # relation, no second scores job
+            obs, observed = estep.attach_score_observation(kernel_out)
+            self._merge_and_normalize(
+                observed, decay_weight, apply_weight, score_observation=obs
+            )
 
     # -- G6 ---------------------------------------------------------------
     def fit_online(
@@ -231,6 +241,7 @@ class ARTM:
         decay_weight: float,
         apply_weight: float,
         unpersist_old: bool = True,
+        score_observation=None,
     ):
         """M-step half of a pass given a materialized kernel output."""
         nwt_df = estep.aggregate_nwt(kernel_out, len(self.topics))
@@ -257,7 +268,12 @@ class ARTM:
                 old_pwt.compact.unpersist()
             except Exception:
                 pass
-        scores = estep.extract_scores(kernel_out)
+        if score_observation is not None:
+            # the checkpoint above consumed the kernel relation; the
+            # observation already carries the summed score partials
+            scores = estep.scores_from_observation(score_observation)
+        else:
+            scores = estep.extract_scores(kernel_out)
         if self.cache_theta:
             theta = estep.extract_theta(kernel_out, self.topics)
             if self.theta_cache_path:
@@ -268,7 +284,10 @@ class ARTM:
                 )
             else:
                 self.theta = theta.localCheckpoint(eager=True)
-        kernel_out.unpersist()
+        try:
+            kernel_out.unpersist()
+        except Exception:
+            pass
         for k, v in scores.items():
             self.score_tracker.setdefault(k, []).append(v)
         for name, fn in self.phi_scores.items():

@@ -642,17 +642,9 @@ def extract_ptdw(kernel_out: DataFrame, topics: list[str]) -> DataFrame:
     )
 
 
-def extract_scores(kernel_out: DataFrame) -> dict[str, float]:
-    """Associative merge of cumulative score partials (score_manager.cc
-    semantics: plain sums; final transforms applied by the caller)."""
-    rows = (
-        kernel_out.filter(F.col("kind") == "score")
-        .groupBy("key")
-        .agg(F.sum(F.col("values")[0]).alias("v"))
-        .collect()
-    )
-    out = {r["key"]: r["v"] for r in rows}
-    # final transform: exp(-raw/normalizer), total and per-transaction-type
+def _finalize_scores(out: dict[str, float]) -> dict[str, float]:
+    """Final transforms over summed partials: exp(-raw/normalizer) per
+    perplexity key, sparsity ratios (score_manager.cc semantics)."""
     for k in [k for k in out if k.startswith("perplexity_raw")]:
         suffix = k[len("perplexity_raw"):]
         norm = out.get(f"perplexity_normalizer{suffix}")
@@ -663,3 +655,56 @@ def extract_scores(kernel_out: DataFrame) -> dict[str, float]:
             out["sparsity_theta_zero"] / out["sparsity_theta_total"]
         )
     return out
+
+
+def extract_scores(kernel_out: DataFrame) -> dict[str, float]:
+    """Associative merge of cumulative score partials (score_manager.cc
+    semantics: plain sums; final transforms applied at the end)."""
+    rows = (
+        kernel_out.filter(F.col("kind") == "score")
+        .groupBy("key")
+        .agg(F.sum(F.col("values")[0]).alias("v"))
+        .collect()
+    )
+    return _finalize_scores({r["key"]: r["v"] for r in rows})
+
+
+# Standard (non-transaction) kernel score keys — fixed set, so they can
+# ride an Observation instead of a second job over the kernel output.
+STANDARD_SCORE_KEYS = [
+    "perplexity_raw",
+    "perplexity_normalizer",
+    "perplexity_zero_words",
+    "sparsity_theta_zero",
+    "sparsity_theta_total",
+    "items_processed",
+    "token_weight",
+]
+
+
+def attach_score_observation(kernel_out: DataFrame):
+    """(Observation, observed df): score sums collected as a SIDE EFFECT
+    of whatever action consumes the kernel output — the M-step pass then
+    needs neither a cache of the kernel relation nor a second job.
+    Only valid for the standard kernel (transaction mode emits dynamic
+    per-type keys; use extract_scores there)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    aggs = [
+        F.sum(
+            F.when(
+                (F.col("kind") == "score") & (F.col("key") == k),
+                F.col("values")[0],
+            )
+        ).alias(k)
+        for k in STANDARD_SCORE_KEYS
+    ]
+    return obs, kernel_out.observe(obs, *aggs)
+
+
+def scores_from_observation(obs) -> dict[str, float]:
+    """Finalize scores after the consuming action ran (obs.get blocks
+    until then)."""
+    vals = {k: v for k, v in obs.get.items() if v is not None}
+    return _finalize_scores(vals)
