@@ -184,3 +184,28 @@ def test_choose_num_buckets_scales_with_corpus():
     big = estep.choose_num_buckets(2_000_000_000_000, 100, 2000)
     assert big * estep.BUCKET_TARGET_BYTES >= 2_000_000_000_000 * 100 * 8 * 4
     assert big > 4000
+
+
+def test_observation_scores_match_extract_scores(spark, docs):
+    """The single-action Observation path and the cached
+    extract_scores path produce the same per-pass scores (same kernel
+    partials, different collection plumbing)."""
+    from bigartm_spark.model.artm import ARTM
+
+    def fit(cache_theta):
+        m = ARTM(
+            num_topics=3, num_document_passes=2, seed=7,
+            cache_theta=cache_theta,
+        )
+        from bigartm_spark.operators.dictionary import gather_dictionary
+
+        m.initialize(gather_dictionary(docs))
+        m.fit_offline(docs, num_collection_passes=2)
+        return m.score_tracker
+
+    obs_path, cache_path = fit(False), fit(True)
+    for key in ("perplexity", "items_processed", "sparsity_theta"):
+        a, b = obs_path[key], cache_path[key]
+        assert len(a) == len(b) == 2
+        for x, y in zip(a, b):
+            assert abs(x - y) <= 1e-9 * max(abs(x), 1.0), (key, a, b)
