@@ -106,6 +106,9 @@ def cosine_scores(
     out: str = "cosine",
 ) -> DataFrame:
     """keep* + cosine(vec_col, qvec): one numpy pass per Arrow batch."""
+    from bigartm_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
     q = np.asarray(qvec, dtype=np.float64)
     q_norm = math.sqrt(_lr_scalar_sq_norm(q))
     keep = list(keep)
@@ -132,6 +135,9 @@ def pair_cosine_scores(
     out: str = "cosine",
 ) -> DataFrame:
     """keep* + cosine(col_a, col_b) for a pair relation."""
+    from bigartm_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(pairs.sparkSession)
     keep = list(keep)
     schema = _keep_schema(pairs, keep, out)
 
@@ -253,6 +259,9 @@ def ivf_assign(
     centroid. One mapInPandas pass — no crossJoin row blow-up and no
     per-vector window shuffle; centroids ride along as a (bounded)
     task closure. centroids(cell_id, centroid array<float|double>)."""
+    from bigartm_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(embeddings.sparkSession)
     cell_ids, C, c_norms = _collect_centroids(centroids)
     schema = StructType(
         [
@@ -309,6 +318,9 @@ def kmeans_parallel_seed(
     farthest-first sweep — bounded, cluster-independent work.
 
     Returns (cell_id 0..k-1, centroid) for ivf_assign / ivf_topk."""
+    from bigartm_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(embeddings.sparkSession)
     first = (
         embeddings.orderBy("vec_id")
         .limit(1)
@@ -430,6 +442,9 @@ def ivf_topk(
     centroid table is tiny), then assign + probe-filter + score in ONE
     mapInPandas pass over the vectors. At scale cell_id is the partition
     key of the vector table, so the probe prunes the scan itself."""
+    from bigartm_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(embeddings.sparkSession)
     cell_ids, C, c_norms = _collect_centroids(centroids)
     q = _collect_vec(embeddings, query_id)
     q_norm = math.sqrt(_lr_scalar_sq_norm(q))
