@@ -210,16 +210,17 @@ def ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
+    # no broadcast hint: sizes is |docs|-sized (unbounded at scale) —
+    # AQE broadcasts it when it is actually small, shuffles otherwise
     out = (
         inter.join(
-            F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
-                        .withColumnRenamed("_sz", "_sa")), "doc_a"
+            sizes.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("_sz", "_sa"),
+            "doc_a",
         )
         .join(
-            F.broadcast(
-                sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                    "_sz", "_sb"
-                )
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "_sz", "_sb"
             ),
             "doc_b",
         )
