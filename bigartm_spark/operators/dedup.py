@@ -247,12 +247,14 @@ def dedup_clusters(
     clusters have tiny diameter, so rounds ≈ 2-3 in practice; each round
     is one join + one groupBy (plain shuffles, no driver-side graph).
     Only docs that appear in some pair are returned."""
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(
-            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
         )
+        .cache()  # read once per propagation round
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
