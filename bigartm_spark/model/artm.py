@@ -149,12 +149,23 @@ class ARTM:
     ) -> "ARTM":
         """Online EM: after each batch group, n_wt <- decay*n_wt + apply*n̂;
         rho = (tau0 + t)^-kappa (python/artm/artm_model.py:652-659)."""
+        self._autosize_buckets(doc_groups)
         t = 0
         for group in doc_groups:
             t += update_every
             rho = math.pow(tau0 + t, -kappa)
             self._one_pass(group, decay_weight=1.0 - rho, apply_weight=rho)
         return self
+
+    def _autosize_buckets(self, doc_groups: list[DataFrame]) -> None:
+        """Same bucket sizing as fit_offline, from the first group's nnz
+        (groups are equal-sized slices by construction; one count,
+        amortized over all groups and passes)."""
+        if self.num_buckets is None and doc_groups:
+            sc = doc_groups[0].sparkSession.sparkContext
+            self.num_buckets = estep.choose_num_buckets(
+                doc_groups[0].count(), len(self.topics), sc.defaultParallelism
+            )
 
     # -- G7 ---------------------------------------------------------------
     def fit_online_async(
@@ -172,6 +183,8 @@ class ARTM:
         from separate Python threads run concurrently in one session."""
         import math as _math
         from concurrent.futures import ThreadPoolExecutor
+
+        self._autosize_buckets(doc_groups)
 
         def launch(group, pwt, theta_cache):
             # phi and theta-cache are captured AT SUBMIT TIME: the main
