@@ -176,6 +176,43 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_jaccard_estimate(
+    documents: DataFrame, n: int = 3, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) for LSH candidate pairs: the fraction
+    of agreeing signature components — the standard cheap estimate
+    (E[fraction] = true Jaccard) used to filter candidates BEFORE any
+    exact shingle-set verification. One extra join of the candidate
+    pairs against the wide signature rows; never touches raw text."""
+    wide = _minhash_wide(documents, n, hash_fn).cache()
+    cand = lsh_candidate_pairs(documents, n, hash_fn).select(
+        "doc_a", "doc_b"
+    ).distinct()
+    a = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"_m{i}").alias(f"_a{i}") for i in range(MINHASH_K)],
+    )
+    b = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"_m{i}").alias(f"_b{i}") for i in range(MINHASH_K)],
+    )
+    matches = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / F.lit(float(MINHASH_K))).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     n: int = 3,

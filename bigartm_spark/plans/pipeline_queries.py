@@ -86,6 +86,40 @@ def dedup_lsh_candidates(spark, sf_dir):
 
 
 @register(
+    "dedup_minhash_jaccard_estimate",
+    f"""
+WITH {_minhash_sig_cte()},
+bands AS (
+  SELECT doc_id, CAST(sig_idx // {dedup.LSH_BAND_SIZE} AS INT) AS band,
+         STRING_AGG(CAST(minhash AS VARCHAR), ',' ORDER BY sig_idx) AS band_sig
+  FROM sig GROUP BY doc_id, CAST(sig_idx // {dedup.LSH_BAND_SIZE} AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT c.doc_a, c.doc_b,
+         SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS m
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.sig_idx = sa.sig_idx
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(m AS DOUBLE) / {dedup.MINHASH_K} AS est_jaccard
+FROM agree
+""",
+)
+def dedup_minhash_jaccard_estimate(spark, sf_dir):
+    """Signature-agreement Jaccard estimate over LSH candidate pairs —
+    the cheap filter between candidate generation and exact verify."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_jaccard_estimate(docs, hash_fn="md5")
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""
 WITH {SHINGLES_CTE},
