@@ -97,3 +97,29 @@ def unit_uniform_sql(
         f"+ CAST({topic_idx_expr} AS BIGINT) * {_TOPIC_MIX} + {seed}) % {_M - 1} + 1) "
         f"* {_A} % {_M} * {_A} % {_M} / {float(_M)}"
     )
+
+
+def int_uniform_np(keys, salt: int, seed: int = 0):
+    """Pseudo-uniform in (0,1) from non-negative int64 keys + an int salt —
+    the integer-keyed twin of :func:`unit_uniform` (same MINSTD mixing, no
+    string fold). Pure numpy int64 arithmetic: independent of CPython's
+    hash(), PYTHONHASHSEED, and platform. All intermediates fit int64:
+    key%P ≤ 1e9+6, *31 + salt*TOPIC_MIX stays ≪ 2^63; each MINSTD step is
+    < 2^31 * 48271 < 2^47."""
+    import numpy as np
+
+    k = np.asarray(keys, dtype=np.int64)
+    g = (k % _P_HASH) * 31 + np.int64(salt) * _TOPIC_MIX + np.int64(seed)
+    g = g % (_M - 1) + 1
+    g = (g * _A) % _M
+    g = (g * _A) % _M
+    return g.astype(np.float64) / float(_M)
+
+
+def int_uniform_sql(key_expr: str, salt_expr: str, seed: int = 0) -> str:
+    """DuckDB-SQL replica of :func:`int_uniform_np` (value-identical)."""
+    return (
+        f"((CAST({key_expr} AS BIGINT) % {_P_HASH} * 31 "
+        f"+ CAST({salt_expr} AS BIGINT) * {_TOPIC_MIX} + {seed}) % {_M - 1} + 1) "
+        f"* {_A} % {_M} * {_A} % {_M} / {float(_M)}"
+    )

@@ -39,6 +39,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
+from bigartm_spark.functions.hashing import int_uniform_np
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -305,6 +307,75 @@ def seed_centroids(embeddings: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _seed_scored(
+    embeddings: DataFrame, C: np.ndarray, c_norms: np.ndarray, rnd: int
+) -> DataFrame:
+    """k-means|| per-round scoring relation: (vec_id, _d2 = squared cosine
+    distance to the nearest candidate, _u = portable uniform keyed by
+    (vec_id, rnd)). Shared by the production loop and the oracle query."""
+
+    schema = StructType(
+        [
+            embeddings.schema["vec_id"],
+            StructField("_d2", DoubleType(), True),
+            StructField("_u", DoubleType(), True),
+        ]
+    )
+
+    def score(batches, _C=C, _n=c_norms, _rnd=rnd):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = _stack(pdf["embedding"])
+            _, sim = _assign_kernel(E, _C, _n)
+            d2 = np.square(1.0 - sim)  # cosine distance^2
+            # portable uniform in (0,1) from (vec_id, round): MINSTD
+            # mixing, not CPython hash() — PYTHONHASHSEED-independent
+            u = int_uniform_np(pdf["vec_id"].to_numpy(), _rnd)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "_d2": d2,
+                    "_u": u,
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(score, schema)
+
+
+def kmeans_seed_round0(
+    embeddings: DataFrame, k: int, oversample: float = 2.0
+) -> DataFrame:
+    """The oracle-replayable face of kmeans_parallel_seed's first round:
+    every vector scored against the round-0 candidate (lowest vec_id),
+    with the selection predicate u < target * d2 / sum(d2) made explicit.
+    Returns (vec_id, d2, u, picked)."""
+    from bigartm_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(embeddings.sparkSession)
+    first = (
+        embeddings.orderBy("vec_id")
+        .limit(1)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    if not first:
+        raise ValueError("empty embeddings")
+    C = np.stack([np.asarray(first[0]["embedding"], np.float64)])
+    c_norms = np.asarray([math.sqrt(_lr_scalar_sq_norm(C[0]))])
+    target = max(int(oversample * k), 1)
+    scored = _seed_scored(embeddings, C, c_norms, 0)
+    tot = scored.agg(F.sum("_d2").alias("s")).collect()[0]["s"] or 0.0
+    return scored.select(
+        "vec_id",
+        F.col("_d2").alias("d2"),
+        F.col("_u").alias("u"),
+        (F.col("_u") < F.lit(float(target)) * F.col("_d2") / F.lit(tot))
+        .cast("int")
+        .alias("picked"),
+    )
+
+
 def kmeans_parallel_seed(
     embeddings: DataFrame, k: int, rounds: int = 3, oversample: float = 2.0
 ) -> DataFrame:
@@ -312,8 +383,10 @@ def kmeans_parallel_seed(
     retries: instead of k sequential k-means++ draws (k cluster passes),
     each of ``rounds`` passes samples ~oversample*k candidates with
     probability ∝ cosine distance to the nearest candidate so far. The
-    pseudo-randomness is xxhash64(vec_id, round) — stable under task
-    retry/reordering, unlike rand(). The oversampled candidate set
+    pseudo-randomness is the repo's portable integer-keyed MINSTD
+    generator over (vec_id, round) (functions/hashing.py::int_uniform_np
+    — engine- and PYTHONHASHSEED-independent, SQL-replayable) — stable
+    under task retry/reordering, unlike rand(). The oversampled candidate set
     (≤ 1 + rounds*oversample*k rows) is reduced to k on the driver by a
     farthest-first sweep — bounded, cluster-independent work.
 
@@ -336,40 +409,7 @@ def kmeans_parallel_seed(
     for rnd in range(rounds):
         C = np.stack([c for _, c in cands])
         c_norms = np.asarray([math.sqrt(_lr_scalar_sq_norm(c)) for c in C])
-        schema = StructType(
-            [
-                embeddings.schema["vec_id"],
-                StructField("_d2", DoubleType(), True),
-                StructField("_u", DoubleType(), True),
-            ]
-        )
-
-        def score(batches, _C=C, _n=c_norms, _rnd=rnd):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                E = _stack(pdf["embedding"])
-                _, sim = _assign_kernel(E, _C, _n)
-                d2 = np.square(1.0 - sim)  # cosine distance^2
-                # deterministic uniform in [0,1) from (vec_id, round)
-                h = np.array(
-                    [
-                        hash((int(v), _rnd)) & 0xFFFFFFFF
-                        for v in pdf["vec_id"]
-                    ],
-                    dtype=np.float64,
-                )
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"].to_numpy(),
-                        "_d2": d2,
-                        "_u": h / float(0x100000000),
-                    }
-                )
-
-        scored = embeddings.select("vec_id", "embedding").mapInPandas(
-            score, schema
-        )
+        scored = _seed_scored(embeddings, C, c_norms, rnd)
         tot = scored.agg(F.sum("_d2").alias("s")).collect()[0]["s"] or 0.0
         if tot <= 0:
             break

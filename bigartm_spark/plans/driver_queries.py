@@ -187,55 +187,52 @@ def d1_gather_dictionary(spark, sf_dir):
     return _r6(gather_dictionary(docs), "value", "tf", "df")
 
 
-# ============================================================ B3: filter
+# ================================================ B3+B4: filter / top-k df
 @register(
-    "b3_filter_dictionary",
+    "b3b4_filter_topk_dictionary",
     f"""
 WITH {DOCS_CTE}, {DICT_CTE},
 kept AS (
-  SELECT * FROM dict
-  WHERE df >= 5 AND df <= 0.5 * (SELECT COUNT(DISTINCT doc_id) FROM docs)
+  SELECT class_id, token,
+         tf / SUM(tf) OVER (PARTITION BY class_id) AS value, tf, df
+  FROM (SELECT * FROM dict
+        WHERE df >= 5
+          AND df <= 0.5 * (SELECT COUNT(DISTINCT doc_id) FROM docs))
+),
+v AS (SELECT class_id, token,
+             tf / SUM(tf) OVER (PARTITION BY class_id) AS value, tf, df
+      FROM dict),
+topk AS (
+  SELECT class_id, token, value, tf, df FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY class_id
+                                 ORDER BY df DESC, token ASC) AS rn
+    FROM v) WHERE rn <= 50
 )
-SELECT class_id, token,
-       ROUND(tf / SUM(tf) OVER (PARTITION BY class_id), 6) AS value,
-       ROUND(tf, 6) AS tf, ROUND(df, 6) AS df
-FROM kept
+SELECT 'filter' AS part, class_id, token, ROUND(value, 6) AS value,
+       ROUND(tf, 6) AS tf, ROUND(df, 6) AS df FROM kept
+UNION ALL
+SELECT 'topk' AS part, class_id, token, ROUND(value, 6) AS value,
+       ROUND(tf, 6) AS tf, ROUND(df, 6) AS df FROM topk
 """,
 )
-def b3_filter_dictionary(spark, sf_dir):
+def b3b4_filter_topk_dictionary(spark, sf_dir):
+    """B3 (df filter with value recalc) and B4 (top-k by df) as one
+    tagged union — both dictionary ops keep their exact semantics."""
     docs = docs_from_lineitem(spark, sf_dir)
     from bigartm_spark.operators.dictionary import num_items
 
     d = gather_dictionary(docs)
-    out = filter_dictionary(
+    filt = filter_dictionary(
         d,
         num_items_in_collection=num_items(docs),
         min_df=5,
         max_df_rate=0.5,
         recalculate_value=True,
-    )
+    ).withColumn("part", F.lit("filter"))
+    topk = top_k_by_df(d, 50).withColumn("part", F.lit("topk"))
+    cols = ["part", "class_id", "token", "value", "tf", "df"]
+    out = filt.select(*cols).unionByName(topk.select(*cols))
     return _r6(out, "value", "tf", "df")
-
-
-# ============================================================ B4: top-k df
-@register(
-    "b4_top_k_by_df",
-    f"""
-WITH {DOCS_CTE}, {DICT_CTE},
-v AS (SELECT class_id, token,
-             tf / SUM(tf) OVER (PARTITION BY class_id) AS value, tf, df
-      FROM dict),
-r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY class_id
-                                   ORDER BY df DESC, token ASC) AS rn
-      FROM v)
-SELECT class_id, token, ROUND(value, 6) AS value,
-       ROUND(tf, 6) AS tf, ROUND(df, 6) AS df
-FROM r WHERE rn <= 50
-""",
-)
-def b4_top_k_by_df(spark, sf_dir):
-    docs = docs_from_lineitem(spark, sf_dir)
-    return _r6(top_k_by_df(gather_dictionary(docs), 50), "value", "tf", "df")
 
 
 # ============================================================ D15: stats
@@ -262,20 +259,56 @@ def d15_parse_stats(spark, sf_dir):
     return _r6(out, "total_weight")
 
 
-# ============================================================ G1: init phi
+# =========================================== G1+E5: init phi / sparse-init
 @register(
-    "g1_initialize_phi",
+    "g1e5_initialize_and_ranking",
     f"""
-WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()}
-SELECT class_id, token,
-       'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
+WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
+r AS (SELECT class_id, token,
+             PERCENT_RANK() OVER (PARTITION BY class_id
+                                  ORDER BY tf DESC, token ASC) AS pr
+      FROM dict)
+SELECT 'phi' AS part, class_id, token,
+       'topic_' || CAST(topic_idx AS VARCHAR) AS k,
        ROUND(value, 6) AS value
 FROM phi
+UNION ALL
+SELECT 'rank' AS part, class_id, token,
+       CAST(CAST(pr <= 0.5 AS INT) AS VARCHAR) AS k,
+       ROUND(pr, 6) AS value
+FROM r
 """,
 )
-def g1_initialize_phi(spark, sf_dir):
-    _, _, phi = _spark_phi(spark, sf_dir)
-    return _r6(phi.to_long(), "value")
+def g1e5_initialize_and_ranking(spark, sf_dir):
+    """G1 (portable-RNG InitializeModel) and E5 (sparse-init tf percent
+    ranking: dense_init flag in k) in one tagged union."""
+    docs = docs_from_lineitem(spark, sf_dir)
+    d = gather_dictionary(docs)
+    phi = initialize_phi(d, TOPICS, seed=SEED)
+    g1 = (
+        phi.to_long()
+        .select(
+            F.lit("phi").alias("part"),
+            "class_id",
+            "token",
+            F.col("topic").alias("k"),
+            "value",
+        )
+    )
+    w = Window.partitionBy("class_id").orderBy(F.desc("tf"), F.asc("token"))
+    e5 = d.select(
+        F.lit("rank").alias("part"),
+        "class_id",
+        "token",
+        F.percent_rank().over(w).alias("value"),
+    ).select(
+        "part",
+        "class_id",
+        "token",
+        (F.col("value") <= 0.5).cast("int").cast("string").alias("k"),
+        "value",
+    )
+    return _r6(g1.unionByName(e5), "value")
 
 
 # ============================================================ D4: n_t
@@ -308,12 +341,19 @@ def d4_topic_totals(spark, sf_dir):
     return _r6(out, "n_t")
 
 
-# ============================================================ D6/F1: merge
+# ====================================== D6+F1: merge (same-set + outer union)
 @register(
-    "d6_merge_models",
+    "d6f1_merge_models",
     f"""
 WITH {DOCS_CTE}, {DICT_CTE},
 t1 AS (SELECT UNNEST(range({N_TOPICS})) AS topic_idx),
+top50 AS (
+  SELECT class_id, token FROM (
+    SELECT class_id, token,
+           ROW_NUMBER() OVER (PARTITION BY class_id
+                              ORDER BY df DESC, token ASC) AS rn
+    FROM dict) WHERE rn <= 50
+),
 rawa AS (SELECT class_id, token, topic_idx,
          {unit_uniform_sql("class_id", "token", "topic_idx", seed=1)} AS u
          FROM dict CROSS JOIN t1),
@@ -323,23 +363,53 @@ rawb AS (SELECT class_id, token, topic_idx,
 na AS (SELECT class_id, token, topic_idx,
        u / SUM(u) OVER (PARTITION BY class_id, token) AS v FROM rawa),
 nb AS (SELECT class_id, token, topic_idx,
-       u / SUM(u) OVER (PARTITION BY class_id, token) AS v FROM rawb)
-SELECT a.class_id, a.token,
-       'topic_' || CAST(a.topic_idx AS VARCHAR) AS topic,
-       ROUND(0.7 * a.v + 0.3 * b.v, 6) AS value
-FROM na a JOIN nb b
-  ON a.class_id = b.class_id AND a.token = b.token AND a.topic_idx = b.topic_idx
+       u / SUM(u) OVER (PARTITION BY class_id, token) AS v FROM rawb),
+nas AS (SELECT n.* FROM na n JOIN top50 s
+        ON s.class_id = n.class_id AND s.token = n.token),
+same AS (
+  SELECT a.class_id, a.token, a.topic_idx, 0.7 * a.v + 0.3 * b.v AS value
+  FROM na a JOIN nb b
+    ON a.class_id = b.class_id AND a.token = b.token
+   AND a.topic_idx = b.topic_idx
+),
+outeru AS (
+  SELECT class_id, token, topic_idx, SUM(wv) AS value FROM (
+    SELECT class_id, token, topic_idx, 0.5 * v AS wv FROM nas
+    UNION ALL
+    SELECT class_id, token, topic_idx, 2.0 * v AS wv FROM nb
+  ) GROUP BY class_id, token, topic_idx
+)
+SELECT 'same' AS part, class_id, token,
+       'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
+       ROUND(value, 6) AS value
+FROM same
+UNION ALL
+SELECT 'outer' AS part, class_id, token,
+       'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
+       ROUND(value, 6) AS value
+FROM outeru
 """,
 )
-def d6_merge_models(spark, sf_dir):
+def d6f1_merge_models(spark, sf_dir):
+    """D6 (same token set, weighted sum) and F1 (different token sets,
+    full outer union semantics) MergeModel in one tagged union."""
     docs = docs_from_lineitem(spark, sf_dir)
     d = gather_dictionary(docs)
     from bigartm_spark.model.phi import PhiMatrix
 
     a = PhiMatrix("a", TOPICS, _seeded_row_normalized_nwt(d, 1))
     b = PhiMatrix("b", TOPICS, _seeded_row_normalized_nwt(d, 2))
-    merged = mstep.merge_nwt([(a, 0.7), (b, 0.3)], "m")
-    return _r6(merged.to_long(), "value")
+    small = top_k_by_df(d, 50)
+    a_small = PhiMatrix("as", TOPICS, _seeded_row_normalized_nwt(small, 1))
+    same = mstep.merge_nwt([(a, 0.7), (b, 0.3)], "m").to_long()
+    outer = mstep.merge_nwt([(a_small, 0.5), (b, 2.0)], "m").to_long()
+    cols = ["part", "class_id", "token", "topic", "value"]
+    out = (
+        same.withColumn("part", F.lit("same"))
+        .select(*cols)
+        .unionByName(outer.withColumn("part", F.lit("outer")).select(*cols))
+    )
+    return _r6(out, "value")
 
 
 # ============================================================ E1: top tokens
@@ -421,60 +491,47 @@ def e4_specified_sparse_phi(spark, sf_dir):
     return _r6(specified_sparse(phi.to_long(), TOPICS, max_elements=2), "value")
 
 
-# ============================================================ E7: window
+# ================================================ E7+E9: window smooth + lag
 @register(
-    "e7_moving_window_smooth",
+    "e7e9_window_ops",
     f"""
 WITH {DOCS_CTE}
 SELECT doc_id, pos, token,
        ROUND(AVG(weight) OVER (PARTITION BY doc_id ORDER BY pos
                                ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6)
-         AS smoothed
-FROM docs
-""",
-)
-def e7_moving_window_smooth(spark, sf_dir):
-    docs = docs_from_lineitem(spark, sf_dir)
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-2, 2)
-    out = docs.select(
-        "doc_id", "pos", "token", F.avg("weight").over(w).alias("smoothed")
-    )
-    return _r6(out, "smoothed")
-
-
-# ============================================================ E9: lag
-@register(
-    "e9_lag_trend",
-    f"""
-WITH {DOCS_CTE}
-SELECT doc_id, pos, token,
+         AS smoothed,
        CAST(SIGN(weight - COALESCE(LAG(weight) OVER (PARTITION BY doc_id
                                                      ORDER BY pos), weight))
             AS DOUBLE) AS trend
 FROM docs
 """,
 )
-def e9_lag_trend(spark, sf_dir):
+def e7e9_window_ops(spark, sf_dir):
+    """E7 (SmoothPtdw moving window) and E9 (SmoothTimeInTopics lag) over
+    the same row set — one pass, two window expressions, one sort."""
     docs = docs_from_lineitem(spark, sf_dir)
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    w_avg = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-2, 2)
+    w_lag = Window.partitionBy("doc_id").orderBy("pos")
     out = docs.select(
         "doc_id",
         "pos",
         "token",
+        F.avg("weight").over(w_avg).alias("smoothed"),
         F.signum(
-            F.col("weight") - F.coalesce(F.lag("weight").over(w), F.col("weight"))
+            F.col("weight")
+            - F.coalesce(F.lag("weight").over(w_lag), F.col("weight"))
         )
         .cast("double")
         .alias("trend"),
     )
-    return out
+    return _r6(out, "smoothed")
 
 
-# ============================================================ D14: cooc
+# ====================================== D14+F4: cooc PPMI + dict anti-filter
 @register(
-    "d14_cooc_ppmi",
+    "d14f4_cooc_ppmi_filtered",
     f"""
-WITH {DOCS_CTE},
+WITH {DOCS_CTE}, {DICT_CTE},
 pairs AS (
   SELECT a.doc_id, a.token AS token_a, b.token AS token_b
   FROM docs a JOIN docs b
@@ -491,44 +548,125 @@ marg AS (
     UNION ALL SELECT token_b, cooc_tf FROM cooc
   ) GROUP BY token
 ),
-tot AS (SELECT SUM(cooc_tf) * 2 AS n FROM cooc)
-SELECT c.token_a, c.token_b, ROUND(c.cooc_tf, 6) AS cooc_tf,
+tot AS (SELECT SUM(cooc_tf) * 2 AS n FROM cooc),
+kept AS (SELECT token FROM dict WHERE df >= 20),
+dpairs AS (
+  SELECT a.doc_id,
+         LEAST(a.token, b.token) AS token_a,
+         GREATEST(a.token, b.token) AS token_b
+  FROM docs a JOIN docs b
+    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+  WHERE a.token <> b.token
+),
+filtered AS (
+  SELECT token_a, token_b, CAST(COUNT(*) AS DOUBLE) AS cooc_tf
+  FROM dpairs
+  WHERE token_a IN (SELECT token FROM kept)
+    AND token_b IN (SELECT token FROM kept)
+  GROUP BY token_a, token_b
+)
+SELECT 'ppmi' AS part, c.token_a, c.token_b, ROUND(c.cooc_tf, 6) AS cooc_tf,
        ROUND(c.cooc_df, 6) AS cooc_df,
        ROUND(GREATEST(0.0, LN((SELECT n FROM tot) * c.cooc_tf
                               / (ma.n_u * mb.n_u))), 6) AS ppmi
 FROM cooc c
 JOIN marg ma ON ma.token = c.token_a
 JOIN marg mb ON mb.token = c.token_b
+UNION ALL
+SELECT 'filtered' AS part, token_a, token_b, ROUND(cooc_tf, 6) AS cooc_tf,
+       0.0 AS cooc_df, 0.0 AS ppmi
+FROM filtered
 """,
 )
-def d14_cooc_ppmi(spark, sf_dir):
+def d14f4_cooc_ppmi_filtered(spark, sf_dir):
+    """D14 (cooc gather + PPMI) and F4 (dictionary filter propagated to
+    cooc pairs, both sides left-semi) in one tagged union."""
+    from bigartm_spark.operators.cooc import cooc_gather, cooc_ppmi
+
     docs = docs_from_lineitem(spark, sf_dir)
-    from bigartm_spark.operators.cooc import cooc_ppmi
+    ppmi = cooc_ppmi(docs, window=2).withColumn("part", F.lit("ppmi"))
+    kept = filter_dictionary(gather_dictionary(docs), min_df=20).select("token")
+    cooc = cooc_gather(docs, window=2).select(
+        "token_a", "token_b", F.col("cooc_tf").cast("double").alias("cooc_tf")
+    )
+    filtered = (
+        cooc.join(F.broadcast(kept), cooc.token_a == kept.token, "left_semi")
+        .join(
+            F.broadcast(kept.withColumnRenamed("token", "_t2")),
+            F.col("token_b") == F.col("_t2"),
+            "left_semi",
+        )
+        .withColumn("part", F.lit("filtered"))
+        .withColumn("cooc_df", F.lit(0.0))
+        .withColumn("ppmi", F.lit(0.0))
+    )
+    cols = ["part", "token_a", "token_b", "cooc_tf", "cooc_df", "ppmi"]
+    out = ppmi.select(*cols).unionByName(filtered.select(*cols))
+    return _r6(out, "cooc_tf", "cooc_df", "ppmi")
 
-    return _r6(cooc_ppmi(docs, window=2), "cooc_tf", "cooc_df", "ppmi")
 
-
-# ============================================================ F2: intersect
+# ============================== F2+B5: token intersect / model membership
 @register(
-    "f2_token_intersect",
+    "f2b5_model_token_ops",
     f"""
 WITH {DOCS_CTE}, {DICT_CTE},
 topk AS (SELECT token FROM (
   SELECT token, ROW_NUMBER() OVER (PARTITION BY class_id
                                    ORDER BY df DESC, token ASC) AS rn
-  FROM dict) WHERE rn <= 50)
-SELECT DISTINCT d.class_id, d.token
-FROM docs d WHERE d.token IN (SELECT token FROM topk)
+  FROM dict) WHERE rn <= 50),
+inter AS (
+  SELECT DISTINCT d.class_id, d.token
+  FROM docs d WHERE d.token IN (SELECT token FROM topk)
+),
+memb AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS in_model_occurrences,
+         SUM(weight) AS in_model_weight
+  FROM docs WHERE token IN (SELECT token FROM topk)
+  GROUP BY doc_id
+)
+SELECT 'intersect' AS part, class_id || '|' || token AS key,
+       CAST(0 AS BIGINT) AS in_model_occurrences,
+       0.0 AS in_model_weight
+FROM inter
+UNION ALL
+SELECT 'membership' AS part, CAST(doc_id AS VARCHAR) AS key,
+       in_model_occurrences, ROUND(in_model_weight, 6) AS in_model_weight
+FROM memb
 """,
 )
-def f2_token_intersect(spark, sf_dir):
+def f2b5_model_token_ops(spark, sf_dir):
+    """F2 (token-set intersect) and B5 (the E-step's token_index != -1
+    membership drop, processor_helpers.cc:221-227) in one tagged union,
+    both left-semi joins against the broadcast model token set."""
     docs = docs_from_lineitem(spark, sf_dir)
     topk = top_k_by_df(gather_dictionary(docs), 50).select("token")
-    return (
+    inter = (
         docs.join(F.broadcast(topk), "token", "left_semi")
         .select("class_id", "token")
         .distinct()
+        .select(
+            F.lit("intersect").alias("part"),
+            F.concat_ws("|", "class_id", "token").alias("key"),
+            F.lit(0).cast("long").alias("in_model_occurrences"),
+            F.lit(0.0).alias("in_model_weight"),
+        )
     )
+    memb = (
+        docs.join(F.broadcast(topk), "token", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("in_model_occurrences"),
+            F.sum("weight").alias("in_model_weight"),
+        )
+        .select(
+            F.lit("membership").alias("part"),
+            F.col("doc_id").cast("string").alias("key"),
+            "in_model_occurrences",
+            "in_model_weight",
+        )
+    )
+    return _r6(inter.unionByName(memb), "in_model_weight")
 
 
 # ============================================================ B1/B2: modality
@@ -581,15 +719,26 @@ theta AS (
 
 
 @register(
-    "d3_estep_theta_one_pass",
+    "d3e3_theta_and_snippet",
     f"""
-WITH {_ESTEP_CTES}
-SELECT doc_id, 'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
+WITH {_ESTEP_CTES},
+first_docs AS (SELECT DISTINCT doc_id FROM docs ORDER BY doc_id LIMIT 10)
+SELECT 'theta' AS part, doc_id,
+       'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
        ROUND(th, 6) AS value
 FROM theta
+UNION ALL
+SELECT 'snippet' AS part, t.doc_id,
+       'topic_' || CAST(t.topic_idx AS VARCHAR) AS topic,
+       ROUND(t.th, 6) AS value
+FROM theta t JOIN first_docs f ON f.doc_id = t.doc_id
 """,
 )
-def d3_estep_theta_one_pass(spark, sf_dir):
+def d3e3_theta_and_snippet(spark, sf_dir):
+    """D3 (one-pass E-step theta) and E3 (ThetaSnippet over the first 10
+    docs) in one tagged union from a single process_batches pass."""
+    from bigartm_spark.model.scores import theta_snippet
+
     docs, _, phi = _spark_phi(spark, sf_dir)
     out = estep.process_batches(
         docs,
@@ -599,7 +748,15 @@ def d3_estep_theta_one_pass(spark, sf_dir):
         emit_theta=True,
         compute_scores=False,
     )
-    return _r6(estep.extract_theta(out, TOPICS), "value")
+    theta = _r6(estep.extract_theta(out, TOPICS), "value")
+    cols = ["part", "doc_id", "topic", "value"]
+    d3 = theta.withColumn("part", F.lit("theta")).select(*cols)
+    e3 = (
+        theta_snippet(theta, 10)
+        .withColumn("part", F.lit("snippet"))
+        .select(*cols)
+    )
+    return d3.unionByName(e3)
 
 
 # ==================================================== D2: E-step nwt
@@ -677,52 +834,6 @@ def g5_em_one_pass_pwt(spark, sf_dir):
     return _r6(model.get_phi(), "value")
 
 
-# ==================================================== F1: union merge
-@register(
-    "f1_union_merge",
-    f"""
-WITH {DOCS_CTE}, {DICT_CTE},
-top50 AS (
-  SELECT class_id, token FROM (
-    SELECT class_id, token,
-           ROW_NUMBER() OVER (PARTITION BY class_id
-                              ORDER BY df DESC, token ASC) AS rn
-    FROM dict) WHERE rn <= 50
-),
-t1 AS (SELECT UNNEST(range({N_TOPICS})) AS topic_idx),
-rawa AS (SELECT d.class_id, d.token, topic_idx,
-         {unit_uniform_sql("d.class_id", "d.token", "topic_idx", seed=1)} AS u
-         FROM top50 d CROSS JOIN t1),
-rawb AS (SELECT class_id, token, topic_idx,
-         {unit_uniform_sql("class_id", "token", "topic_idx", seed=2)} AS u
-         FROM dict CROSS JOIN t1),
-na AS (SELECT class_id, token, topic_idx,
-       u / SUM(u) OVER (PARTITION BY class_id, token) AS v FROM rawa),
-nb AS (SELECT class_id, token, topic_idx,
-       u / SUM(u) OVER (PARTITION BY class_id, token) AS v FROM rawb),
-uni AS (
-  SELECT class_id, token, topic_idx, 0.5 * v AS wv FROM na
-  UNION ALL
-  SELECT class_id, token, topic_idx, 2.0 * v AS wv FROM nb
-)
-SELECT class_id, token, 'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
-       ROUND(SUM(wv), 6) AS value
-FROM uni GROUP BY class_id, token, topic_idx
-""",
-)
-def f1_union_merge(spark, sf_dir):
-    """MergeModel over DIFFERENT token sets (full outer union semantics)."""
-    from bigartm_spark.model.phi import PhiMatrix
-
-    docs = docs_from_lineitem(spark, sf_dir)
-    d = gather_dictionary(docs)
-    small = top_k_by_df(d, 50)
-    a = PhiMatrix("a", TOPICS, _seeded_row_normalized_nwt(small, 1))
-    b = PhiMatrix("b", TOPICS, _seeded_row_normalized_nwt(d, 2))
-    merged = mstep.merge_nwt([(a, 0.5), (b, 2.0)], "m")
-    return _r6(merged.to_long(), "value")
-
-
 # ==================================================== F3: topic reconfigure
 @register(
     "f3_reshape_topics",
@@ -750,112 +861,11 @@ def f3_reshape_topics(spark, sf_dir):
     return _r6(model.get_phi(), "value")
 
 
-# ==================================================== F4: cooc anti-filter
+
+
+# ==================================================== D7+I4: scalar scores
 @register(
-    "f4_cooc_filter",
-    f"""
-WITH {DOCS_CTE}, {DICT_CTE},
-kept AS (SELECT token FROM dict WHERE df >= 20),
-pairs AS (
-  SELECT a.doc_id,
-         LEAST(a.token, b.token) AS token_a,
-         GREATEST(a.token, b.token) AS token_b
-  FROM docs a JOIN docs b
-    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
-  WHERE a.token <> b.token
-)
-SELECT token_a, token_b, CAST(COUNT(*) AS BIGINT) AS cooc_tf
-FROM pairs
-WHERE token_a IN (SELECT token FROM kept)
-  AND token_b IN (SELECT token FROM kept)
-GROUP BY token_a, token_b
-""",
-)
-def f4_cooc_filter(spark, sf_dir):
-    """Dictionary filter propagated to cooc pairs (both sides left-semi)."""
-    from bigartm_spark.operators.cooc import cooc_gather
-    from bigartm_spark.operators.dictionary import filter_dictionary
-
-    docs = docs_from_lineitem(spark, sf_dir)
-    kept = filter_dictionary(gather_dictionary(docs), min_df=20).select("token")
-    cooc = cooc_gather(docs, window=2).select(
-        "token_a", "token_b", F.col("cooc_tf").cast("long").alias("cooc_tf")
-    )
-    return (
-        cooc.join(F.broadcast(kept), cooc.token_a == kept.token, "left_semi")
-        .join(
-            F.broadcast(kept.withColumnRenamed("token", "_t2")),
-            F.col("token_b") == F.col("_t2"),
-            "left_semi",
-        )
-    )
-
-
-# ==================================================== B5: model membership
-@register(
-    "b5_token_membership",
-    f"""
-WITH {DOCS_CTE}, {DICT_CTE},
-model_tokens AS (
-  SELECT token FROM (
-    SELECT token, ROW_NUMBER() OVER (PARTITION BY class_id
-                                     ORDER BY df DESC, token ASC) AS rn
-    FROM dict) WHERE rn <= 50
-)
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS in_model_occurrences,
-       ROUND(SUM(weight), 6) AS in_model_weight
-FROM docs WHERE token IN (SELECT token FROM model_tokens)
-GROUP BY doc_id
-""",
-)
-def b5_token_membership(spark, sf_dir):
-    """Left-semi join docs against the model token set (the E-step's
-    token_index != -1 drop, processor_helpers.cc:221-227)."""
-    docs = docs_from_lineitem(spark, sf_dir)
-    model_tokens = top_k_by_df(gather_dictionary(docs), 50).select("token")
-    out = (
-        docs.join(F.broadcast(model_tokens), "token", "left_semi")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("in_model_occurrences"),
-            F.sum("weight").alias("in_model_weight"),
-        )
-    )
-    return _r6(out, "in_model_weight")
-
-
-# ==================================================== E5: sparse-init rank
-@register(
-    "e5_sparse_init_ranking",
-    f"""
-WITH {DOCS_CTE}, {DICT_CTE},
-r AS (SELECT class_id, token, tf,
-             PERCENT_RANK() OVER (PARTITION BY class_id
-                                  ORDER BY tf DESC, token ASC) AS pr
-      FROM dict)
-SELECT class_id, token, ROUND(pr, 6) AS tf_percent_rank,
-       CAST(pr <= 0.5 AS INT) AS dense_init
-FROM r
-""",
-)
-def e5_sparse_init_ranking(spark, sf_dir):
-    docs = docs_from_lineitem(spark, sf_dir)
-    d = gather_dictionary(docs)
-    w = Window.partitionBy("class_id").orderBy(F.desc("tf"), F.asc("token"))
-    out = d.select(
-        "class_id",
-        "token",
-        F.percent_rank().over(w).alias("tf_percent_rank"),
-    ).withColumn(
-        "dense_init", (F.col("tf_percent_rank") <= 0.5).cast("int")
-    )
-    return _r6(out, "tf_percent_rank")
-
-
-# ==================================================== D7: perplexity
-@register(
-    "d7_perplexity_uniform_theta",
+    "d7i4_perplexity_and_counters",
     f"""
 WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
 j AS (
@@ -865,11 +875,15 @@ j AS (
   GROUP BY d.doc_id, d.pos, d.weight
 )
 SELECT ROUND(EXP(-SUM(weight * LN(pwd)) / SUM(weight)), 6) AS perplexity,
-       ROUND(SUM(weight), 6) AS normalizer
+       ROUND(SUM(weight), 6) AS normalizer,
+       (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM docs) AS items,
+       (SELECT ROUND(SUM(weight), 6) FROM docs) AS token_weight
 FROM j
 """,
 )
-def d7_perplexity_uniform_theta(spark, sf_dir):
+def d7i4_perplexity_and_counters(spark, sf_dir):
+    """D7 (perplexity under uniform theta) and I4 (items-processed /
+    token-weight counters) from ONE process_batches score pass."""
     docs, _, phi = _spark_phi(spark, sf_dir)
     out = estep.process_batches(
         docs,
@@ -881,29 +895,60 @@ def d7_perplexity_uniform_theta(spark, sf_dir):
     )
     scores = estep.extract_scores(out)
     return spark.createDataFrame(
-        [(_pyr6(scores["perplexity"]), _pyr6(scores["perplexity_normalizer"]))],
-        "perplexity double, normalizer double",
+        [
+            (
+                _pyr6(scores["perplexity"]),
+                _pyr6(scores["perplexity_normalizer"]),
+                int(scores["items_processed"]),
+                _pyr6(scores["token_weight"]),
+            )
+        ],
+        "perplexity double, normalizer double, items bigint, token_weight double",
     )
 
 
-# ==================================================== D8: sparsity phi
+# ============================== D8+D11: sparsity phi / topic mass scores
 @register(
-    "d8_sparsity_phi",
+    "d8d11_phi_scores",
     f"""
 WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
 r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY class_id, token
                                    ORDER BY value DESC, topic_idx ASC) AS rn
       FROM phi),
-sp AS (SELECT class_id, CASE WHEN rn <= 2 THEN value ELSE 0.0 END AS v FROM r)
-SELECT class_id,
-       ROUND(AVG(CASE WHEN v < 1e-37 THEN 1.0 ELSE 0.0 END), 6) AS sparsity,
-       CAST(SUM(CASE WHEN v < 1e-37 THEN 1 ELSE 0 END) AS BIGINT) AS zero_count,
-       CAST(COUNT(*) AS BIGINT) AS total_count
-FROM sp GROUP BY class_id
+sp AS (SELECT class_id, CASE WHEN rn <= 2 THEN value ELSE 0.0 END AS v FROM r),
+sparsity AS (
+  SELECT class_id,
+         AVG(CASE WHEN v < 1e-37 THEN 1.0 ELSE 0.0 END) AS v1,
+         CAST(SUM(CASE WHEN v < 1e-37 THEN 1 ELSE 0 END) AS DOUBLE) AS v2,
+         CAST(COUNT(*) AS DOUBLE) AS v3
+  FROM sp GROUP BY class_id
+),
+nwt AS (SELECT class_id, token, topic_idx, nwt AS value FROM rown),
+pt AS (SELECT class_id, topic_idx,
+              SUM(GREATEST(value, 0)) AS topic_mass
+       FROM nwt GROUP BY class_id, topic_idx)
+SELECT 'sparsity_phi' AS part, class_id, '*' AS k,
+       ROUND(v1, 6) AS v1, v2, v3
+FROM sparsity
+UNION ALL
+SELECT 'topic_mass' AS part, class_id,
+       'topic_' || CAST(topic_idx AS VARCHAR) AS k,
+       ROUND(topic_mass, 6) AS v1,
+       ROUND(topic_mass / SUM(topic_mass) OVER (PARTITION BY class_id), 6)
+         AS v2,
+       0.0 AS v3
+FROM pt
 """,
 )
-def d8_sparsity_phi(spark, sf_dir):
-    _, _, phi = _spark_phi(spark, sf_dir)
+def d8d11_phi_scores(spark, sf_dir):
+    """D8 (SparsityPhi over a 2-sparsified phi) and D11 (TopicMassPhi over
+    the seeded n_wt) in one tagged union, normalized to (k, v1, v2, v3)."""
+    from bigartm_spark.model.phi import PhiMatrix
+    from bigartm_spark.model.scores import topic_mass_phi
+
+    docs = docs_from_lineitem(spark, sf_dir)
+    d = gather_dictionary(docs)
+    phi = initialize_phi(d, TOPICS, seed=SEED)
     w = Window.partitionBy("class_id", "token").orderBy(
         F.desc("value"), F.asc("topic")
     )
@@ -914,42 +959,30 @@ def d8_sparsity_phi(spark, sf_dir):
             "value", F.when(F.col("_rn") <= 2, F.col("value")).otherwise(0.0)
         )
     )
-    out = sparsified.groupBy("class_id").agg(
-        F.avg(F.when(F.col("value") < 1e-37, 1.0).otherwise(0.0)).alias(
-            "sparsity"
-        ),
+    d8 = sparsified.groupBy("class_id").agg(
+        F.avg(F.when(F.col("value") < 1e-37, 1.0).otherwise(0.0)).alias("v1"),
         F.sum(F.when(F.col("value") < 1e-37, 1).otherwise(0))
-        .cast("long")
-        .alias("zero_count"),
-        F.count(F.lit(1)).alias("total_count"),
+        .cast("double")
+        .alias("v2"),
+        F.count(F.lit(1)).cast("double").alias("v3"),
+    ).select(
+        F.lit("sparsity_phi").alias("part"),
+        "class_id",
+        F.lit("*").alias("k"),
+        "v1",
+        "v2",
+        "v3",
     )
-    return _r6(out, "sparsity")
-
-
-# ==================================================== D11: topic mass
-@register(
-    "d11_topic_mass",
-    f"""
-WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
-nwt AS (SELECT class_id, token, topic_idx, nwt AS value FROM rown),
-pt AS (SELECT class_id, topic_idx,
-              SUM(GREATEST(value, 0)) AS topic_mass
-       FROM nwt GROUP BY class_id, topic_idx)
-SELECT class_id, 'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
-       ROUND(topic_mass, 6) AS topic_mass,
-       ROUND(topic_mass / SUM(topic_mass) OVER (PARTITION BY class_id), 6)
-         AS topic_ratio
-FROM pt
-""",
-)
-def d11_topic_mass(spark, sf_dir):
-    from bigartm_spark.model.phi import PhiMatrix
-    from bigartm_spark.model.scores import topic_mass_phi
-
-    docs = docs_from_lineitem(spark, sf_dir)
-    d = gather_dictionary(docs)
     nwt = PhiMatrix("nwt", TOPICS, _seeded_row_normalized_nwt(d, SEED))
-    return _r6(topic_mass_phi(nwt), "topic_mass", "topic_ratio")
+    d11 = topic_mass_phi(nwt).select(
+        F.lit("topic_mass").alias("part"),
+        "class_id",
+        F.col("topic").alias("k"),
+        F.col("topic_mass").alias("v1"),
+        F.col("topic_ratio").alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
+    return _r6(d8.unionByName(d11), "v1", "v2")
 
 
 # ============================================ D13: background tokens
@@ -986,86 +1019,36 @@ def d13_background_tokens_ratio(spark, sf_dir):
     )
 
 
-# ==================================================== E3: theta snippet
+# ============================== H1+H1b: smooth/sparse + TransformFunction
 @register(
-    "e3_theta_snippet",
-    f"""
-WITH {_ESTEP_CTES},
-first_docs AS (SELECT DISTINCT doc_id FROM docs ORDER BY doc_id LIMIT 10)
-SELECT t.doc_id, 'topic_' || CAST(t.topic_idx AS VARCHAR) AS topic,
-       ROUND(t.th, 6) AS value
-FROM theta t JOIN first_docs f ON f.doc_id = t.doc_id
-""",
-)
-def e3_theta_snippet(spark, sf_dir):
-    from bigartm_spark.model.scores import theta_snippet
-
-    docs, _, phi = _spark_phi(spark, sf_dir)
-    out = estep.process_batches(
-        docs,
-        phi,
-        num_document_passes=1,
-        emit_nwt=False,
-        emit_theta=True,
-        compute_scores=False,
-    )
-    theta = estep.extract_theta(out, TOPICS)
-    return _r6(theta_snippet(theta, 10), "value")
-
-
-# ==================================================== H1: smooth/sparse
-@register(
-    "h1_smooth_sparse_phi_delta",
+    "h1_smooth_sparse_phi_deltas",
     f"""
 WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
 dictv AS (SELECT class_id, token,
                  tf / SUM(tf) OVER (PARTITION BY class_id) AS dv
-          FROM dict)
-SELECT p.class_id, p.token,
-       'topic_' || CAST(p.topic_idx AS VARCHAR) AS topic,
-       ROUND(-0.5 * d.dv, 6) AS delta
-FROM phi p JOIN dictv d
-  ON d.class_id = p.class_id AND d.token = p.token
+          FROM dict),
+base AS (
+  SELECT p.class_id, p.token, p.topic_idx, p.value, d.dv
+  FROM phi p JOIN dictv d
+    ON d.class_id = p.class_id AND d.token = p.token
+)
+SELECT 'const' AS variant, class_id, token,
+       'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
+       ROUND(-0.5 * dv, 6) AS delta
+FROM base
+UNION ALL
+SELECT 'log' AS variant, class_id, token,
+       'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
+       ROUND(-0.5 * dv *
+             (CASE WHEN value > 0 THEN ln(value) ELSE 0 END), 6) AS delta
+FROM base
 """,
 )
-def h1_smooth_sparse_phi_delta(spark, sf_dir):
-    """SmoothSparsePhi with dictionary coefficients: delta = tau * dict.value."""
-    from bigartm_spark.model.regularizers import (
-        RegularizeContext,
-        SmoothSparsePhi,
-    )
-
-    docs = docs_from_lineitem(spark, sf_dir)
-    d = gather_dictionary(docs)
-    _, _, phi = _spark_phi(spark, sf_dir)
-    reg = SmoothSparsePhi(tau=-0.5, use_dictionary=True)
-    delta = reg.rwt_delta(phi, phi, RegularizeContext(dictionary=d))
+def h1_smooth_sparse_phi_deltas(spark, sf_dir):
+    """SmoothSparsePhi with dictionary coefficients, both TransformFunction
+    variants (transform_function.cc:35-38): const (delta = tau * dict.value)
+    and logarithm (delta = tau * dict.value * ln(p_wt)), tagged union."""
     from bigartm_spark.model.phi import PhiMatrix
-
-    out = PhiMatrix("r", TOPICS, delta).to_long().withColumnRenamed(
-        "value", "delta"
-    )
-    return _r6(out, "delta")
-
-
-@register(
-    "h1b_log_transform_delta",
-    f"""
-WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
-dictv AS (SELECT class_id, token,
-                 tf / SUM(tf) OVER (PARTITION BY class_id) AS dv
-          FROM dict)
-SELECT p.class_id, p.token,
-       'topic_' || CAST(p.topic_idx AS VARCHAR) AS topic,
-       ROUND(-0.5 * d.dv *
-             (CASE WHEN p.value > 0 THEN ln(p.value) ELSE 0 END), 6) AS delta
-FROM phi p JOIN dictv d
-  ON d.class_id = p.class_id AND d.token = p.token
-""",
-)
-def h1b_log_transform_delta(spark, sf_dir):
-    """SmoothSparsePhi with the Logarithm TransformFunction
-    (transform_function.cc:35-38): delta = tau * dict.value * ln(p_wt)."""
     from bigartm_spark.model.regularizers import (
         RegularizeContext,
         SmoothSparsePhi,
@@ -1074,19 +1057,29 @@ def h1b_log_transform_delta(spark, sf_dir):
 
     docs = docs_from_lineitem(spark, sf_dir)
     d = gather_dictionary(docs)
-    _, _, phi = _spark_phi(spark, sf_dir)
-    reg = SmoothSparsePhi(
-        tau=-0.5,
-        use_dictionary=True,
-        transform_function=TransformFunction("logarithm"),
-    )
-    delta = reg.rwt_delta(phi, phi, RegularizeContext(dictionary=d))
-    from bigartm_spark.model.phi import PhiMatrix
-
-    out = PhiMatrix("r", TOPICS, delta).to_long().withColumnRenamed(
-        "value", "delta"
-    )
-    return _r6(out, "delta")
+    phi = initialize_phi(d, TOPICS, seed=SEED)
+    ctx = RegularizeContext(dictionary=d)
+    parts = []
+    for variant, reg in (
+        ("const", SmoothSparsePhi(tau=-0.5, use_dictionary=True)),
+        (
+            "log",
+            SmoothSparsePhi(
+                tau=-0.5,
+                use_dictionary=True,
+                transform_function=TransformFunction("logarithm"),
+            ),
+        ),
+    ):
+        delta = reg.rwt_delta(phi, phi, ctx)
+        parts.append(
+            PhiMatrix("r", TOPICS, delta)
+            .to_long()
+            .withColumnRenamed("value", "delta")
+            .withColumn("variant", F.lit(variant))
+            .select("variant", "class_id", "token", "topic", "delta")
+        )
+    return _r6(parts[0].unionByName(parts[1]), "delta")
 
 
 # ==================================================== H3: decorrelator
@@ -1154,23 +1147,3 @@ def h4_label_regularization_delta(spark, sf_dir):
     return _r6(out, "delta")
 
 
-# ==================================================== I4: items processed
-@register(
-    "i4_items_processed",
-    f"""
-WITH {DOCS_CTE}
-SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS items,
-       ROUND(SUM(weight), 6) AS token_weight
-FROM docs
-""",
-)
-def i4_items_processed(spark, sf_dir):
-    docs, _, phi = _spark_phi(spark, sf_dir)
-    out = estep.process_batches(
-        docs, phi, num_document_passes=0, emit_nwt=False, compute_scores=True
-    )
-    scores = estep.extract_scores(out)
-    return spark.createDataFrame(
-        [(int(scores["items_processed"]), _pyr6(scores["token_weight"]))],
-        "items bigint, token_weight double",
-    )

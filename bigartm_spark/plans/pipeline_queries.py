@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from bigartm_spark.functions.hashing import char_hash_sql
+from bigartm_spark.functions.hashing import char_hash_sql, int_uniform_sql
 from bigartm_spark.operators import dedup, similarity, textstats
 from bigartm_spark.plans.driver_queries import _r6, register
 
@@ -410,6 +410,32 @@ def embedding_near_dup_pairs(spark, sf_dir):
     return _r6(similarity.near_dup_pairs_lsh(emb, threshold=0.3), "cosine")
 
 
+@register(
+    "ann_kmeans_seed",
+    f"""
+WITH q AS (SELECT embedding AS c0 FROM embeddings
+           WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+s AS (
+  SELECT vec_id,
+         (1.0 - ({_cos_sql('embedding', 'c0')}))
+           * (1.0 - ({_cos_sql('embedding', 'c0')})) AS d2,
+         {int_uniform_sql('vec_id', '0')} AS u
+  FROM embeddings, q
+),
+tot AS (SELECT SUM(d2) AS t FROM s)
+SELECT vec_id, ROUND(d2, 6) AS d2, ROUND(u, 6) AS u,
+       CAST(u < 16 * d2 / (SELECT t FROM tot) AS INT) AS picked
+FROM s
+""",
+)
+def ann_kmeans_seed(spark, sf_dir):
+    """k-means|| (Bahmani et al., VLDB'12) round-0 scoring + selection:
+    the portable (vec_id, round)-keyed MINSTD uniform and the
+    oversampled selection predicate, replayed exactly in SQL."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _r6(similarity.kmeans_seed_round0(emb, k=8, oversample=2.0), "d2", "u")
+
+
 _CENTROID_CTE = """
 cents AS (
   SELECT CAST(vec_id AS INT) AS cell_id, embedding AS centroid
@@ -524,40 +550,39 @@ def ann_ivf_refine(spark, sf_dir):
 
 # ------------------------------------------------------------- textstats
 @register(
-    "text_token_count",
-    f"""
-SELECT doc_id,
-       CAST(len({WORDS_SQL}) AS BIGINT) AS n_tokens,
-       CAST(len(list_distinct({WORDS_SQL})) AS BIGINT) AS n_distinct_tokens,
-       CAST(len(text) AS BIGINT) AS n_chars_measured
-FROM documents
-""",
-)
-def text_token_count(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return textstats.token_count(docs)
-
-
-@register(
-    "text_bpe_ish_tokens",
+    "text_stats_composite",
     f"""
 WITH m AS (
   SELECT doc_id,
+         CAST(len({WORDS_SQL}) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct({WORDS_SQL})) AS BIGINT) AS n_distinct_tokens,
+         CAST(len(text) AS BIGINT) AS n_chars_measured,
          CAST(len(regexp_extract_all(text,
               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_pieces,
-         CAST(len({WORDS_SQL}) AS BIGINT) AS n_words
+         md5(text) AS fp, {char_hash_sql('text')} AS fp_rolling
   FROM documents
 )
-SELECT doc_id, n_pieces, n_words,
-       ROUND(CASE WHEN n_words > 0
-                  THEN CAST(n_pieces AS DOUBLE) / n_words ELSE 0.0 END, 6)
-         AS pieces_per_word
+SELECT doc_id, n_tokens, n_distinct_tokens, n_chars_measured,
+       n_pieces, n_tokens AS n_words,
+       ROUND(CASE WHEN n_tokens > 0
+                  THEN CAST(n_pieces AS DOUBLE) / n_tokens ELSE 0.0 END, 6)
+         AS pieces_per_word,
+       fp, fp_rolling
 FROM m
 """,
 )
-def text_bpe_ish_tokens(spark, sf_dir):
+def text_stats_composite(spark, sf_dir):
+    """Token counting, BPE-ish piece counting, and document fingerprinting
+    (md5 + rolling hash) as ONE per-doc row — three textstats operators,
+    one scan, all whole-stage-codegen column expressions."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return _r6(textstats.bpe_ish_tokens(docs), "pieces_per_word")
+    tc = textstats.token_count(docs)
+    bpe = textstats.bpe_ish_tokens(docs).select(
+        "doc_id", "n_pieces", "n_words", "pieces_per_word"
+    )
+    fp = textstats.fingerprint(docs).select("doc_id", "fp", "fp_rolling")
+    out = tc.join(bpe, "doc_id").join(fp, "doc_id")
+    return _r6(out, "pieces_per_word")
 
 
 def _langid_sql() -> str:
@@ -695,13 +720,3 @@ def corpus_quality_filter(spark, sf_dir):
     return _r6(out.select("doc_id", "lang", "quality"), "quality")
 
 
-@register(
-    "text_fingerprint",
-    f"""
-SELECT doc_id, md5(text) AS fp, {char_hash_sql('text')} AS fp_rolling
-FROM documents
-""",
-)
-def text_fingerprint(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return textstats.fingerprint(docs)

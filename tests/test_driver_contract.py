@@ -13,10 +13,10 @@ sys.path.insert(0, "/root/repo")
 
 REPRESENTATIVE = [
     "d1_gather_dictionary",
-    "g1_initialize_phi",
+    "g1e5_initialize_and_ranking",
     "d2_estep_nwt_one_pass",
     "g5_em_one_pass_pwt",
-    "d14_cooc_ppmi",
+    "d14f4_cooc_ppmi_filtered",
     "e1_top_tokens",
     "dedup_minhash_signatures",
     "ann_cosine_topk",

@@ -94,3 +94,41 @@ def test_kmeans_parallel_seed_deterministic(spark):
     # seeding spread: a healthy majority of cells get members
     assert len(per_cell) >= 4
     assert sum(r["count"] for r in per_cell) == 500
+
+
+def test_seed_uniform_pythonhashseed_independent():
+    """The kmeans|| uniform must not depend on CPython hash() /
+    PYTHONHASHSEED (r2 ADVICE): identical values from subprocesses
+    launched with different hash seeds."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import numpy as np;"
+        "from bigartm_spark.functions.hashing import int_uniform_np;"
+        "print(','.join('%.17g' % x for x in int_uniform_np(np.arange(64), 2)))"
+    )
+    outs = []
+    for hs in ("0", "1", "random"):
+        env = dict(os.environ, PYTHONHASHSEED=hs, PYTHONPATH="/root/repo")
+        outs.append(
+            subprocess.check_output([sys.executable, "-c", code], env=env)
+        )
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_kmeans_seed_round0_matches_loop_semantics(spark):
+    """kmeans_seed_round0 (the oracle face) must agree with what the
+    production loop would pick in round 0: same uniform, same predicate."""
+    from bigartm_spark.operators.similarity import kmeans_seed_round0
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = kmeans_seed_round0(emb, k=8).collect()
+    assert len(out) == emb.count()
+    picked = [r for r in out if r["picked"] == 1]
+    # the candidate itself has d2 = 0 -> never picked; some others are
+    assert 0 < len(picked) < len(out)
+    for r in out:
+        assert 0.0 <= r["u"] < 1.0
+        assert r["d2"] >= 0.0
