@@ -106,6 +106,7 @@ class ARTM:
             )
         for _ in range(num_collection_passes):
             self._one_pass(docs)
+        estep.release_phi_broadcasts()  # nothing in flight after the loop
         return self
 
     def _one_pass(self, docs: DataFrame, decay_weight: float = 0.0, apply_weight: float = 1.0):
@@ -155,6 +156,7 @@ class ARTM:
             t += update_every
             rho = math.pow(tau0 + t, -kappa)
             self._one_pass(group, decay_weight=1.0 - rho, apply_weight=rho)
+        estep.release_phi_broadcasts()  # nothing in flight after the loop
         return self
 
     def _autosize_buckets(self, doc_groups: list[DataFrame]) -> None:
@@ -246,6 +248,7 @@ class ARTM:
                 old.compact.unpersist()
             except Exception:
                 pass
+        estep.release_phi_broadcasts()  # pool drained: nothing in flight
         return self
 
     def _merge_and_normalize(
@@ -301,6 +304,12 @@ class ARTM:
             kernel_out.unpersist()
         except Exception:
             pass
+        # the checkpoint/extractions above consumed this pass's kernel
+        # relation; reclaim all but the newest phi broadcast (the newest
+        # may belong to an overlapped async E-step still in flight —
+        # keeping one handle costs <=256MB, and release_phi_broadcasts
+        # is unpersist-not-destroy so even that would only re-ship)
+        estep.release_phi_broadcasts(keep_last=1)
         for k, v in scores.items():
             self.score_tracker.setdefault(k, []).append(v)
         for name, fn in self.phi_scores.items():
@@ -419,6 +428,7 @@ class ARTM:
                     mat.compact.unpersist()
                 except Exception:
                     pass
+        estep.release_phi_broadcasts()
         self.pwt = self.nwt = self.theta = None
 
     def info(self) -> dict:

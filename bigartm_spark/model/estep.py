@@ -56,8 +56,31 @@ PHI_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 
 # per-worker-process memo of the merge key frame rebuilt from a broadcast
 # (keyed by Spark broadcast id; the value itself is cached by Spark per
-# worker, this avoids re-assembling the pandas frame per task)
+# worker, this avoids re-assembling the pandas frame per task). Size 1:
+# a stale entry pins the previous pass's phi value tuple (plus a rebuilt
+# pandas frame) in every worker process — near the 256MB broadcast
+# threshold that is GBs of dead memory per worker across EM passes.
 _KF_CACHE: dict[int, object] = {}
+
+# driver-side registry of phi broadcasts issued by process_batches, so
+# fit loops can reclaim executor broadcast blocks deterministically
+# instead of waiting on the ContextCleaner GC race (a 15-pass fit near
+# the 256MB threshold otherwise parks ~4GB of dead blocks per executor)
+_ISSUED_PHI_BROADCASTS: list = []
+
+
+def release_phi_broadcasts(keep_last: int = 0) -> None:
+    """Unpersist phi broadcasts issued so far, keeping the ``keep_last``
+    most recent. unpersist (never destroy): the driver retains the value,
+    so if a consumer's lineage is ever recomputed the broadcast is simply
+    re-shipped — correctness-safe even if called while an overlapped
+    async E-step is still running."""
+    while len(_ISSUED_PHI_BROADCASTS) > keep_last:
+        b = _ISSUED_PHI_BROADCASTS.pop(0)
+        try:
+            b.unpersist(blocking=False)
+        except Exception:
+            pass
 
 
 def should_broadcast_phi(
@@ -100,8 +123,7 @@ def _bcast_lookup(phi_bcast):
     cls_arr, tok_arr, mat = val
     kf = pd.DataFrame({"class_id": cls_arr, "token": tok_arr})
     kf["_row_idx"] = np.arange(len(kf), dtype=np.int64)
-    if len(_KF_CACHE) > 8:  # bound per-process memory across models
-        _KF_CACHE.clear()
+    _KF_CACHE.clear()  # evict the stale pass's value tuple immediately
     _KF_CACHE[id(val)] = (val, kf)
     return kf, mat
 
@@ -373,6 +395,7 @@ def process_batches(
                 mat,
             )
         )
+        _ISSUED_PHI_BROADCASTS.append(phi_bcast)
         joined = docs.select(*cols)
     else:
         joined = docs.select(*cols).join(

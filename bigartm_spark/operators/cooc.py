@@ -114,5 +114,12 @@ def ppmi(cooc: DataFrame) -> DataFrame:
 def cooc_ppmi(docs: DataFrame, window: int = 5, **kw) -> DataFrame:
     # ppmi reads the cooc relation three times (marginals x2 + join);
     # materialize it once instead of re-running the pair join per read.
-    gathered = cooc_gather(docs, window=window, **kw).cache()
+    # localCheckpoint, not cache(): plan-level caches are pinned by the
+    # CacheManager for the life of the session (nobody here can know
+    # when the caller's last action ran), while checkpoint RDD blocks
+    # are reclaimed by the ContextCleaner as soon as the returned plan
+    # is no longer referenced.
+    gathered = cooc_gather(docs, window=window, **kw).localCheckpoint(
+        eager=True
+    )
     return ppmi(gathered)

@@ -16,7 +16,9 @@ DuckDB-replayable oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import warnings
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 # MinHash: k independent permutations = md5 over seed-prefixed shingles,
@@ -25,6 +27,30 @@ from pyspark.sql import functions as F
 # in DuckDB, so signatures match byte-for-byte.
 MINHASH_K = 8
 LSH_BAND_SIZE = 2  # 8 sigs -> 4 bands of 2
+
+# Intermediate caches created inside the ops below (band relations,
+# wide signatures, shingle indexes). A long-lived session composing
+# them would otherwise accrete executor storage until LRU eviction;
+# the composed ops (deduplicate_corpus) release after their consuming
+# action, and any caller can call release_dedup_caches() once done.
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def _tracked_cache(df: DataFrame) -> DataFrame:
+    out = df.cache()
+    _TRACKED_CACHES.append(out)
+    return out
+
+
+def release_dedup_caches() -> None:
+    """Unpersist every intermediate relation cached by the dedup ops.
+    Safe at any time: a consumer whose plan still references one simply
+    recomputes it uncached."""
+    while _TRACKED_CACHES:
+        try:
+            _TRACKED_CACHES.pop().unpersist()
+        except Exception:
+            pass
 
 
 def words_col(text=None) -> F.Column:
@@ -156,11 +182,11 @@ def lsh_candidate_pairs(
         )
         for band in range(n_bands)
     ]
-    bands = (
+    bands = _tracked_cache(  # both sides of the bucket self-join read this
         _minhash_wide(documents, n, hash_fn)
         .select("doc_id", F.explode(F.array(*band_structs)).alias("_b"))
         .select("doc_id", "_b.band", "_b.band_sig")
-    ).cache()  # both sides of the bucket self-join read this relation
+    )
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band", "band_sig"
     )
@@ -184,7 +210,7 @@ def minhash_jaccard_estimate(
     (E[fraction] = true Jaccard) used to filter candidates BEFORE any
     exact shingle-set verification. One extra join of the candidate
     pairs against the wide signature rows; never touches raw text."""
-    wide = _minhash_wide(documents, n, hash_fn).cache()
+    wide = _tracked_cache(_minhash_wide(documents, n, hash_fn))
     cand = lsh_candidate_pairs(documents, n, hash_fn).select(
         "doc_a", "doc_b"
     ).distinct()
@@ -217,7 +243,7 @@ def ngram_jaccard_pairs(
     documents: DataFrame,
     n: int = 3,
     threshold: float = 0.1,
-    max_shingle_df: int | None = 100,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard via the shingle inverted index:
     |A ∩ B| from the self-join, sizes from per-doc counts.
@@ -227,9 +253,12 @@ def ngram_jaccard_pairs(
     docs from the index BEFORE the self-join (a shingle with df=d emits
     d²/2 join rows, so stop-phrase shingles are a skew bomb at scale;
     capping is standard practice). Sizes and intersections are both
-    computed over the capped index, so the result is the exact Jaccard
-    over the reduced shingle universe. None disables the cap."""
-    sh = doc_shingles(documents, n).cache()
+    computed over the capped index, so with a cap the result is the
+    exact Jaccard over the REDUCED shingle universe — a deliberate
+    semantic change, so it is opt-in: the default (None) is the exact
+    Jaccard over all shingles; pass a cap (e.g. 100) at scale-sensitive
+    call sites."""
+    sh = _tracked_cache(doc_shingles(documents, n))
     if max_shingle_df is not None:
         keep = (
             sh.groupBy("shingle")
@@ -283,7 +312,13 @@ def dedup_clusters(
     neighbor labels; stop when a round changes nothing. Near-duplicate
     clusters have tiny diameter, so rounds ≈ 2-3 in practice; each round
     is one join + one groupBy (plain shuffles, no driver-side graph).
-    Only docs that appear in some pair are returned."""
+    Only docs that appear in some pair are returned.
+
+    ONE job per round: the changed-label count rides an Observation on
+    the same count() action that fills the round's cache (the old
+    separate probe join doubled the per-round job count). Every 5th
+    round the label relation is localCheckpointed so a deep component
+    can't build a max_iterations-deep recursive plan."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -298,7 +333,8 @@ def dedup_clusters(
         .distinct()
         .withColumn("label", F.col("doc_id"))
     ).cache()
-    for _ in range(max_iterations):
+    changed = 0
+    for it in range(max_iterations):
         nbr_min = (
             edges.join(
                 labels.select(
@@ -310,26 +346,48 @@ def dedup_clusters(
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("_nl").alias("_nbr"))
         )
+        obs = Observation()
         new_labels = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
+                F.col("label").alias("_old"),
                 F.least(
                     "label", F.coalesce("_nbr", F.col("label"))
                 ).alias("label"),
             )
-        ).cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("label") < F.col("_old")).cast("long")
+                ).alias("changed"),
+            )
+            .select("doc_id", "label")
+            .cache()
         )
+        if (it + 1) % 5 == 0:
+            # truncate the growing join lineage; the checkpoint action
+            # is this round's one job (it fills the observation too)
+            cached = new_labels
+            new_labels = new_labels.localCheckpoint(eager=True)
+            cached.unpersist()
+        else:
+            new_labels.count()  # the round's ONE action
+        changed = int(obs.get["changed"] or 0)
         labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        warnings.warn(
+            f"dedup_clusters did not converge in {max_iterations} rounds "
+            f"({changed} labels still changing): a duplicate component "
+            "with diameter > max_iterations would keep members under "
+            "different canonicals — raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    edges.unpersist()  # labels are checkpoint-materialized
     return labels.select("doc_id", F.col("label").alias("canonical"))
 
 
@@ -354,11 +412,20 @@ def deduplicate_corpus(
     pairs = lsh_candidate_pairs(survivors, n, hash_fn=hash_fn).select(
         "doc_a", "doc_b"
     )
+    clusters = dedup_clusters(pairs)
+    # materialize the (tiny) drop list eagerly so every upstream cache
+    # (band relation, per-round labels) can be released NOW instead of
+    # accreting in executor storage for the life of the session
     drop = (
-        dedup_clusters(pairs)
-        .filter(F.col("doc_id") != F.col("canonical"))
+        clusters.filter(F.col("doc_id") != F.col("canonical"))
         .select("doc_id")
+        .localCheckpoint(eager=True)
     )
+    try:
+        clusters.unpersist()
+    except Exception:
+        pass
+    release_dedup_caches()
     return survivors.join(drop, "doc_id", "left_anti")
 
 

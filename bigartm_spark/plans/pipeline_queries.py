@@ -141,7 +141,12 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return _r6(dedup.ngram_jaccard_pairs(docs, threshold=0.05), "jaccard")
+    # max_shingle_df is opt-in (the default is exact Jaccard); the
+    # oracle's HAVING COUNT(*) <= 100 replays the same cap
+    return _r6(
+        dedup.ngram_jaccard_pairs(docs, threshold=0.05, max_shingle_df=100),
+        "jaccard",
+    )
 
 
 @register(

@@ -28,21 +28,39 @@ def save_batches(docs: DataFrame, path: str, num_batches: int | None = None):
     w.write.mode("overwrite").partitionBy("batch_id").parquet(path)
 
 
-def load_batches(spark: SparkSession, path: str) -> DataFrame:
+def _hadoop_ls(spark: SparkSession, path: str) -> list[str]:
+    """Directory entry names via the Hadoop FileSystem API — works for
+    local paths AND hdfs://, s3a://, etc. (a local-filesystem glob would
+    silently miss remote stores and fall through to the wrong reader)."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
+
+def load_batches(
+    spark: SparkSession, path: str, format: str | None = None
+) -> DataFrame:
     """A5: lazy scan of the batch store. Accepts BOTH formats: our
     parquet store and a directory of reference ``.batch`` protobuf files
-    (one serialized Batch per file, messages.proto:65-74) — sniffed by
-    the presence of *.batch entries."""
-    try:
-        import glob
-
-        has_pb = bool(glob.glob(os.path.join(path, "*.batch")))
-    except OSError:
-        has_pb = False
-    if has_pb:
+    (one serialized Batch per file, messages.proto:65-74). Pass
+    ``format`` ("parquet" | "batch_pb") to skip sniffing; otherwise the
+    directory listing (Hadoop FS, any scheme) decides."""
+    if format is None:
+        names = _hadoop_ls(spark, path)
+        format = (
+            "batch_pb"
+            if any(n.endswith(".batch") for n in names)
+            else "parquet"
+        )
+    if format == "batch_pb":
         from bigartm_spark.sources.batch_pb import read_batch_folder
 
         return read_batch_folder(spark, path)
+    if format != "parquet":
+        raise ValueError(f"unknown batch format {format!r}")
     df = spark.read.parquet(path)
     cols = [f.name for f in DOCS_SCHEMA.fields]
     return df.select(*[F.col(c).cast(dict_field_type(DOCS_SCHEMA, c)) for c in cols])
@@ -66,14 +84,40 @@ def import_model(spark: SparkSession, path: str) -> PhiMatrix:
     return PhiMatrix.from_long(meta["name"], meta["topics"], long_df)
 
 
-def export_dictionary(dictionary: DataFrame, path: str, cooc: DataFrame | None = None):
-    """A9."""
+def export_dictionary(
+    dictionary: DataFrame,
+    path: str,
+    cooc: DataFrame | None = None,
+    name: str = "dictionary",
+    num_items_in_collection: int = 0,
+):
+    """A9. A ``.dict`` path writes the reference's binary token-chunked
+    format (sources/dict_pb.py, readable by the C++ Import); any other
+    path is the parquet export dir."""
+    if path.endswith(".dict"):
+        from bigartm_spark.sources.dict_pb import write_dict_file
+
+        write_dict_file(
+            dictionary,
+            path,
+            name=name,
+            num_items_in_collection=num_items_in_collection,
+            cooc=cooc,
+        )
+        return
     dictionary.write.mode("overwrite").parquet(f"{path}/dictionary.parquet")
     if cooc is not None:
         cooc.write.mode("overwrite").parquet(f"{path}/cooc.parquet")
 
 
 def import_dictionary(spark: SparkSession, path: str) -> DataFrame:
+    """Auto-detects the format: a ``.dict`` file (reference binary,
+    dictionary_operations.cc:165-252) or our parquet export dir."""
+    if path.endswith(".dict"):
+        from bigartm_spark.sources.dict_pb import read_dict_file
+
+        df, _, _ = read_dict_file(spark, path)
+        return df
     df = spark.read.parquet(f"{path}/dictionary.parquet")
     return df.select(*[f.name for f in DICTIONARY_SCHEMA.fields])
 

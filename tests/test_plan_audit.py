@@ -91,3 +91,29 @@ def test_estep_join_path_uses_plan_join(spark, docs):
     plan = _explain(out)
     assert "FlatMapGroupsInPandas" in plan
     assert "Join" in plan  # the C1 join is in the plan, not a collect
+
+
+def test_dedup_clusters_one_job_per_round(spark):
+    """The CC fixpoint probe rides an Observation on the round's own
+    materialization action — one Spark action per propagation round, not
+    two (r2 VERDICT "What's wrong" #4). AQE is disabled for the
+    measurement window so one action maps to a stable job count."""
+    from bigartm_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 3)], "doc_a long, doc_b long"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        before = set(tracker.getJobIdsForGroup(None) or [])
+        dedup.dedup_clusters(pairs)
+        after = set(tracker.getJobIdsForGroup(None) or [])
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    n_jobs = len(after - before)
+    # two rounds to converge (round 1 relabels, round 2 observes zero
+    # change); each round = 1 action -> 2 jobs (broadcast build + main).
+    # The old separate probe-join design added its own action per round
+    # (>= 6 jobs here) — this bound catches that regression.
+    assert n_jobs <= 4, f"expected <=4 jobs (2 rounds x 1 action), got {n_jobs}"
