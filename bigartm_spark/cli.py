@@ -31,12 +31,51 @@ def build_parser() -> argparse.ArgumentParser:
         help="co-occurrence adjacency file (srcmain.cc --read-cooc); "
         "enables ImproveCoherence / Biterms regularizer specs",
     )
+    src.add_argument(
+        "--batch-size",
+        type=int,
+        default=500,
+        help="items per batch when parsing raw corpora (srcmain.cc:1777)",
+    )
     p.add_argument("-t", "--topics", type=int, default=16)
     p.add_argument("-p", "--passes", type=int, default=10)
     p.add_argument("--num-document-passes", type=int, default=10)
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--seed", "--rand-seed", dest="seed", type=int, default=0
+    )
     p.add_argument("--dictionary-min-df", type=float, default=None)
     p.add_argument("--dictionary-max-df", type=float, default=None)
+    p.add_argument(
+        "--dictionary-size",
+        type=int,
+        default=None,
+        help="keep only the N highest-df tokens (srcmain.cc:1789)",
+    )
+    p.add_argument(
+        "--use-dictionary",
+        default=None,
+        help="dictionary to use instead of gathering: a reference binary "
+        ".dict file or our parquet export dir (srcmain.cc:1790)",
+    )
+    online = p.add_argument_group("online learning (srcmain.cc:1808-1815)")
+    online.add_argument(
+        "--update-every",
+        type=int,
+        default=0,
+        help="online EM: model update after every N documents (0 = offline)",
+    )
+    online.add_argument("--tau0", type=float, default=1024.0)
+    online.add_argument("--kappa", type=float, default=0.7)
+    online.add_argument(
+        "--asynchronous",
+        action="store_true",
+        help="overlapped (stale-phi) online algorithm, G7",
+    )
+    online.add_argument(
+        "--reuse-theta",
+        action="store_true",
+        help="reuse theta between iterations (C5)",
+    )
     p.add_argument(
         "--use-modality",
         default=None,
@@ -80,6 +119,24 @@ def build_parser() -> argparse.ArgumentParser:
     )
     out.add_argument("--write-vw-corpus", help="re-export corpus as VW")
     out.add_argument("--score-tracker", help="JSON path for score history (A10)")
+    out.add_argument(
+        "--save-dictionary",
+        help="dictionary sink: a .dict path writes the reference binary "
+        "format, anything else the parquet export dir (srcmain.cc:1825)",
+    )
+    out.add_argument(
+        "--guid-batch-name",
+        action="store_true",
+        help="--save-batches names batches by GUID instead of sequential "
+        "codes (srcmain.cc:1843; deterministic content-derived GUIDs here "
+        "so retries are idempotent)",
+    )
+    out.add_argument(
+        "--csv-separator",
+        default=",",
+        help="column separator for the readable CSV sinks "
+        "(srcmain.cc:1833; \\t or TAB for tab)",
+    )
     return p
 
 
@@ -214,31 +271,74 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("bigartm_spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
+    sep = "\t" if args.csv_separator in ("\\t", "TAB") else args.csv_separator
 
+    from pyspark.sql import functions as F
+
+    parsed_raw = False
     if args.read_vw_corpus:
         from bigartm_spark.sources.vw import read_vowpal_wabbit
 
         docs = read_vowpal_wabbit(spark, args.read_vw_corpus)
+        parsed_raw = True
     elif args.read_uci_docword and args.read_uci_vocab:
         from bigartm_spark.sources.uci import read_uci
 
         docs = read_uci(spark, args.read_uci_docword, args.read_uci_vocab)
+        parsed_raw = True
     elif args.use_batches:
         docs = sio.load_batches(spark, args.use_batches)
     else:
         raise SystemExit("no input: use --read-vw-corpus / --read-uci-* / --use-batches")
+    if parsed_raw and args.batch_size:
+        # srcmain.cc:1777 num_items_per_batch: rebatch the parsed corpus
+        docs = docs.withColumn(
+            "batch_id",
+            F.floor(F.col("doc_id") / F.lit(args.batch_size)).cast("string"),
+        )
     docs = docs.cache()
 
     if args.save_batches:
-        sio.save_batches(docs, args.save_batches)
+        out_docs = docs
+        if args.guid_batch_name:
+            # CollectionParserConfig_BatchNameType_Guid (srcmain.cc:1131);
+            # content-derived (sha1 of the code) so retries are idempotent
+            h = F.sha1(F.concat(F.lit("batch|"), F.col("batch_id")))
+            out_docs = docs.withColumn(
+                "batch_id",
+                F.concat_ws(
+                    "-",
+                    F.substring(h, 1, 8),
+                    F.substring(h, 9, 4),
+                    F.substring(h, 13, 4),
+                    F.substring(h, 17, 4),
+                    F.substring(h, 21, 12),
+                ),
+            )
+        sio.save_batches(out_docs, args.save_batches)
 
-    dictionary = gather_dictionary(docs)
+    if args.use_dictionary:
+        dictionary = sio.import_dictionary(spark, args.use_dictionary)
+    else:
+        dictionary = gather_dictionary(docs)
     if args.dictionary_min_df is not None or args.dictionary_max_df is not None:
         dictionary = filter_dictionary(
             dictionary,
             min_df=args.dictionary_min_df,
             max_df=args.dictionary_max_df,
             recalculate_value=True,
+        )
+    if args.dictionary_size:
+        from bigartm_spark.operators.dictionary import top_k_by_df
+
+        dictionary = top_k_by_df(dictionary, args.dictionary_size)
+    if args.save_dictionary:
+        from bigartm_spark.operators.dictionary import num_items
+
+        sio.export_dictionary(
+            dictionary,
+            args.save_dictionary,
+            num_items_in_collection=num_items(docs),
         )
     if args.write_cooc_tf or args.write_cooc_df:
         from bigartm_spark.operators.cooc import cooc_ppmi
@@ -265,7 +365,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.write_dictionary_readable:
         dictionary.coalesce(1).write.mode("overwrite").option(
             "header", True
-        ).csv(args.write_dictionary_readable)
+        ).option("sep", sep).csv(args.write_dictionary_readable)
 
     class_weights = (
         parse_key_value_pairs(args.use_modality) if args.use_modality else None
@@ -286,6 +386,7 @@ def main(argv: list[str] | None = None) -> int:
         class_weights=class_weights,
         phi_regularizers=phi_regs,
         theta_agents=theta_agents,
+        reuse_theta=args.reuse_theta,
     )
     if args.load_model:
         from bigartm_spark.sources.io import import_model
@@ -296,14 +397,31 @@ def main(argv: list[str] | None = None) -> int:
         model._broadcast_phi = True
     else:
         model.initialize(dictionary)
-        model.fit_offline(docs, num_collection_passes=args.passes)
+        if args.update_every > 0:
+            # srcmain.cc:1808-1815 online algorithm (G6/G7)
+            from bigartm_spark.streaming.online import split_batch_groups
+
+            groups = split_batch_groups(docs, args.update_every)
+            fit = (
+                model.fit_online_async
+                if args.asynchronous
+                else model.fit_online
+            )
+            fit(
+                groups,
+                tau0=args.tau0,
+                kappa=args.kappa,
+                update_every=args.update_every,
+            )
+        else:
+            model.fit_offline(docs, num_collection_passes=args.passes)
         for i, ppl in enumerate(model.score_tracker.get("perplexity", [])):
             print(f"pass {i}: perplexity = {ppl:.4f}")
 
     if args.save_model:
         sio.export_model(model.pwt, args.save_model)
     if args.write_model_readable:
-        sio.write_model_readable(model.pwt, args.write_model_readable)
+        sio.write_model_readable(model.pwt, args.write_model_readable, sep=sep)
     if args.write_predictions:
         theta = model.transform(docs)
         (
@@ -313,6 +431,7 @@ def main(argv: list[str] | None = None) -> int:
             .coalesce(1)
             .write.mode("overwrite")
             .option("header", True)
+            .option("sep", sep)
             .csv(args.write_predictions)
         )
     if args.write_class_predictions:
@@ -321,6 +440,7 @@ def main(argv: list[str] | None = None) -> int:
             preds.coalesce(1)
             .write.mode("overwrite")
             .option("header", True)
+            .option("sep", sep)
             .csv(args.write_class_predictions)
         )
     if args.write_vw_corpus:

@@ -146,16 +146,18 @@ def import_score_tracker(path: str) -> dict[str, list[float]]:
         return json.load(f)
 
 
-def write_model_readable(phi: PhiMatrix, path: str):
+def write_model_readable(phi: PhiMatrix, path: str, sep: str = ","):
     """A11: CSV sink of the wide (pivoted) model — the CLI's
-    --write-model-readable."""
+    --write-model-readable (srcmain.cc --csv-separator)."""
     long_df = phi.to_long()
     wide = (
         long_df.groupBy("class_id", "token")
         .pivot("topic", phi.topics)
         .agg(F.first("value"))
     )
-    wide.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    wide.coalesce(1).write.mode("overwrite").option("header", True).option(
+        "sep", sep
+    ).csv(path)
 
 
 def write_corpus_vw(docs: DataFrame, path: str):

@@ -193,3 +193,86 @@ def test_cli_read_cooc_regularizer(spark, tmp_path):
             ["--read-vw-corpus", str(corpus), "-t", "2", "-p", "1",
              "--regularizer", "0.1 Biterms"]
         )
+
+
+def test_cli_long_tail_flags(spark, tmp_path):
+    """--batch-size / --guid-batch-name / --save-dictionary (.dict) /
+    --use-dictionary / --dictionary-size / --csv-separator
+    (srcmain.cc:1777,1789,1790,1825,1833,1843)."""
+    import os
+
+    from bigartm_spark.cli import main
+
+    corpus = tmp_path / "lt.vw"
+    corpus.write_text(
+        "\n".join(f"d{d} alpha beta gamma w{d % 7}" for d in range(20)) + "\n"
+    )
+    batches = str(tmp_path / "batches")
+    dict_file = str(tmp_path / "lt.dict")
+    readable = str(tmp_path / "readable")
+    rc = main(
+        [
+            "--read-vw-corpus", str(corpus), "-t", "2", "-p", "1",
+            "--batch-size", "5", "--guid-batch-name",
+            "--save-batches", batches,
+            "--save-dictionary", dict_file,
+            "--dictionary-size", "8",
+            "--write-dictionary-readable", readable,
+            "--csv-separator", "TAB",
+            "--rand-seed", "3",
+        ]
+    )
+    assert rc == 0
+    # 20 docs / batch-size 5 -> 4-5 batches (doc ids are 1-based),
+    # GUID-named partition dirs
+    parts = [
+        p for p in os.listdir(batches) if p.startswith("batch_id=")
+    ]
+    assert len(parts) in (4, 5)
+    assert all(len(p.split("=", 1)[1]) == 36 for p in parts)
+    # binary .dict round-trips and is size-capped
+    from bigartm_spark.sources.io import import_dictionary
+
+    d = import_dictionary(spark, dict_file)
+    assert d.count() == 8
+    # TAB separator reached the readable sink
+    csvs = [f for f in os.listdir(readable) if f.endswith(".csv")]
+    header = open(os.path.join(readable, csvs[0])).readline()
+    assert "\t" in header
+    # --use-dictionary consumes the .dict and skips gathering
+    rc2 = main(
+        [
+            "--read-vw-corpus", str(corpus), "-t", "2", "-p", "1",
+            "--use-dictionary", dict_file,
+        ]
+    )
+    assert rc2 == 0
+
+
+def test_cli_online_flags(spark, tmp_path, capsys):
+    """--update-every/--tau0/--kappa run the online algorithm;
+    --asynchronous the overlapped variant (srcmain.cc:1808-1815)."""
+    from bigartm_spark.cli import main
+
+    corpus = tmp_path / "on.vw"
+    corpus.write_text(
+        "\n".join(f"d{d} tok{d % 5} tok{(d + 1) % 5} common" for d in range(24))
+        + "\n"
+    )
+    rc = main(
+        [
+            "--read-vw-corpus", str(corpus), "-t", "2",
+            "--batch-size", "4", "--update-every", "2",
+            "--tau0", "64", "--kappa", "0.6",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "perplexity" in out
+    rc2 = main(
+        [
+            "--read-vw-corpus", str(corpus), "-t", "2",
+            "--batch-size", "4", "--update-every", "2", "--asynchronous",
+        ]
+    )
+    assert rc2 == 0

@@ -1,0 +1,117 @@
+"""Kos-scale pinned golden trajectory (r2 VERDICT "What's missing" #3).
+
+The reference pins a 15-pass SmoothSparsePhi+DecorrelatorPhi trajectory
+on the real kos corpus (python/tests/artm/test_artm_model.py:30-72,
+perplexity 6873->1964, eps 2.0; sparsity_phi 0.034->0.464, eps 0.001).
+That corpus is download-only and this environment is offline, so this is
+the same experiment at the same scale on an IN-REPO deterministic corpus
+with kos dimensions (3430 docs, 6906-token vocab, ~450k tokens, Zipf
+frequencies) and the same regularizer configuration (tau=-0.1 smooth-
+sparse, tau=1.5e5 decorrelator, T=15, 15 passes, 1 document pass).
+
+The pinned values were produced by this exact code path; the test guards
+the whole EM + regularizer + score stack against drift. Upstream-style
+tolerances (2.0 on perplexity) absorb shuffle-order float noise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+N_DOCS = 3430
+VOCAB = 6906
+
+PERPLEXITY_GOLDEN = [
+    6535.93, 90.715, 64.185, 62.107, 55.57,
+    55.946, 53.613, 53.869, 52.062, 52.029,
+    51.947, 51.054, 51.229, 50.151, 50.002,
+]
+SPARSITY_GOLDEN = [
+    0.29776, 0.36013, 0.41298, 0.45499, 0.49408,
+    0.52687, 0.5603, 0.59235, 0.62273, 0.65405,
+    0.68374, 0.71432, 0.74116, 0.76535, 0.78719,
+]
+PERP_EPS = 2.0  # upstream's perp_zero_eps
+SPARSITY_EPS = 0.005
+
+
+@pytest.fixture(scope="module")
+def kos_scale_docs(spark):
+    rng = np.random.RandomState(2026)
+    lens = np.maximum(
+        (rng.lognormal(4.7, 0.55, size=N_DOCS)).astype(int), 10
+    )
+    total = int(lens.sum())
+    ranks = rng.zipf(1.25, size=int(total * 1.6))
+    ranks = ranks[ranks <= VOCAB][:total]
+    while len(ranks) < total:
+        extra = rng.zipf(1.25, size=total)
+        ranks = np.concatenate([ranks, extra[extra <= VOCAB]])[:total]
+    doc_ids = np.repeat(np.arange(N_DOCS), lens)
+    pdf = pd.DataFrame({"doc_id": doc_ids, "tok": ranks})
+    agg = pdf.groupby(["doc_id", "tok"]).size().reset_index(name="weight")
+    agg["pos"] = agg.groupby("doc_id").cumcount() + 1
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": agg["doc_id"].astype("int64"),
+                "title": agg["doc_id"].astype(str),
+                "batch_id": (agg["doc_id"] % 16).astype(str),
+                "class_id": "@default_class",
+                "token": "w" + agg["tok"].astype(str),
+                "weight": agg["weight"].astype(float),
+                "pos": agg["pos"].astype("int32"),
+            }
+        )
+    ).cache()
+    yield docs
+    docs.unpersist()
+
+
+def test_kos_scale_golden_trajectory(spark, kos_scale_docs):
+    from pyspark.sql import functions as F
+
+    from bigartm_spark.model.artm import ARTM
+    from bigartm_spark.model.regularizers import (
+        DecorrelatorPhi,
+        SmoothSparsePhi,
+    )
+    from bigartm_spark.operators.dictionary import gather_dictionary
+
+    def phi_sparsity(pwt):
+        return (
+            pwt.to_long()
+            .agg(F.avg((F.col("value") < 1e-10).cast("double")).alias("s"))
+            .collect()[0]["s"]
+        )
+
+    m = ARTM(
+        num_topics=15,
+        num_document_passes=1,
+        seed=42,
+        cache_theta=False,
+        phi_regularizers=[
+            SmoothSparsePhi(tau=-0.1),
+            DecorrelatorPhi(tau=1.5e5),
+        ],
+        phi_scores={"sparsity_phi": phi_sparsity},
+    )
+    m.initialize(gather_dictionary(kos_scale_docs))
+    m.fit_offline(kos_scale_docs, num_collection_passes=15)
+
+    perp = m.score_tracker["perplexity"]
+    spar = m.score_tracker["sparsity_phi"]
+    assert len(perp) == len(PERPLEXITY_GOLDEN)
+    for i, (got, want) in enumerate(zip(perp, PERPLEXITY_GOLDEN)):
+        assert abs(got - want) < PERP_EPS, (
+            f"pass {i}: perplexity {got} vs golden {want}"
+        )
+    for i, (got, want) in enumerate(zip(spar, SPARSITY_GOLDEN)):
+        assert abs(got - want) < SPARSITY_EPS, (
+            f"pass {i}: sparsity {got} vs golden {want}"
+        )
+    # the qualitative kos shape: perplexity falls, sparsity rises
+    assert perp[-1] < perp[0] / 50
+    assert all(b >= a for a, b in zip(spar, spar[1:]))
