@@ -106,7 +106,9 @@ def main():
     lsh_candidate_pairs(tiny_docs).count()
     simhash(tiny_docs).count()
     quality_score(tiny_docs).count()
-    brute_force_topk(emb.limit(100), 0, 3).count()
+    # filter, not limit(100): limit takes arbitrary rows, which can miss
+    # the query vector on multi-file/reshuffled parquet layouts
+    brute_force_topk(emb.filter("vec_id < 100"), 0, 3).count()
 
     bench("dedup_exact", lambda: exact_dedup(documents).count())
     bench("dedup_minhash_sigs", lambda: minhash_signatures(documents).count())
