@@ -571,3 +571,77 @@ def near_dup_pairs_lsh(
     return pair_cosine_scores(
         pairs, "_ea", "_eb", ["bucket", "vec_a", "vec_b"]
     ).filter(F.col("cosine") >= threshold)
+
+
+# -- persistent IVF index ------------------------------------------------
+
+
+def ivf_build_index(
+    embeddings: DataFrame,
+    path: str,
+    k_cells: int = 8,
+    seed_rounds: int = 3,
+    lloyd_iterations: int = 2,
+) -> None:
+    """Build-once/query-many IVF index on disk: ``path/centroids.parquet``
+    (k_cells rows) plus ``path/vectors.parquet`` partitioned by
+    ``cell_id``. Partitioning is the point — a probe of p cells reads p
+    directories and skips the rest entirely (PartitionFilters, asserted
+    in tests), unlike ivf_topk which re-assigns the full vector table
+    per query. At 100 TB this is the difference between scanning
+    n_probe/k_cells of the corpus and scanning all of it."""
+    cents = ivf_refine_centroids(
+        embeddings,
+        kmeans_parallel_seed(embeddings, k_cells, rounds=seed_rounds),
+        iterations=lloyd_iterations,
+    ).cache()
+    cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    assigned = ivf_assign(embeddings, cents).select("vec_id", "cell_id")
+    (
+        embeddings.join(assigned, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(f"{path}/vectors.parquet")
+    )
+    cents.unpersist()
+
+
+def ivf_probe_cells(
+    centroids: DataFrame, qvec: np.ndarray, n_probe: int
+) -> list[int]:
+    """The n_probe cell_ids nearest the query (sim desc, cell_id asc) —
+    driver-side over the bounded centroid table, same ordering contract
+    as ivf_topk."""
+    cell_ids, C, c_norms = _collect_centroids(centroids)
+    q = np.asarray(qvec, dtype=np.float64)
+    q_norm = math.sqrt(_lr_scalar_sq_norm(q))
+    sims = _lr_dot(C, q) / (c_norms * q_norm)
+    order = sorted(range(len(C)), key=lambda c: (-sims[c], cell_ids[c]))
+    return [int(cell_ids[c]) for c in order[:n_probe]]
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    qvec: np.ndarray = None,
+    query_id: int = None,
+    k: int = 5,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Query a persisted IVF index: rank cells driver-side, scan ONLY the
+    probed cell partitions (literal IN-filter on the partition column →
+    directory pruning at the source), numpy-score, TakeOrdered top-k.
+    Pass the query as a vector, or as a ``query_id`` resolved from the
+    index itself (one pruned-by-nothing point lookup)."""
+    vectors = spark.read.parquet(f"{path}/vectors.parquet")
+    if qvec is None:
+        if query_id is None:
+            raise ValueError("pass qvec or query_id")
+        qvec = _collect_vec(vectors, query_id)
+    centroids = spark.read.parquet(f"{path}/centroids.parquet")
+    probe = ivf_probe_cells(centroids, qvec, n_probe)
+    scanned = vectors.filter(F.col("cell_id").isin(probe))
+    if query_id is not None:
+        scanned = scanned.filter(F.col("vec_id") != query_id)
+    scored = cosine_scores(scanned, qvec, keep=("vec_id", "label", "cell_id"))
+    return _ranked_topk(scored, k, ["vec_id", "label", "cell_id"])

@@ -132,3 +132,43 @@ def test_kmeans_seed_round0_matches_loop_semantics(spark):
     for r in out:
         assert 0.0 <= r["u"] < 1.0
         assert r["d2"] >= 0.0
+
+
+def test_ivf_persisted_index_prunes_and_matches(spark, sf_dir, tmp_path):
+    from bigartm_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    idx = str(tmp_path / "ivf_idx")
+    ivf_build_index(emb, idx, k_cells=4)
+
+    # index is complete: every vector landed in exactly one cell partition
+    vectors = spark.read.parquet(f"{idx}/vectors.parquet")
+    assert vectors.count() == emb.count()
+
+    # probing every cell == brute force (same ranking contract)
+    exact = [
+        (r["vec_id"], r["rank"])
+        for r in brute_force_topk(emb, 0, 5).collect()
+    ]
+    full = [
+        (r["vec_id"], r["rank"])
+        for r in ivf_query_index(
+            spark, idx, query_id=0, k=5, n_probe=4
+        ).collect()
+    ]
+    assert full == exact
+
+    # a 1-probe scan reads ONLY the probed cell's directory: the literal
+    # IN filter must land in PartitionFilters, not a post-scan Filter
+    one = ivf_query_index(spark, idx, query_id=0, k=5, n_probe=1)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)", plan)
+    assert pf and "cell_id" in pf.group(1), plan[:2000]
+    cells = {r["cell_id"] for r in one.collect()}
+    assert len(cells) == 1
