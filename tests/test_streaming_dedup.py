@@ -130,3 +130,52 @@ def test_stream_candidates_subset_of_batch_pairs(spark, tmp_path):
     assert got <= batch_pairs
     # and the batch near-dup edges to the canonical are all present
     assert {(10, 12), (10, 13)} <= got
+
+
+def test_streaming_exact_dedup_state_survives_restart(spark, tmp_path):
+    """Stop the query, append new files, start a NEW query on the same
+    checkpointLocation: duplicates of docs seen before the restart must
+    still be swallowed (state store recovery, not per-run memory)."""
+    src = str(tmp_path / "docs_src_ckpt")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "survivors")
+
+    def run_once(sink_subdir):
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        def write(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(
+                f"{out}/{sink_subdir}"
+            )
+
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            src
+        )
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.foreachBatch(write)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, BASE), (2, OTHER)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+    run_once("run1")
+    first = {
+        r.doc_id for r in spark.read.parquet(f"{out}/run1").collect()
+    }
+    assert first == {1, 2}
+
+    spark.createDataFrame(
+        [(3, BASE), (4, "brand new content here")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once("run2")
+    second = {
+        r.doc_id for r in spark.read.parquet(f"{out}/run2").collect()
+    }
+    # doc 3 duplicates doc 1 from BEFORE the restart -> swallowed
+    assert second == {4}
