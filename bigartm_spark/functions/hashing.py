@@ -99,6 +99,22 @@ def unit_uniform_sql(
     )
 
 
+def int_uniform(
+    key: Column | str, salt: Column | int, seed: int = 0
+) -> Column:
+    """Column twin of :func:`int_uniform_np` / :func:`int_uniform_sql`:
+    pseudo-uniform in (0,1) from a non-negative int64 key + int salt,
+    value-identical across Spark / DuckDB / numpy. Pure JVM integer
+    arithmetic (whole-stage codegen) — this is the sampling primitive:
+    a deterministic per-row coin that never changes under task retry,
+    repartitioning, or engine swap, unlike ``rand()``."""
+    k = (F.col(key) if isinstance(key, str) else key).cast("long")
+    s = (F.lit(salt) if isinstance(salt, int) else salt).cast("long")
+    g = (k % F.lit(_P_HASH)) * F.lit(31) + s * F.lit(_TOPIC_MIX) + F.lit(seed)
+    g = g % F.lit(_M - 1) + F.lit(1)
+    return _minstd2(g).cast("double") / F.lit(float(_M))
+
+
 def int_uniform_np(keys, salt: int, seed: int = 0):
     """Pseudo-uniform in (0,1) from non-negative int64 keys + an int salt —
     the integer-keyed twin of :func:`unit_uniform` (same MINSTD mixing, no

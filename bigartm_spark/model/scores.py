@@ -148,6 +148,37 @@ def class_precision(
     )
 
 
+def doc_perplexity(docs: DataFrame, phi: PhiMatrix) -> DataFrame:
+    """Per-document perplexity under uniform theta — the model-based
+    document quality score (D7's corpus perplexity disaggregated to one
+    row per doc; perplexity_score.cc computes the same sum before the
+    global rollup). High-ppl docs are the corpus outliers a training
+    pipeline drops or routes for review.
+
+    Returns (doc_id, token_weight, doc_ppl).
+
+    Scale: phi collapses to one p_w row per token (|vocab|, broadcast-
+    sized after the topic sum); the docs join then aggregates per doc —
+    map-side partial agg, no state beyond the doc.
+    """
+    pw = (
+        phi.to_long()
+        .groupBy("class_id", "token")
+        .agg(
+            # sum of value/T (not sum/T): the exact add-chain the oracle
+            # replays, so doubles match bit-for-bit before rounding
+            F.sum(F.col("value") / F.lit(float(phi.num_topics))).alias("_pwd")
+        )
+    )
+    j = docs.join(pw, ["class_id", "token"])
+    return j.groupBy("doc_id").agg(
+        F.sum("weight").alias("token_weight"),
+        F.exp(
+            -F.sum(F.col("weight") * F.log(F.col("_pwd"))) / F.sum("weight")
+        ).alias("doc_ppl"),
+    )
+
+
 def peak_memory_mb(spark) -> float:
     """I10: semantic substitute — peak executor/driver JVM memory from the
     Spark metrics API (reference reads process RSS,

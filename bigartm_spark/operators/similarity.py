@@ -573,6 +573,42 @@ def near_dup_pairs_lsh(
     ).filter(F.col("cosine") >= threshold)
 
 
+def semantic_dedup(
+    embeddings: DataFrame, centroids: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    every vector to its nearest k-means cell, generate candidate pairs
+    only WITHIN a cell, and drop any vector that has a more-canonical
+    (lower vec_id) neighbor at cosine >= threshold.
+
+    Returns the survivors: (vec_id, label, cell_id, centroid_sim).
+
+    Scale shape: the pair join is blocked by cell_id — sum(|cell|²), not
+    |vectors|², and |cell| is controlled by k (grow centroids with the
+    corpus). One-sweep canonical selection (drop the higher id of each
+    similar pair) rather than full connected components: matches the
+    published SemDeDup procedure and keeps the op a join + anti-join.
+    Use dedup.dedup_clusters on the pair list when transitive-cluster
+    canonicals are required.
+    """
+    assigned = ivf_assign(embeddings, centroids)
+    withe = assigned.select("vec_id", "cell_id").join(
+        embeddings.select("vec_id", "embedding"), "vec_id"
+    )
+    a = withe.select(
+        "cell_id", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_ea")
+    )
+    b = withe.select(
+        "cell_id", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_eb")
+    )
+    pairs = a.join(b, "cell_id").filter(F.col("vec_a") < F.col("vec_b"))
+    dup = pair_cosine_scores(
+        pairs, "_ea", "_eb", ["cell_id", "vec_a", "vec_b"]
+    ).filter(F.col("cosine") >= threshold)
+    drops = dup.select(F.col("vec_b").alias("vec_id")).distinct()
+    return assigned.join(drops, "vec_id", "left_anti")
+
+
 # -- persistent IVF index ------------------------------------------------
 
 

@@ -110,6 +110,104 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
 
 
+def repetition_signals(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals over word bigrams
+    (Rae et al. 2021 §A1.1 use top n-gram character fraction; we use the
+    count fraction of the most frequent bigram plus bigram diversity):
+
+    (doc_id, n_bigrams, n_distinct_bigrams, top_bigram_count,
+     top_bigram_frac, distinct_bigram_ratio)
+
+    Shape at scale: explode -> two-level groupBy with map-side partial
+    aggregation; per-doc state is bounded by doc length, never by corpus
+    size. A doc with < 2 words yields zero counts (kept, not dropped).
+    """
+    ws = words_col()
+    n = F.size(ws)
+    # zip_with of the two shifted slices; slice len 0 -> empty array, so
+    # short docs survive without a sequence(1,0) descending-range trap
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    per_bigram = (
+        documents.select("doc_id", F.explode_outer(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    agg = per_bigram.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("bigram").isNotNull(), F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("n_bigrams"),
+        F.count(F.when(F.col("bigram").isNotNull(), F.lit(1)))
+        .cast("long")
+        .alias("n_distinct_bigrams"),
+        F.max(F.when(F.col("bigram").isNotNull(), F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("top_bigram_count"),
+    )
+    nb = F.col("n_bigrams").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        "top_bigram_count",
+        F.when(nb > 0, F.col("top_bigram_count").cast("double") / nb)
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+        F.when(nb > 0, F.col("n_distinct_bigrams").cast("double") / nb)
+        .otherwise(F.lit(0.0))
+        .alias("distinct_bigram_ratio"),
+    )
+
+
+# PII patterns: ASCII-only, valid in BOTH Java regex (Spark) and RE2
+# (DuckDB) with identical non-overlapping leftmost-first match counts —
+# no backreferences, no lookaround, no \d//\w class-shorthand drift.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PII_IPV4 = (
+    "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+)
+PII_PHONE = "[+][0-9]{7,15}"
+PII_LONG_DIGITS = "[0-9]{6,}"
+
+
+def pii_scan(documents: DataFrame) -> DataFrame:
+    """Per-doc PII indicator counts (emails, IPv4-shaped dotted quads,
+    +international phone runs, long digit runs) — the scan side of a
+    redaction pipeline. Pure regexp Column expressions: counting 100 TB
+    is one codegen'd scan, no Python."""
+
+    def cnt(pat: str) -> F.Column:
+        return F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("long")
+
+    n_email = cnt(PII_EMAIL)
+    n_ipv4 = cnt(PII_IPV4)
+    n_phone = cnt(PII_PHONE)
+    n_digits = cnt(PII_LONG_DIGITS)
+    return documents.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_ipv4.alias("n_ipv4"),
+        n_phone.alias("n_phones"),
+        n_digits.alias("n_long_digit_runs"),
+        (n_email + n_ipv4 + n_phone + n_digits > 0).cast("int").alias("has_pii"),
+    )
+
+
+def pii_redact(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace every PII match with a typed placeholder; emails before
+    digit runs so an address is redacted whole, digit runs last so they
+    don't eat phone/IP substrings first."""
+    t = F.col(text_col)
+    t = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    t = F.regexp_replace(t, PII_IPV4, "<IP>")
+    t = F.regexp_replace(t, PII_PHONE, "<PHONE>")
+    t = F.regexp_replace(t, PII_LONG_DIGITS, "<NUM>")
+    return documents.withColumn("redacted_text", t)
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """(doc_id, fp, fp_rolling): md5 content fingerprint (codegen-fast)
     plus the rolling mod-prime hash (portable incremental form — the

@@ -759,45 +759,9 @@ def d3e3_theta_and_snippet(spark, sf_dir):
     return d3.unionByName(e3)
 
 
-# ==================================================== D2: E-step nwt
+# ============================================ D2+G5: E-step nwt + EM pwt
 @register(
-    "d2_estep_nwt_one_pass",
-    f"""
-WITH {_ESTEP_CTES},
-p2 AS (
-  SELECT z.doc_id, z.pos, z.token, z.weight, z.topic_idx, z.phi_v * t.th AS num
-  FROM znorm z JOIN theta t
-    ON t.doc_id = z.doc_id AND t.topic_idx = z.topic_idx
-),
-p2n AS (
-  SELECT *, num / SUM(num) OVER (PARTITION BY doc_id, pos) AS ptdw
-  FROM p2
-)
-SELECT '@default_class' AS class_id, token,
-       'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
-       ROUND(SUM(weight * ptdw), 6) AS value
-FROM p2n GROUP BY token, topic_idx
-""",
-)
-def d2_estep_nwt_one_pass(spark, sf_dir):
-    docs, _, phi = _spark_phi(spark, sf_dir)
-    out = estep.process_batches(
-        docs,
-        phi,
-        num_document_passes=1,
-        emit_nwt=True,
-        emit_theta=False,
-        compute_scores=False,
-    )
-    nwt = estep.aggregate_nwt(out, N_TOPICS)
-    from bigartm_spark.model.phi import PhiMatrix
-
-    return _r6(PhiMatrix("nwt", TOPICS, nwt).to_long(), "value")
-
-
-# ==================================================== G5: one full EM pass
-@register(
-    "g5_em_one_pass_pwt",
+    "d2g5_estep_mstep_pass",
     f"""
 WITH {_ESTEP_CTES},
 p2 AS (
@@ -815,23 +779,44 @@ nwt1 AS (
 )
 SELECT '@default_class' AS class_id, token,
        'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
+       ROUND(v, 6) AS nwt,
        ROUND(GREATEST(v, 0) / SUM(GREATEST(v, 0)) OVER (PARTITION BY topic_idx), 6)
-         AS value
+         AS pwt
 FROM nwt1
 """,
 )
-def g5_em_one_pass_pwt(spark, sf_dir):
-    """The whole offline EM pass (G2 -> D4 -> D5) against the SQL oracle:
-    the strongest end-to-end correctness check of the engine core."""
+def d2g5_estep_mstep_pass(spark, sf_dir):
+    """D2 (E-step n_wt) and G5 (the full offline EM pass G2 -> D4 -> D5)
+    joined on (class_id, token, topic): one row carries the raw n_wt and
+    the normalized p_wt it becomes — the strongest end-to-end correctness
+    check of the engine core, now as a single driver row."""
     from bigartm_spark.model.artm import ARTM
+    from bigartm_spark.model.phi import PhiMatrix
 
-    docs = docs_from_lineitem(spark, sf_dir)
+    docs, _, phi = _spark_phi(spark, sf_dir)
+    out = estep.process_batches(
+        docs,
+        phi,
+        num_document_passes=1,
+        emit_nwt=True,
+        emit_theta=False,
+        compute_scores=False,
+    )
+    nwt = estep.aggregate_nwt(out, N_TOPICS)
+    nwt_long = (
+        PhiMatrix("nwt", TOPICS, nwt)
+        .to_long()
+        .withColumnRenamed("value", "nwt")
+    )
+
     model = ARTM(
         topic_names=list(TOPICS), num_document_passes=1, seed=SEED
     )
     model.initialize(gather_dictionary(docs))
     model.fit_offline(docs, num_collection_passes=1)
-    return _r6(model.get_phi(), "value")
+    pwt_long = model.get_phi().withColumnRenamed("value", "pwt")
+    out = nwt_long.join(pwt_long, ["class_id", "token", "topic"])
+    return _r6(out, "nwt", "pwt")
 
 
 # ==================================================== F3: topic reconfigure
@@ -905,6 +890,34 @@ def d7i4_perplexity_and_counters(spark, sf_dir):
         ],
         "perplexity double, normalizer double, items bigint, token_weight double",
     )
+
+
+# ============================ doc-ppl: model-based per-doc quality score
+@register(
+    "doc_ppl_quality",
+    f"""
+WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
+pw AS (
+  SELECT class_id, token, SUM(value / {N_TOPICS}) AS pwd
+  FROM phi GROUP BY class_id, token
+),
+j AS (
+  SELECT d.doc_id, d.weight, p.pwd
+  FROM docs d JOIN pw p ON p.token = d.token AND p.class_id = d.class_id
+)
+SELECT doc_id, ROUND(SUM(weight), 6) AS token_weight,
+       ROUND(EXP(-SUM(weight * LN(pwd)) / SUM(weight)), 6) AS doc_ppl
+FROM j GROUP BY doc_id
+""",
+)
+def doc_ppl_quality(spark, sf_dir):
+    """Model-based per-document quality: D7's perplexity disaggregated to
+    one row per doc (uniform theta) — the 'drop the outliers the topic
+    model can't explain' filter of a training pipeline."""
+    from bigartm_spark.model.scores import doc_perplexity
+
+    docs, _, phi = _spark_phi(spark, sf_dir)
+    return _r6(doc_perplexity(docs, phi), "token_weight", "doc_ppl")
 
 
 # ============================== D8+D11: sparsity phi / topic mass scores
@@ -1082,68 +1095,62 @@ def h1_smooth_sparse_phi_deltas(spark, sf_dir):
     return _r6(parts[0].unionByName(parts[1]), "delta")
 
 
-# ==================================================== H3: decorrelator
+# ========================================= H3+H4: decorrelator + label reg
 @register(
-    "h3_decorrelator_phi_delta",
+    "h3h4_regularizer_deltas",
     f"""
 WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
 rs AS (SELECT class_id, token, topic_idx, value,
               SUM(value) OVER (PARTITION BY class_id, token) AS rowsum
-       FROM phi)
-SELECT class_id, token, 'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
-       ROUND(-2.0 * value * (rowsum - value), 6) AS delta
-FROM rs
-""",
-)
-def h3_decorrelator_phi_delta(spark, sf_dir):
-    from bigartm_spark.model.phi import PhiMatrix
-    from bigartm_spark.model.regularizers import (
-        DecorrelatorPhi,
-        RegularizeContext,
-    )
-
-    _, _, phi = _spark_phi(spark, sf_dir)
-    delta = DecorrelatorPhi(tau=2.0).rwt_delta(phi, phi, RegularizeContext())
-    out = PhiMatrix("r", TOPICS, delta).to_long().withColumnRenamed(
-        "value", "delta"
-    )
-    return _r6(out, "delta")
-
-
-# ==================================================== H4: label reg
-@register(
-    "h4_label_regularization_delta",
-    f"""
-WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
+       FROM phi),
 nt AS (SELECT class_id, topic_idx, SUM(value) AS n_t
        FROM phi GROUP BY class_id, topic_idx),
 wt AS (SELECT p.class_id, p.token, p.topic_idx, p.value * n.n_t AS wv
        FROM phi p JOIN nt n
          ON n.class_id = p.class_id AND n.topic_idx = p.topic_idx),
 den AS (SELECT class_id, token, SUM(wv) AS d
-        FROM wt GROUP BY class_id, token)
-SELECT w.class_id, w.token,
-       'topic_' || CAST(w.topic_idx AS VARCHAR) AS topic,
-       ROUND(CASE WHEN de.d > 0 THEN 1.5 * w.wv / de.d ELSE 0.0 END, 6)
-         AS delta
-FROM wt w JOIN den de
-  ON de.class_id = w.class_id AND de.token = w.token
+        FROM wt GROUP BY class_id, token),
+lab AS (
+  SELECT w.class_id, w.token, w.topic_idx,
+         CASE WHEN de.d > 0 THEN 1.5 * w.wv / de.d ELSE 0.0 END AS delta_label
+  FROM wt w JOIN den de
+    ON de.class_id = w.class_id AND de.token = w.token
+)
+SELECT r.class_id, r.token, 'topic_' || CAST(r.topic_idx AS VARCHAR) AS topic,
+       ROUND(-2.0 * r.value * (r.rowsum - r.value), 6) AS delta_decor,
+       ROUND(l.delta_label, 6) AS delta_label
+FROM rs r JOIN lab l
+  ON l.class_id = r.class_id AND l.token = r.token
+ AND l.topic_idx = r.topic_idx
 """,
 )
-def h4_label_regularization_delta(spark, sf_dir):
+def h3h4_regularizer_deltas(spark, sf_dir):
+    """H3 (DecorrelatorPhi) and H4 (LabelRegularizationPhi) deltas over
+    the same phi, joined on the cell key — two regularizers, one driver
+    row."""
     from bigartm_spark.model import mstep
     from bigartm_spark.model.phi import PhiMatrix
     from bigartm_spark.model.regularizers import (
+        DecorrelatorPhi,
         LabelRegularizationPhi,
         RegularizeContext,
     )
 
     _, _, phi = _spark_phi(spark, sf_dir)
-    ctx = RegularizeContext(topic_totals=mstep.topic_totals(phi))
-    delta = LabelRegularizationPhi(tau=1.5).rwt_delta(phi, phi, ctx)
-    out = PhiMatrix("r", TOPICS, delta).to_long().withColumnRenamed(
-        "value", "delta"
+    d_decor = DecorrelatorPhi(tau=2.0).rwt_delta(phi, phi, RegularizeContext())
+    decor = (
+        PhiMatrix("r", TOPICS, d_decor)
+        .to_long()
+        .withColumnRenamed("value", "delta_decor")
     )
-    return _r6(out, "delta")
+    ctx = RegularizeContext(topic_totals=mstep.topic_totals(phi))
+    d_label = LabelRegularizationPhi(tau=1.5).rwt_delta(phi, phi, ctx)
+    label = (
+        PhiMatrix("r", TOPICS, d_label)
+        .to_long()
+        .withColumnRenamed("value", "delta_label")
+    )
+    out = decor.join(label, ["class_id", "token", "topic"])
+    return _r6(out, "delta_decor", "delta_label")
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from bigartm_spark.functions.hashing import char_hash_sql, int_uniform_sql
-from bigartm_spark.operators import dedup, similarity, textstats
+from bigartm_spark.operators import dedup, sampling, similarity, textstats
 from bigartm_spark.plans.driver_queries import _r6, register
 
 WORDS_SQL = "list_filter(string_split(text, ' '), w -> len(w) > 0)"
@@ -86,7 +86,7 @@ def dedup_lsh_candidates(spark, sf_dir):
 
 
 @register(
-    "dedup_minhash_jaccard_estimate",
+    "dedup_jaccard_verify",
     f"""
 WITH {_minhash_sig_cte()},
 bands AS (
@@ -106,23 +106,7 @@ agree AS (
   JOIN sig sa ON sa.doc_id = c.doc_a
   JOIN sig sb ON sb.doc_id = c.doc_b AND sb.sig_idx = sa.sig_idx
   GROUP BY c.doc_a, c.doc_b
-)
-SELECT doc_a, doc_b,
-       CAST(m AS DOUBLE) / {dedup.MINHASH_K} AS est_jaccard
-FROM agree
-""",
-)
-def dedup_minhash_jaccard_estimate(spark, sf_dir):
-    """Signature-agreement Jaccard estimate over LSH candidate pairs —
-    the cheap filter between candidate generation and exact verify."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.minhash_jaccard_estimate(docs, hash_fn="md5")
-
-
-@register(
-    "dedup_ngram_jaccard",
-    f"""
-WITH {SHINGLES_CTE},
+),
 keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
 shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
@@ -130,23 +114,34 @@ inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
   FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
+),
+exact AS (
+  SELECT doc_a, doc_b,
+         CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05
 )
-SELECT doc_a, doc_b,
-       ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05
+SELECT g.doc_a, g.doc_b,
+       CAST(g.m AS DOUBLE) / {dedup.MINHASH_K} AS est_jaccard,
+       ROUND(e.jaccard, 6) AS jaccard
+FROM agree g JOIN exact e
+  ON e.doc_a = g.doc_a AND e.doc_b = g.doc_b
 """,
 )
-def dedup_ngram_jaccard(spark, sf_dir):
+def dedup_jaccard_verify(spark, sf_dir):
+    """The estimate->verify step of MinHash dedup as one driver row:
+    signature-agreement Jaccard estimate over LSH candidate pairs joined
+    with the exact n-gram Jaccard (df-capped inverted-index self-join)
+    for the pairs both stages surface."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # max_shingle_df is opt-in (the default is exact Jaccard); the
-    # oracle's HAVING COUNT(*) <= 100 replays the same cap
-    return _r6(
+    est = dedup.minhash_jaccard_estimate(docs, hash_fn="md5")
+    exact = _r6(
         dedup.ngram_jaccard_pairs(docs, threshold=0.05, max_shingle_df=100),
         "jaccard",
     )
+    return est.join(exact, ["doc_a", "doc_b"])
 
 
 @register(
@@ -323,42 +318,44 @@ def _cos_sql(a: str, b: str) -> str:
 
 
 @register(
-    "ann_cosine_topk",
+    "ann_topk_composite",
     f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 s AS (
   SELECT vec_id, label, {_cos_sql('embedding', 'qe')} AS cosine
   FROM embeddings, q WHERE vec_id <> 0
 ),
-r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
-      FROM s)
-SELECT vec_id, label, ROUND(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
-FROM r WHERE rank <= 10
+g AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM s),
+pl AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                    ORDER BY cosine DESC, vec_id ASC) AS rank
+       FROM s)
+SELECT 'global' AS scope, vec_id, label, ROUND(cosine, 6) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM g WHERE rank <= 10
+UNION ALL
+SELECT 'per_label' AS scope, vec_id, label, ROUND(cosine, 6) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM pl WHERE rank <= 3
 """,
 )
-def ann_cosine_topk(spark, sf_dir):
+def ann_topk_composite(spark, sf_dir):
+    """Brute-force cosine top-k (global TakeOrderedAndProject) and
+    per-label kNN (window top-k) for the same query vector, one driver
+    row — the two exact-search baselines the ANN paths are measured
+    against."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return _r6(similarity.brute_force_topk(emb, query_id=0, k=10), "cosine")
-
-
-@register(
-    "ann_knn_per_label",
-    f"""
-WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-s AS (
-  SELECT vec_id, label, {_cos_sql('embedding', 'qe')} AS cosine
-  FROM embeddings, q WHERE vec_id <> 0
-),
-r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
-                                   ORDER BY cosine DESC, vec_id ASC) AS rank
-      FROM s)
-SELECT label, vec_id, ROUND(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
-FROM r WHERE rank <= 3
-""",
-)
-def ann_knn_per_label(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return _r6(similarity.knn_per_label(emb, query_id=0, k=3), "cosine")
+    g = (
+        _r6(similarity.brute_force_topk(emb, query_id=0, k=10), "cosine")
+        .withColumn("scope", F.lit("global"))
+        .select("scope", "vec_id", "label", "cosine", "rank")
+    )
+    pl = (
+        _r6(similarity.knn_per_label(emb, query_id=0, k=3), "cosine")
+        .withColumn("scope", F.lit("per_label"))
+        .select("scope", "vec_id", "label", "cosine", "rank")
+    )
+    return g.unionByName(pl)
 
 
 _BUCKET_SQL = " + ".join(
@@ -590,7 +587,7 @@ def text_stats_composite(spark, sf_dir):
     return _r6(out, "pieces_per_word")
 
 
-def _langid_sql() -> str:
+def _lang_quality_sql() -> str:
     langs = sorted(textstats.LANG_STOPWORDS)
     score_exprs = []
     for lang in langs:
@@ -603,26 +600,12 @@ def _langid_sql() -> str:
     whens = " ".join(
         f"WHEN score_{lang} = {mx} AND {mx} > 0 THEN '{lang}'" for lang in langs
     )
+    rounded = ", ".join(
+        f"ROUND(sc.score_{lang}, 6) AS score_{lang}" for lang in langs
+    )
     return f"""
 WITH docw AS (SELECT doc_id, {WORDS_SQL} AS ws FROM documents),
-sc AS (SELECT doc_id, {', '.join(score_exprs)} FROM docw)
-SELECT doc_id, {', '.join(f'ROUND(score_{lang}, 6) AS score_{lang}' for lang in langs)},
-       CASE {whens} ELSE 'und' END AS predicted_lang
-FROM sc
-""".strip()
-
-
-@register("text_lang_id", _langid_sql())
-def text_lang_id(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = textstats.lang_id(docs)
-    return _r6(out, *[f"score_{lang}" for lang in sorted(textstats.LANG_STOPWORDS)])
-
-
-@register(
-    "text_quality_score",
-    f"""
-WITH docw AS (SELECT doc_id, {WORDS_SQL} AS ws FROM documents),
+sc AS (SELECT doc_id, {', '.join(score_exprs)} FROM docw),
 m AS (
   SELECT doc_id,
          CAST(len(ws) AS DOUBLE) AS n_words,
@@ -636,19 +619,28 @@ m AS (
               ELSE 0.0 END AS mean_word_len
   FROM docw
 )
-SELECT doc_id, ROUND(n_words, 6) AS n_words,
-       ROUND(distinct_ratio, 6) AS distinct_ratio,
-       ROUND(mean_word_len, 6) AS mean_word_len,
-       ROUND(0.4 * LEAST(n_words / 100.0, 1.0)
-             + 0.3 * distinct_ratio
-             + 0.3 * LEAST(mean_word_len / 8.0, 1.0), 6) AS quality
-FROM m
-""",
-)
-def text_quality_score(spark, sf_dir):
+SELECT m.doc_id, {rounded},
+       CASE {whens} ELSE 'und' END AS predicted_lang,
+       ROUND(m.n_words, 6) AS n_words,
+       ROUND(m.distinct_ratio, 6) AS distinct_ratio,
+       ROUND(m.mean_word_len, 6) AS mean_word_len,
+       ROUND(0.4 * LEAST(m.n_words / 100.0, 1.0)
+             + 0.3 * m.distinct_ratio
+             + 0.3 * LEAST(m.mean_word_len / 8.0, 1.0), 6) AS quality
+FROM m JOIN sc ON sc.doc_id = m.doc_id
+""".strip()
+
+
+@register("text_lang_quality", _lang_quality_sql())
+def text_lang_quality(spark, sf_dir):
+    """Language-ID (stopword-ratio argmax) and the quality heuristic as
+    one per-doc row — the two per-document classifiers a cleaning
+    pipeline always runs together, one scan, all codegen."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textstats.lang_id(docs).join(textstats.quality_score(docs), "doc_id")
     return _r6(
-        textstats.quality_score(docs),
+        out,
+        *[f"score_{lang}" for lang in sorted(textstats.LANG_STOPWORDS)],
         "n_words",
         "distinct_ratio",
         "mean_word_len",
@@ -725,3 +717,205 @@ def corpus_quality_filter(spark, sf_dir):
     return _r6(out.select("doc_id", "lang", "quality"), "quality")
 
 
+
+
+# ------------------------------------------------------------- sampling
+# weights/fractions chosen to be exactly representable doubles so the
+# cumulative thresholds are literal-identical in both engines
+_SPLIT_WEIGHTS = {"train": 0.5, "val": 0.25, "test": 0.25}
+_SAMPLE_FRACTIONS = {"src0": 0.75, "src3": 0.5, "src7": 0.25}
+_MIX_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def _split_sample_sql() -> str:
+    u_split = int_uniform_sql("doc_id", str(sampling.SPLIT_SALT))
+    u_sample = int_uniform_sql("doc_id", str(sampling.SAMPLE_SALT))
+    names = list(_SPLIT_WEIGHTS)
+    total = float(sum(_SPLIT_WEIGHTS.values()))
+    whens, cum = [], 0.0
+    for name in names[:-1]:
+        cum += float(_SPLIT_WEIGHTS[name]) / total
+        whens.append(f"WHEN u_split < {cum!r} THEN '{name}'")
+    split_case = f"CASE {' '.join(whens)} ELSE '{names[-1]}' END"
+    rate_whens = " ".join(
+        f"WHEN source = '{s}' THEN {float(f)!r}"
+        for s, f in sorted(_SAMPLE_FRACTIONS.items())
+    )
+    return f"""
+WITH u AS (
+  SELECT doc_id, source, {u_split} AS u_split, {u_sample} AS u_sample
+  FROM documents
+)
+SELECT doc_id, source, {split_case} AS split,
+       CAST(u_sample < (CASE {rate_whens} ELSE 0.0 END) AS INT) AS in_sample
+FROM u
+""".strip()
+
+
+@register("sample_split_stratified", _split_sample_sql())
+def sample_split_stratified(spark, sf_dir):
+    """Deterministic train/val/test hash-split plus a per-stratum
+    Bernoulli sample flag, one row per doc. Both coins are the portable
+    integer-keyed MINSTD generator: a pure codegen filter — splitting
+    100 TB is one scan, stable under retries and engine swaps."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    s = sampling.hash_split(docs, _SPLIT_WEIGHTS)
+    kept = sampling.stratified_sample(docs, _SAMPLE_FRACTIONS).select(
+        "doc_id", F.lit(1).alias("in_sample")
+    )
+    return (
+        s.join(kept, "doc_id", "left")
+        .withColumn("in_sample", F.coalesce("in_sample", F.lit(0)).cast("int"))
+        .select("doc_id", "source", "split", "in_sample")
+    )
+
+
+def _mixture_sql() -> str:
+    u = int_uniform_sql("d.doc_id", str(sampling.MIXTURE_SALT))
+    targets = sorted(_MIX_TARGETS.items())
+    tot = float(sum(w for _, w in targets))
+    values = ", ".join(
+        f"('{s}', CAST({float(w) / tot!r} AS DOUBLE))" for s, w in targets
+    )
+    in_list = ", ".join(f"'{s}'" for s, _ in targets)
+    return f"""
+WITH tw(source, p) AS (VALUES {values}),
+cnt AS (
+  SELECT source, COUNT(*) AS n_rows FROM documents
+  WHERE source IN ({in_list}) GROUP BY source
+),
+r AS (
+  SELECT c.source, c.n_rows, t.p,
+         CAST(c.n_rows AS DOUBLE) / t.p AS ratio
+  FROM cnt c JOIN tw t USING (source)
+),
+rates AS (
+  SELECT source,
+         LEAST((SELECT MIN(ratio) FROM r) * p / CAST(n_rows AS DOUBLE), 1.0)
+           AS keep_rate
+  FROM r
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates USING (source)
+WHERE {u} < keep_rate
+""".strip()
+
+
+@register("sample_domain_mixture", _mixture_sql())
+def sample_domain_mixture(spark, sf_dir):
+    """Domain-mixture resampling: learn per-stratum keep-rates from one
+    K-row count aggregate (K = #domains) so the surviving corpus matches
+    the target web:books:code-style mixture by downsampling only, then
+    apply the deterministic coin filter. Two jobs at any scale."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    out = sampling.domain_mixture_resample(docs, _MIX_TARGETS)
+    return out.select("doc_id", "source")
+
+
+def _repetition_pii_sql() -> str:
+    email, ipv4 = textstats.PII_EMAIL, textstats.PII_IPV4
+    phone, digits = textstats.PII_PHONE, textstats.PII_LONG_DIGITS
+    return f"""
+WITH docw AS (SELECT doc_id, {WORDS_SQL} AS ws FROM documents),
+bg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+  FROM docw, UNNEST(range(1, GREATEST(len(ws) - 1, 0) + 1)) AS t(i)
+),
+bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram),
+rep AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+         CAST(MAX(c) AS BIGINT) AS top_bigram_count
+  FROM bc GROUP BY doc_id
+),
+pii AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text, '{ipv4}')) AS BIGINT) AS n_ipv4,
+         CAST(len(regexp_extract_all(text, '{phone}')) AS BIGINT) AS n_phones,
+         CAST(len(regexp_extract_all(text, '{digits}')) AS BIGINT)
+           AS n_long_digit_runs
+  FROM documents
+)
+SELECT p.doc_id,
+       COALESCE(r.n_bigrams, 0) AS n_bigrams,
+       COALESCE(r.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+       COALESCE(r.top_bigram_count, 0) AS top_bigram_count,
+       ROUND(CASE WHEN COALESCE(r.n_bigrams, 0) > 0
+             THEN CAST(r.top_bigram_count AS DOUBLE) / r.n_bigrams
+             ELSE 0.0 END, 6) AS top_bigram_frac,
+       ROUND(CASE WHEN COALESCE(r.n_bigrams, 0) > 0
+             THEN CAST(r.n_distinct_bigrams AS DOUBLE) / r.n_bigrams
+             ELSE 0.0 END, 6) AS distinct_bigram_ratio,
+       p.n_emails, p.n_ipv4, p.n_phones, p.n_long_digit_runs,
+       CAST(p.n_emails + p.n_ipv4 + p.n_phones + p.n_long_digit_runs > 0
+            AS INT) AS has_pii
+FROM pii p LEFT JOIN rep r ON r.doc_id = p.doc_id
+""".strip()
+
+
+@register("text_repetition_pii", _repetition_pii_sql())
+def text_repetition_pii(spark, sf_dir):
+    """Gopher-style bigram repetition signals joined with the PII scan —
+    the two remaining per-doc quality columns of a cleaning pipeline,
+    one driver row."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = textstats.repetition_signals(docs)
+    pii = textstats.pii_scan(docs)
+    out = pii.join(rep, "doc_id")
+    return _r6(out, "top_bigram_frac", "distinct_bigram_ratio").select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        "top_bigram_count",
+        "top_bigram_frac",
+        "distinct_bigram_ratio",
+        "n_emails",
+        "n_ipv4",
+        "n_phones",
+        "n_long_digit_runs",
+        "has_pii",
+    )
+
+
+@register(
+    "semantic_dedup_survivors",
+    f"""
+WITH {_CENTROID_CTE},
+s AS (
+  SELECT e.vec_id, e.label, c.cell_id,
+         {_cos_sql('e.embedding', 'c.centroid')} AS sim
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, label, cell_id, sim FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cell_id ASC) AS rn
+    FROM s) WHERE rn = 1
+),
+ae AS (
+  SELECT a.vec_id, a.cell_id, e.embedding
+  FROM assigned a JOIN embeddings e USING (vec_id)
+),
+pairs AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         {_cos_sql('x.embedding', 'y.embedding')} AS cosine
+  FROM ae x JOIN ae y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+),
+drops AS (SELECT DISTINCT vec_b FROM pairs WHERE cosine >= 0.3)
+SELECT a.vec_id, a.label, a.cell_id, ROUND(a.sim, 6) AS centroid_sim
+FROM assigned a LEFT JOIN drops d ON d.vec_b = a.vec_id
+WHERE d.vec_b IS NULL
+""",
+)
+def semantic_dedup_survivors(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cell-blocked semantic
+    near-dup removal — survivors after dropping every vector with a
+    more-canonical neighbor at cosine >= 0.3 inside its cell."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.seed_centroids(emb, 8)
+    return _r6(similarity.semantic_dedup(emb, cents, threshold=0.3), "centroid_sim")

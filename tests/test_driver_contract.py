@@ -14,14 +14,20 @@ sys.path.insert(0, "/root/repo")
 REPRESENTATIVE = [
     "d1_gather_dictionary",
     "g1e5_initialize_and_ranking",
-    "d2_estep_nwt_one_pass",
-    "g5_em_one_pass_pwt",
+    "d2g5_estep_mstep_pass",
     "d14f4_cooc_ppmi_filtered",
     "e1_top_tokens",
     "dedup_minhash_signatures",
-    "ann_cosine_topk",
-    "text_quality_score",
+    "ann_topk_composite",
+    "text_lang_quality",
     "ev_sessionize",
+    "sample_split_stratified",
+    "sample_domain_mixture",
+    "text_repetition_pii",
+    "doc_ppl_quality",
+    "semantic_dedup_survivors",
+    "dedup_jaccard_verify",
+    "h3h4_regularizer_deltas",
 ]
 
 

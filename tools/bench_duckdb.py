@@ -25,14 +25,16 @@ BENCH_TO_ORACLE = {
     "top_k_by_df": "b3b4_filter_topk_dictionary",
     "cooc_ppmi_w2": "d14f4_cooc_ppmi_filtered",
     "initialize_phi": "g1e5_initialize_and_ranking",
-    "estep_nwt_1_inner_pass": "d2_estep_nwt_one_pass",
-    "fit_offline_1pass": "g5_em_one_pass_pwt",
+    # d2/g5 merged into one driver row in r3; the composite computes
+    # both nwt and pwt so it stands in for either bench workload
+    "estep_nwt_1_inner_pass": "d2g5_estep_mstep_pass",
+    "fit_offline_1pass": "d2g5_estep_mstep_pass",
     "dedup_exact": "dedup_exact",
     "dedup_minhash_sigs": "dedup_minhash_signatures",
     "dedup_lsh_candidates": "dedup_lsh_candidates",
     "dedup_simhash": "dedup_simhash",
-    "ann_cosine_topk": "ann_cosine_topk",
-    "text_quality": "text_quality_score",
+    "ann_cosine_topk": "ann_topk_composite",
+    "text_quality": "text_lang_quality",
 }
 
 
