@@ -117,3 +117,64 @@ def test_dedup_clusters_one_job_per_round(spark):
     # The old separate probe-join design added its own action per round
     # (>= 6 jobs here) — this bound catches that regression.
     assert n_jobs <= 4, f"expected <=4 jobs (2 rounds x 1 action), got {n_jobs}"
+
+
+def test_hash_split_is_shuffle_free_scan(spark):
+    """hash_split + split filter: one codegen'd scan — no Exchange, and
+    the coin predicate lands in the scan's DataFilters. Splitting 100 TB
+    must cost one pass, nothing else."""
+    from bigartm_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    q = sampling.hash_split(docs).filter(F.col("split") == "train")
+    plan = _explain(q)
+    assert plan.count("Exchange") == 0
+    assert "FileScan" in plan
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    from bigartm_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _explain(sampling.stratified_sample(docs, 0.25))
+    assert plan.count("Exchange") == 0
+
+
+def test_mixture_resample_corpus_side_never_shuffles(spark):
+    """domain_mixture_resample: the corpus joins the K-row rates via
+    BroadcastHashJoin with the stratum IN-list pushed into the parquet
+    scan; every Exchange in the plan belongs to the tiny rates subtree
+    (K-row count agg + single-partition window), never the corpus."""
+    from bigartm_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    out = sampling.domain_mixture_resample(
+        docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    )
+    plan = _explain(out)
+    assert "BroadcastHashJoin" in plan
+    assert "In(source, [src0,src1,src2])" in plan  # pushed to the scan
+    # corpus side: scan -> broadcast join, no exchange above it; the
+    # rates subtree owns <= 2 exchanges (partial-count agg + the 1-row
+    # window) + broadcast exchanges
+    non_broadcast = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert non_broadcast <= 2
+
+
+def test_semantic_dedup_blocks_by_cell(spark):
+    """semantic_dedup's pair join is keyed by cell_id (sum(|cell|^2)
+    candidate generation), and the pair scorer is the Arrow-batched
+    kernel, not an interpreted HOF."""
+    from bigartm_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = similarity.seed_centroids(emb, 4)
+    plan = _explain(similarity.semantic_dedup(emb, cents, threshold=0.5))
+    assert "MapInPandas" in plan
+    assert "cell_id" in plan  # the join key, not a cross join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
