@@ -727,6 +727,10 @@ _SAMPLE_FRACTIONS = {"src0": 0.75, "src3": 0.5, "src7": 0.25}
 _MIX_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 
 
+_PACK_BUDGET = 256
+_PACK_SHARDS = 8
+
+
 def _split_sample_sql() -> str:
     u_split = int_uniform_sql("doc_id", str(sampling.SPLIT_SALT))
     u_sample = int_uniform_sql("doc_id", str(sampling.SAMPLE_SALT))
@@ -743,32 +747,70 @@ def _split_sample_sql() -> str:
     )
     return f"""
 WITH u AS (
-  SELECT doc_id, source, {u_split} AS u_split, {u_sample} AS u_sample
+  SELECT doc_id, source, {u_split} AS u_split, {u_sample} AS u_sample,
+         CAST(len({WORDS_SQL}) AS BIGINT) AS n_tokens
   FROM documents
+),
+sh AS (
+  SELECT *, CAST(doc_id % {_PACK_SHARDS} AS BIGINT) AS shard FROM u
+),
+ofs AS (
+  SELECT *,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM sh
 )
 SELECT doc_id, source, {split_case} AS split,
-       CAST(u_sample < (CASE {rate_whens} ELSE 0.0 END) AS INT) AS in_sample
-FROM u
+       CAST(u_sample < (CASE {rate_whens} ELSE 0.0 END) AS INT) AS in_sample,
+       shard, start_offset,
+       start_offset + n_tokens AS end_offset,
+       shard * {1 << 32} + CAST(FLOOR(start_offset / {_PACK_BUDGET}) AS BIGINT)
+         AS pack_id,
+       CAST(CASE WHEN n_tokens > 0 THEN
+              CAST(FLOOR((start_offset + n_tokens - 1) / {_PACK_BUDGET}) AS BIGINT)
+                > CAST(FLOOR(start_offset / {_PACK_BUDGET}) AS BIGINT)
+            ELSE FALSE END AS INT) AS crosses_boundary
+FROM ofs
 """.strip()
 
 
-@register("sample_split_stratified", _split_sample_sql())
-def sample_split_stratified(spark, sf_dir):
-    """Deterministic train/val/test hash-split plus a per-stratum
-    Bernoulli sample flag, one row per doc. Both coins are the portable
-    integer-keyed MINSTD generator: a pure codegen filter — splitting
-    100 TB is one scan, stable under retries and engine swaps."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "source"
-    )
-    s = sampling.hash_split(docs, _SPLIT_WEIGHTS)
-    kept = sampling.stratified_sample(docs, _SAMPLE_FRACTIONS).select(
+@register("sample_split_pack", _split_sample_sql())
+def sample_split_pack(spark, sf_dir):
+    """The corpus-to-shards layout plan as one per-doc row: deterministic
+    train/val/test hash-split, per-stratum Bernoulli sample flag, and the
+    GPT-style concat-and-chunk sequence packing (shard, token offsets,
+    pack id, boundary flag). The coins are the portable integer-keyed
+    MINSTD generator and the packing is one per-shard window cumsum —
+    laying out 100 TB is one scan plus one shard-keyed shuffle."""
+    from bigartm_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select("doc_id", "source")
+    s = sampling.hash_split(base, _SPLIT_WEIGHTS)
+    kept = sampling.stratified_sample(base, _SAMPLE_FRACTIONS).select(
         "doc_id", F.lit(1).alias("in_sample")
+    )
+    toks = textstats.token_count(docs).select("doc_id", "n_tokens")
+    packed = pack_sequences(
+        toks, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
     )
     return (
         s.join(kept, "doc_id", "left")
         .withColumn("in_sample", F.coalesce("in_sample", F.lit(0)).cast("int"))
-        .select("doc_id", "source", "split", "in_sample")
+        .join(packed, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "split",
+            "in_sample",
+            "shard",
+            "start_offset",
+            "end_offset",
+            "pack_id",
+            "crosses_boundary",
+        )
     )
 
 

@@ -184,3 +184,38 @@ def write_corpus_vw(docs: DataFrame, path: str):
         .select(F.concat_ws(" ", "title", "_body").alias("value"))
     )
     per_doc.coalesce(1).write.mode("overwrite").text(path)
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str = "doc_id",
+    num_buckets: int = 32,
+    path: str | None = None,
+):
+    """Persist a relation bucketed (and sorted) by its join key. This is
+    the co-located-join store: two tables bucketed on the same key with
+    the same bucket count join WITHOUT a shuffle — the move that matters
+    most for repeated joins against a 100 TB corpus (dedup reruns,
+    incremental fits, theta-cache joins). At cluster scale choose
+    num_buckets ~ total_size / 256 MB.
+
+    Bucketing metadata lives in the session catalog (saveAsTable);
+    ``path`` makes it an external table at that location.
+    """
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def load_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back with its bucket spec intact (a plain
+    ``read.parquet`` of the files would lose the metadata and reintroduce
+    the shuffle)."""
+    return spark.table(table)

@@ -21,7 +21,7 @@ REPRESENTATIVE = [
     "ann_topk_composite",
     "text_lang_quality",
     "ev_sessionize",
-    "sample_split_stratified",
+    "sample_split_pack",
     "sample_domain_mixture",
     "text_repetition_pii",
     "doc_ppl_quality",

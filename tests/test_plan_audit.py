@@ -178,3 +178,30 @@ def test_semantic_dedup_blocks_by_cell(spark):
     assert "cell_id" in plan  # the join key, not a cross join
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_corpus_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on doc_id with equal bucket counts join with
+    ZERO Exchange (broadcast disabled to prove the co-location, not the
+    small-table escape hatch) — the repeated-join store for 100 TB."""
+    from bigartm_spark.sources.io import load_bucketed, save_bucketed
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    meta = docs.select("doc_id", "source")
+    txt = docs.select("doc_id", "n_chars")
+    save_bucketed(meta, "t_meta_b", num_buckets=8, path=str(tmp_path / "m"))
+    save_bucketed(txt, "t_txt_b", num_buckets=8, path=str(tmp_path / "t"))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = load_bucketed(spark, "t_meta_b").join(
+            load_bucketed(spark, "t_txt_b"), "doc_id"
+        )
+        plan = _explain(j)
+        assert plan.count("Exchange") == 0, plan
+        assert j.count() == docs.count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS t_meta_b")
+        spark.sql("DROP TABLE IF EXISTS t_txt_b")
