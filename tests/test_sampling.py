@@ -109,3 +109,37 @@ def test_domain_mixture_resample_hits_targets(documents):
     assert abs(counts["src0"] / total - 0.5) < 0.2
     # only targeted strata survive
     assert set(counts) == set(targets)
+
+
+def test_hash_split_and_sample_work_on_streams(spark, tmp_path):
+    """The sampling coins are stateless Column expressions, so the same
+    operators run unchanged on a Structured Stream (the ingest-time
+    split/sample of a live corpus feed) and agree with the batch result."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    assert stream.isStreaming
+
+    out = sampling.stratified_sample(
+        sampling.hash_split(stream.select("doc_id", "source")), 0.5
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("split_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    batch = {
+        (r["doc_id"], r["split"])
+        for r in sampling.stratified_sample(
+            sampling.hash_split(docs.select("doc_id", "source")), 0.5
+        ).collect()
+    }
+    streamed = {
+        (r["doc_id"], r["split"])
+        for r in spark.sql("select * from split_mem").collect()
+    }
+    assert streamed == batch and len(streamed) > 0
