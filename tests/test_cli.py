@@ -276,3 +276,56 @@ def test_cli_online_flags(spark, tmp_path, capsys):
         ]
     )
     assert rc2 == 0
+
+
+def test_pipeline_cli_end_to_end(tmp_path):
+    """`python -m bigartm_spark pipeline`: dedup -> quality/lang filter ->
+    split -> pack -> partitioned parquet + one JSON stats line."""
+    import json
+    import subprocess
+    import sys
+
+    out_dir = tmp_path / "clean"
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "bigartm_spark",
+            "pipeline",
+            "--input",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--output",
+            str(out_dir),
+            "--dedup",
+            "exact",
+            "--min-quality",
+            "0.3",
+            "--lang",
+            "en",
+            "--split",
+            "train=0.8,val=0.1,test=0.1",
+            "--pack-budget",
+            "256",
+            "--pack-shards",
+            "4",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["input_rows"] == 500
+    assert 0 < stats["after_dedup"] <= 500
+    assert 0 < stats["after_quality"] <= stats["after_dedup"]
+    assert stats["output_rows"] == stats["after_quality"]
+    assert set(stats["splits"]) <= {"train", "val", "test"}
+    # split is the partition key; packing columns landed
+    import pyarrow.parquet as pq
+    import glob
+
+    files = glob.glob(str(out_dir / "split=*/*.parquet"))
+    assert files
+    cols = set(pq.read_schema(files[0]).names)
+    assert {"doc_id", "pack_id", "start_offset", "crosses_boundary"} <= cols
