@@ -43,6 +43,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--seed", "--rand-seed", dest="seed", type=int, default=0
     )
+    p.add_argument(
+        "--dense-init-rate",
+        type=float,
+        default=1.0,
+        help="rate of tokens (sorted by tf) initialized without "
+        "guaranteed zeros (srcmain.cc:1799)",
+    )
+    p.add_argument(
+        "--guaranteed-zeros-rate",
+        type=float,
+        default=0.0,
+        help="rate of guaranteed-zero cells for tokens outside the dense "
+        "share (srcmain.cc:1800)",
+    )
+    p.add_argument(
+        "--min-sparsity-rate",
+        type=float,
+        default=0.6,
+        help="accepted for parity (srcmain.cc:1852); storage here is "
+        "columnar parquet — sparse retrieval is get_phi(eps=...)",
+    )
     p.add_argument("--dictionary-min-df", type=float, default=None)
     p.add_argument("--dictionary-max-df", type=float, default=None)
     p.add_argument(
@@ -396,7 +417,11 @@ def main(argv: list[str] | None = None) -> int:
         model.topics = model.pwt.topics
         model._broadcast_phi = True
     else:
-        model.initialize(dictionary)
+        model.initialize(
+            dictionary,
+            dense_init_rate=args.dense_init_rate,
+            guaranteed_zeros_rate=args.guaranteed_zeros_rate,
+        )
         if args.update_every > 0:
             # srcmain.cc:1808-1815 online algorithm (G6/G7)
             from bigartm_spark.streaming.online import split_batch_groups

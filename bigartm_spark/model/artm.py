@@ -78,10 +78,22 @@ class ARTM:
         self.score_tracker: dict[str, list[float]] = {}
 
     # -- G1 -------------------------------------------------------------
-    def initialize(self, dictionary: DataFrame) -> "ARTM":
+    def initialize(
+        self,
+        dictionary: DataFrame,
+        dense_init_rate: float = 1.0,
+        guaranteed_zeros_rate: float = 0.0,
+    ) -> "ARTM":
+        """G1. Sparse init (srcmain.cc:1799-1800 --dense-init-rate /
+        --guaranteed-zeros-rate) passes through to initialize_phi's E5
+        ranking gate."""
         self.dictionary = dictionary.cache()
         self.pwt = initialize_phi(
-            self.dictionary, self.topics, seed=self.seed
+            self.dictionary,
+            self.topics,
+            seed=self.seed,
+            dense_init_rate=dense_init_rate,
+            guaranteed_zeros_rate=guaranteed_zeros_rate,
         ).cache()
         # C1 join strategy: broadcast phi while |vocab| x T x 8B fits a
         # generous executor budget; beyond that fall back to a shuffle

@@ -329,3 +329,56 @@ def test_pipeline_cli_end_to_end(tmp_path):
     assert files
     cols = set(pq.read_schema(files[0]).names)
     assert {"doc_id", "pack_id", "start_offset", "crosses_boundary"} <= cols
+
+
+def test_cli_sparse_init_flags(tmp_path, spark):
+    """--dense-init-rate/--guaranteed-zeros-rate reach initialize_phi:
+    a sparse-initialized model carries exact zeros in the tail tokens'
+    rows, a dense one does not."""
+    import subprocess
+    import sys
+
+    corpus = tmp_path / "sparse_init.vw"
+    # 30-token vocab with a steep tf gradient so the dense-share ranking
+    # has a clear head (high tf) and tail (low tf)
+    lines = []
+    for d in range(40):
+        toks = [f"tok{k}" for k in range(30) if d % (k + 1) == 0]
+        lines.append(f"doc{d} " + " ".join(toks))
+    corpus.write_text("\n".join(lines) + "\n")
+
+    out_dense = tmp_path / "m_dense"
+    out_sparse = tmp_path / "m_sparse"
+    base = [
+        sys.executable,
+        "-m",
+        "bigartm_spark",
+        "--read-vw-corpus",
+        str(corpus),
+        "-t",
+        "4",
+        "-p",
+        "1",
+        "--num-document-passes",
+        "1",
+    ]
+    for extra, out in (
+        ([], out_dense),
+        (["--dense-init-rate", "0.25", "--guaranteed-zeros-rate", "0.9"], out_sparse),
+    ):
+        r = subprocess.run(
+            base + extra + ["--save-model", str(out)],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+            timeout=420,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    from bigartm_spark.sources.io import import_model
+
+    dense = import_model(spark, str(out_dense)).to_long()
+    sparse = import_model(spark, str(out_sparse)).to_long()
+    n_zero_dense = dense.filter("value = 0.0").count()
+    n_zero_sparse = sparse.filter("value = 0.0").count()
+    assert n_zero_sparse > n_zero_dense
