@@ -8,25 +8,22 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from bigartm_spark.functions.timeutil import normalize_ts
 from bigartm_spark.plans.driver_queries import _r6, register
 
 
 def _events(spark, sf_dir):
-    """events with ts normalized to a microsecond timestamp (the parquet
-    column is TIMESTAMP(NANOS); read as long via nanosAsLong, floor-divide
-    to micros exactly like DuckDB's ns->us truncation). The conf is a
-    runtime SQL conf — set it here so sessions we did not create (the
-    driver's own) can still scan the file."""
+    """events with ts normalized to a microsecond TIMESTAMP via
+    normalize_ts — the parquet writer has shipped TIMESTAMP(NANOS)
+    (bigint under nanosAsLong), tz-adjusted MICROS (timestamp), and
+    naive MICROS (timestamp_ntz) across regenerations; all three land on
+    the same instants DuckDB's epoch_us sees. Both confs are runtime SQL
+    confs — set here so sessions we did not create (the driver's own)
+    scan and render identically: UTC session TZ keeps date_trunc/year on
+    the normalized TIMESTAMP on the same wall clock as the oracle."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes)["ts"] == "bigint":
-        # integer DIV, never floor(ts/1000.0): epoch-ns values (~1.7e18)
-        # exceed double's 2^53 mantissa, so the float division is off by
-        # up to ~256ns and floor() then lands on the wrong microsecond
-        ev = ev.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
-    return ev
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 @register(

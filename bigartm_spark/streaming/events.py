@@ -23,10 +23,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from bigartm_spark.functions.timeutil import normalize_ts
+
 
 def with_watermark_if_streaming(events: DataFrame, watermark: str) -> DataFrame:
-    """Watermarks only apply to streaming relations; batch reads pass
-    through (same query text works in both modes)."""
+    """Normalize ts (bigint-ns / timestamp_ntz / timestamp all become one
+    TIMESTAMP instant — see functions/timeutil.py) and, on streaming
+    relations only, attach the watermark; batch reads pass through so the
+    same query text works in both modes."""
+    events = normalize_ts(events)
     return (
         events.withWatermark("ts", watermark) if events.isStreaming else events
     )
