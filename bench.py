@@ -63,7 +63,17 @@ def main():
     d = gather_dictionary(docs).cache()
     d.count()
     bench("top_k_by_df", lambda: top_k_by_df(d, 100).count())
-    bench("cooc_ppmi_w2", lambda: cooc_ppmi(docs, window=2).count())
+    def run_cooc():
+        # release between repeats so each run pays the full pair join
+        # (the tracked cache would otherwise make repeat 2 a cache read)
+        from bigartm_spark.operators.cooc import release_cooc_caches
+
+        try:
+            cooc_ppmi(docs, window=2).count()
+        finally:
+            release_cooc_caches()
+
+    bench("cooc_ppmi_w2", run_cooc)
 
     phi = initialize_phi(d, TOPICS, seed=42)
     bench("initialize_phi", lambda: phi.compact.cache().count())

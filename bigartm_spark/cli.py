@@ -382,6 +382,9 @@ def main(argv: list[str] | None = None) -> int:
             ).write.mode("overwrite").option("header", True).csv(
                 args.write_cooc_df
             )
+        from bigartm_spark.operators.cooc import release_cooc_caches
+
+        release_cooc_caches()
 
     if args.write_dictionary_readable:
         dictionary.coalesce(1).write.mode("overwrite").option(

@@ -16,6 +16,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Same tracked-cache discipline as operators/dedup.py: cooc_ppmi caches
+# the gathered pair relation (read three times by ppmi: two marginal
+# scans + the join); callers release once their consuming action ran.
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def _tracked_cache(df: DataFrame) -> DataFrame:
+    out = df.cache()
+    _TRACKED_CACHES.append(out)
+    return out
+
+
+def release_cooc_caches() -> None:
+    """Unpersist every pair relation cached by cooc_ppmi. Safe at any
+    time: a consumer whose plan still references one recomputes it
+    uncached."""
+    while _TRACKED_CACHES:
+        try:
+            _TRACKED_CACHES.pop().unpersist()
+        except Exception:
+            pass
+
 
 def cooc_gather(
     docs: DataFrame,
@@ -113,13 +135,11 @@ def ppmi(cooc: DataFrame) -> DataFrame:
 
 def cooc_ppmi(docs: DataFrame, window: int = 5, **kw) -> DataFrame:
     # ppmi reads the cooc relation three times (marginals x2 + join);
-    # materialize it once instead of re-running the pair join per read.
-    # localCheckpoint, not cache(): plan-level caches are pinned by the
-    # CacheManager for the life of the session (nobody here can know
-    # when the caller's last action ran), while checkpoint RDD blocks
-    # are reclaimed by the ContextCleaner as soon as the returned plan
-    # is no longer referenced.
-    gathered = cooc_gather(docs, window=window, **kw).localCheckpoint(
-        eager=True
-    )
-    return ppmi(gathered)
+    # cache it so the pair join runs once inside the caller's action.
+    # A lazy cache, NOT eager localCheckpoint: the checkpoint paid a
+    # full extra materialization (write + re-read of the whole pair
+    # relation) before the consuming action even started — ~1.7x on the
+    # sf0.1 bench. Hygiene comes from the tracked-cache registry
+    # instead: release_cooc_caches() after the consuming action (the
+    # same pattern operators/dedup.py uses).
+    return ppmi(_tracked_cache(cooc_gather(docs, window=window, **kw)))

@@ -126,10 +126,13 @@ def import_cooc(spark: SparkSession, path: str) -> DataFrame | None:
     """Cooc stats bundled with an exported dictionary (the reference
     embeds cooc triplets inside the dictionary object,
     messages.proto:555-568 / dictionary.h — ours ride alongside as a
-    second parquet in the same export dir). None if absent."""
-    import glob
+    second parquet in the same export dir). None if absent.
 
-    if not glob.glob(os.path.join(path, "cooc.parquet", "*")):
+    Presence check goes through the Hadoop FileSystem API (same as
+    load_batches): a local glob would silently return None for a store
+    on hdfs:// or s3a:// and the dictionary would quietly lose its cooc
+    relation."""
+    if not _hadoop_ls(spark, f"{path}/cooc.parquet"):
         return None
     return spark.read.parquet(f"{path}/cooc.parquet")
 

@@ -188,6 +188,13 @@ def test_dictionary_cooc_export_round_trip(spark, tmp_path):
     path2 = str(tmp_path / "dict_exp2")
     export_dictionary(d, path2)
     assert import_cooc(spark, path2) is None
+    # scheme-qualified store path (file:// URI): the presence check must
+    # go through the Hadoop FS API — a local-filesystem glob would see
+    # no such directory and silently drop the cooc relation
+    c3 = import_cooc(spark, f"file://{path}")
+    assert c3 is not None
+    assert sorted(map(tuple, cooc.collect())) == sorted(map(tuple, c3.collect()))
+    assert import_cooc(spark, f"file://{path2}") is None
 
 
 def test_codec_property_round_trip():
