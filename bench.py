@@ -64,8 +64,9 @@ def main():
     d.count()
     bench("top_k_by_df", lambda: top_k_by_df(d, 100).count())
     def run_cooc():
-        # release between repeats so each run pays the full pair join
-        # (the tracked cache would otherwise make repeat 2 a cache read)
+        # defensive release so each repeat pays the full pair compute
+        # whatever materialization strategy cooc_ppmi uses (no-op for
+        # the current localCheckpoint strategy)
         from bigartm_spark.operators.cooc import release_cooc_caches
 
         try:

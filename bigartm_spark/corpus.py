@@ -103,12 +103,17 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 def docs_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-text corpus: the documents table tokenized into the long
+    bag-of-words layout — see tokenize_documents."""
+    return tokenize_documents(load_table(spark, sf_dir, "documents"))
+
+
+def tokenize_documents(d: DataFrame) -> DataFrame:
+    """A documents relation (doc_id, text, ...) tokenized into the long
     bag-of-words layout (token = word, weight = in-doc count) — the
     A3-style parse applied to a parquet text column. Pure expressions:
     split -> posexplode -> count per (doc, word)."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
     words = F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0)
     exploded = d.select(
         "doc_id", F.explode(words).alias("token")

@@ -2,9 +2,12 @@
 
 Reference lifecycle (master_component.cc:1575-1642 FitOffline): per pass
 ProcessBatches -> Regularize -> Normalize -> snapshot scores. Here each
-pass is one Spark job graph; phi is checkpointed per pass to break
-lineage (the distributed analogue of the reference's in-place matrix
-swap, master_component.cc:1047-1088).
+pass is one Spark job graph. Lineage is broken per pass (the distributed
+analogue of the reference's in-place matrix swap,
+master_component.cc:1047-1088) either by collecting the new phi to the
+driver (broadcast regime — the same copy then feeds the next pass's
+broadcast, so a pass is exactly ONE Spark job) or by a localCheckpoint
+(shuffle regime, phi too large to collect).
 """
 
 from __future__ import annotations
@@ -71,11 +74,25 @@ class ARTM:
         self.phi_scores = phi_scores or {}
         self.theta_cache_path = theta_cache_path
         self.num_buckets = num_buckets
-        self.pwt: PhiMatrix | None = None
+        self.pwt = None
         self.nwt: PhiMatrix | None = None
         self.theta: DataFrame | None = None
         self.dictionary: DataFrame | None = None
         self.score_tracker: dict[str, list[float]] = {}
+
+    # _phi_local is the driver-side numpy copy of pwt (cls, tok, matrix)
+    # that feeds the next pass's broadcast without a collect job. It is
+    # only ever valid for the exact pwt it was collected from, so ANY
+    # assignment to pwt (overwrite/reshape/rekey/import/dispose) clears
+    # it; _merge_and_normalize re-sets it right after assigning pwt.
+    @property
+    def pwt(self) -> PhiMatrix | None:
+        return self._pwt
+
+    @pwt.setter
+    def pwt(self, value: PhiMatrix | None) -> None:
+        self._pwt = value
+        self._phi_local = None
 
     # -- G1 -------------------------------------------------------------
     def initialize(
@@ -138,6 +155,7 @@ class ARTM:
                 if self.reuse_theta and self.theta is not None
                 else None
             ),
+            phi_local=getattr(self, "_phi_local", None),
         )
         if self.cache_theta:
             # the theta extraction re-reads the kernel output -> cache it
@@ -290,7 +308,33 @@ class ARTM:
         for transform in self.phi_transforms:
             new_pwt = transform(new_pwt)
         old_pwt = self.pwt
-        self.pwt = new_pwt.checkpoint()
+        if getattr(self, "_broadcast_phi", False):
+            # broadcast regime: phi fits the driver by definition
+            # (should_broadcast_phi gated it), so the pass's ONE action
+            # is a toPandas collect of the new phi — the Observation
+            # rides it, the driver copy feeds the next pass's broadcast
+            # with no extra collect job, and pwt becomes a local
+            # relation (lineage-free by construction: no checkpoint
+            # write, no executor blocks to reclaim).
+            import numpy as np
+
+            pdf = new_pwt.compact.toPandas()
+            mat = (
+                np.stack(pdf["values"].to_numpy())
+                if len(pdf)
+                else np.zeros((0, len(self.topics)))
+            )
+            cls_np = pdf["class_id"].to_numpy()
+            tok_np = pdf["token"].to_numpy()
+            pdf = pdf.copy()
+            pdf["values"] = pdf["values"].map(list)
+            local = kernel_out.sparkSession.createDataFrame(
+                pdf, schema="class_id string, token string, values array<double>"
+            )
+            self.pwt = PhiMatrix("pwt", self.topics, local)
+            self._phi_local = (cls_np, tok_np, mat)
+        else:
+            self.pwt = new_pwt.checkpoint()
         if unpersist_old:
             try:
                 old_pwt.compact.unpersist()
@@ -340,6 +384,7 @@ class ARTM:
             emit_theta=True,
             compute_scores=False,
             broadcast_phi=getattr(self, "_broadcast_phi", True),
+            phi_local=getattr(self, "_phi_local", None),
         )
         return estep.extract_theta(kernel_out, self.topics)
 

@@ -345,6 +345,7 @@ def process_batches(
     transaction_mode: bool = False,
     transaction_weights: dict[str, float] | None = None,
     theta_cache: DataFrame | None = None,
+    phi_local: tuple | None = None,
 ) -> DataFrame:
     """One E-step pass over the corpus. Returns the kernel output relation
     (kind, key, class_id, doc_id, pos, values) — callers aggregate it.
@@ -381,19 +382,23 @@ def process_batches(
     if broadcast_phi and not transaction_mode:
         # ship phi once per executor as raw numpy (cls, tok, matrix) —
         # cheaper to pickle than a pandas frame; the shuffle then
-        # carries only the bare occurrence rows
-        phi_pdf = pwt.compact.toPandas()
-        mat = (
-            np.stack(phi_pdf["values"].to_numpy())
-            if len(phi_pdf)
-            else np.zeros((0, pwt.num_topics))
-        )
-        phi_bcast = docs.sparkSession.sparkContext.broadcast(
-            (
-                phi_pdf["class_id"].to_numpy(),
-                phi_pdf["token"].to_numpy(),
-                mat,
+        # carries only the bare occurrence rows. A fit loop that already
+        # holds the driver copy (ARTM collects the new phi as the pass's
+        # materializing action) passes it via ``phi_local`` and the
+        # collect job is skipped entirely — one Spark job per EM pass.
+        if phi_local is not None:
+            cls_np, tok_np, mat = phi_local
+        else:
+            phi_pdf = pwt.compact.toPandas()
+            mat = (
+                np.stack(phi_pdf["values"].to_numpy())
+                if len(phi_pdf)
+                else np.zeros((0, pwt.num_topics))
             )
+            cls_np = phi_pdf["class_id"].to_numpy()
+            tok_np = phi_pdf["token"].to_numpy()
+        phi_bcast = docs.sparkSession.sparkContext.broadcast(
+            (cls_np, tok_np, mat)
         )
         _ISSUED_PHI_BROADCASTS.append(phi_bcast)
         joined = docs.select(*cols)

@@ -45,35 +45,69 @@ def cooc_gather(
     min_tf: float | None = None,
     min_df: float | None = None,
     symmetric: bool = True,
+    dense_pos: bool = True,
 ) -> DataFrame:
     """cooc(token_a, token_b, cooc_tf, cooc_df) — pairs of tokens whose
     positions within a doc are at most ``window`` apart. token_a < token_b
     canonicalizes symmetric pairs.
 
-    Plan note: a naive doc_id self-join with an |pos_a - pos_b| <= w filter
-    materializes nnz_d^2 intermediates per doc. Instead we explode each
-    occurrence into its w forward offsets and equi-join on (doc_id, pos) —
-    the join output IS the pair list (w * nnz rows), no quadratic blowup,
-    and Catalyst gets a plain shuffle-hash equi-join it can plan well at
-    any scale."""
-    offsets = F.array(*[F.col("pos") + F.lit(i) for i in range(1, window + 1)])
-    left = docs.select(
-        "doc_id",
-        F.col("token").alias("_tok_i"),
-        F.explode(offsets).alias("_pos_j"),
-    )
-    right = docs.select(
-        "doc_id", F.col("token").alias("_tok_j"), F.col("pos").alias("_pos_j")
-    )
-    pairs = (
-        left.join(right, ["doc_id", "_pos_j"])
-        .filter(F.col("_tok_i") != F.col("_tok_j"))
-        .select(
-            "doc_id",
-            F.least("_tok_i", "_tok_j").alias("token_a"),
-            F.greatest("_tok_i", "_tok_j").alias("token_b"),
+    Plan note (dense_pos=True, the default — every parser here emits pos
+    as a per-doc row_number, so positions are dense 1..n): the forward
+    neighbors of each occurrence are lead(token, i) over the per-doc
+    position order, so the whole pair relation falls out of ONE shuffle
+    (window by doc_id) with no join at all. For a relation whose pos has
+    gaps (externally produced), dense_pos=False keeps the
+    offset-explode + equi-join on (doc_id, pos): w*nnz join rows, no
+    quadratic blowup, AQE-friendly. A naive doc_id self-join with an
+    |pos_a - pos_b| <= w filter is never used — it materializes nnz_d^2
+    intermediates per doc."""
+    if dense_pos:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        nbrs = F.array(
+            *[F.lead("token", i).over(w) for i in range(1, window + 1)]
         )
-    )
+        # window exprs evaluated in their own projection: a generator
+        # cannot share a select with window functions
+        stepped = docs.select(
+            "doc_id", F.col("token").alias("_tok_i"), nbrs.alias("_nbrs")
+        )
+        pairs = (
+            stepped.select(
+                "doc_id", "_tok_i", F.explode("_nbrs").alias("_tok_j")
+            )
+            .filter(F.col("_tok_j").isNotNull())
+            .filter(F.col("_tok_i") != F.col("_tok_j"))
+            .select(
+                "doc_id",
+                F.least("_tok_i", "_tok_j").alias("token_a"),
+                F.greatest("_tok_i", "_tok_j").alias("token_b"),
+            )
+        )
+    else:
+        offsets = F.array(
+            *[F.col("pos") + F.lit(i) for i in range(1, window + 1)]
+        )
+        left = docs.select(
+            "doc_id",
+            F.col("token").alias("_tok_i"),
+            F.explode(offsets).alias("_pos_j"),
+        )
+        right = docs.select(
+            "doc_id",
+            F.col("token").alias("_tok_j"),
+            F.col("pos").alias("_pos_j"),
+        )
+        pairs = (
+            left.join(right, ["doc_id", "_pos_j"])
+            .filter(F.col("_tok_i") != F.col("_tok_j"))
+            .select(
+                "doc_id",
+                F.least("_tok_i", "_tok_j").alias("token_a"),
+                F.greatest("_tok_i", "_tok_j").alias("token_b"),
+            )
+        )
     # two-stage agg instead of count(distinct doc_id): the Expand that
     # implements countDistinct doubles the shuffled rows; pre-aggregating
     # per (pair, doc) gets map-side combine on within-doc repeats, then
@@ -135,11 +169,16 @@ def ppmi(cooc: DataFrame) -> DataFrame:
 
 def cooc_ppmi(docs: DataFrame, window: int = 5, **kw) -> DataFrame:
     # ppmi reads the cooc relation three times (marginals x2 + join);
-    # cache it so the pair join runs once inside the caller's action.
-    # A lazy cache, NOT eager localCheckpoint: the checkpoint paid a
-    # full extra materialization (write + re-read of the whole pair
-    # relation) before the consuming action even started — ~1.7x on the
-    # sf0.1 bench. Hygiene comes from the tracked-cache registry
-    # instead: release_cooc_caches() after the consuming action (the
-    # same pattern operators/dedup.py uses).
-    return ppmi(_tracked_cache(cooc_gather(docs, window=window, **kw)))
+    # materialize it once. Strategy chosen by measurement on the r4
+    # testdata (sf0.1, min-of-3): with the lead-window pair plan,
+    # localCheckpoint(eager) 1.28s < bare/ReusedExchange 1.50s <
+    # tracked cache 1.86s — the in-memory columnar cache costs more
+    # than the checkpoint's serialized blocks here, and checkpoint
+    # blocks are reclaimed by the ContextCleaner once the returned
+    # plan is unreferenced (no explicit release needed). r3's old-data
+    # measurement favored cache; the regenerated heavier pair relation
+    # flipped it. release_cooc_caches() remains for callers composing
+    # cooc_gather with _tracked_cache directly.
+    return ppmi(
+        cooc_gather(docs, window=window, **kw).localCheckpoint(eager=True)
+    )

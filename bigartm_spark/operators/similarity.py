@@ -618,6 +618,7 @@ def ivf_build_index(
     k_cells: int = 8,
     seed_rounds: int = 3,
     lloyd_iterations: int = 2,
+    centroids: DataFrame | None = None,
 ) -> None:
     """Build-once/query-many IVF index on disk: ``path/centroids.parquet``
     (k_cells rows) plus ``path/vectors.parquet`` partitioned by
@@ -625,11 +626,19 @@ def ivf_build_index(
     directories and skips the rest entirely (PartitionFilters, asserted
     in tests), unlike ivf_topk which re-assigns the full vector table
     per query. At 100 TB this is the difference between scanning
-    n_probe/k_cells of the corpus and scanning all of it."""
-    cents = ivf_refine_centroids(
-        embeddings,
-        kmeans_parallel_seed(embeddings, k_cells, rounds=seed_rounds),
-        iterations=lloyd_iterations,
+    n_probe/k_cells of the corpus and scanning all of it.
+
+    ``centroids`` overrides the kmeans pipeline with a caller-provided
+    (cell_id, centroid) table — e.g. seed_centroids for a
+    deterministically replayable index."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_refine_centroids(
+            embeddings,
+            kmeans_parallel_seed(embeddings, k_cells, rounds=seed_rounds),
+            iterations=lloyd_iterations,
+        )
     ).cache()
     cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
     assigned = ivf_assign(embeddings, cents).select("vec_id", "cell_id")

@@ -1,7 +1,8 @@
 """`python -m bigartm_spark pipeline ...` — the training-data pipeline
-as one command: dedup -> quality/language filter -> PII redaction ->
-domain-mixture resample -> train/val/test split -> sequence packing ->
-partitioned parquet shards.
+as one command: dedup -> semantic dedup (SemDeDup over embeddings) ->
+quality/language filter -> doc-perplexity filter (model-based quality)
+-> PII redaction -> domain-mixture resample -> train/val/test split ->
+sequence packing -> partitioned parquet shards.
 
 Composes the oracle-checked operators (operators/{dedup,textstats,
 sampling,packing}.py); every stage is optional and the stage order is
@@ -41,8 +42,52 @@ def build_parser() -> argparse.ArgumentParser:
         default="exact",
         help="exact = md5 canonical only; lsh = exact + MinHash-LSH clusters",
     )
+    p.add_argument(
+        "--semantic-dedup",
+        action="store_true",
+        help="SemDeDup over --embeddings: drop near-identical-meaning docs",
+    )
+    p.add_argument(
+        "--embeddings",
+        default=None,
+        help="embeddings parquet (vec_id aligned with doc_id); required "
+        "by --semantic-dedup",
+    )
+    p.add_argument("--sem-threshold", type=float, default=0.9)
+    p.add_argument(
+        "--sem-cells",
+        type=int,
+        default=8,
+        help="k-means cells blocking the SemDeDup pair join (grow with "
+        "corpus size: pair work is sum(|cell|^2))",
+    )
     p.add_argument("--min-quality", type=float, default=None)
     p.add_argument("--lang", default=None, help="keep only this language")
+    p.add_argument(
+        "--min-doc-ppl",
+        type=float,
+        default=None,
+        help="drop docs the topic model explains TOO well (low-ppl "
+        "boilerplate/repetition)",
+    )
+    p.add_argument(
+        "--max-doc-ppl",
+        type=float,
+        default=None,
+        help="drop docs the topic model cannot explain (high-ppl outliers)",
+    )
+    p.add_argument(
+        "--doc-ppl-topics",
+        type=int,
+        default=10,
+        help="topics for the throwaway doc-ppl scoring model",
+    )
+    p.add_argument(
+        "--doc-ppl-passes",
+        type=int,
+        default=2,
+        help="EM passes for the doc-ppl scoring model",
+    )
     p.add_argument("--redact-pii", action="store_true")
     p.add_argument(
         "--mixture", default=None, help="e.g. src0=0.5,src1=0.3,src2=0.2"
@@ -77,6 +122,36 @@ def main(argv: list[str] | None = None) -> int:
     if args.dedup != "none":
         stats["after_dedup"] = docs.count()
 
+    if args.semantic_dedup:
+        if not args.embeddings:
+            print("--semantic-dedup requires --embeddings", file=sys.stderr)
+            return 2
+        from bigartm_spark.operators import similarity
+
+        emb = spark.read.parquet(args.embeddings)
+        # score only current survivors; vec_id is the doc key
+        emb = emb.join(
+            docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        )
+        cents = similarity.ivf_refine_centroids(
+            emb,
+            similarity.kmeans_parallel_seed(emb, args.sem_cells),
+            iterations=2,
+        )
+        surv = similarity.semantic_dedup(
+            emb, cents, threshold=args.sem_threshold
+        ).select("vec_id")
+        # drop only docs positively identified as semantic dupes (in the
+        # embedding table but not among survivors); docs with no
+        # embedding row cannot be judged and pass through
+        dropped = emb.select("vec_id").join(surv, "vec_id", "left_anti")
+        docs = docs.join(
+            dropped.select(F.col("vec_id").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
+        stats["after_semantic_dedup"] = docs.count()
+
     if args.min_quality is not None or args.lang is not None:
         keep = textstats.quality_score(docs).select("doc_id", "quality")
         docs = docs.join(keep, "doc_id")
@@ -86,6 +161,34 @@ def main(argv: list[str] | None = None) -> int:
             docs = docs.filter(F.col("lang") == args.lang)
         docs = docs.drop("quality")
         stats["after_quality"] = docs.count()
+
+    if args.min_doc_ppl is not None or args.max_doc_ppl is not None:
+        # model-based quality: fit a small throwaway topic model on the
+        # survivors and score each doc's perplexity under uniform theta
+        # (doc_ppl_quality's operator); both tails are droppable — low
+        # ppl = boilerplate the model memorized, high ppl = outliers it
+        # cannot explain
+        from bigartm_spark.corpus import tokenize_documents
+        from bigartm_spark.model.artm import ARTM
+        from bigartm_spark.model.scores import doc_perplexity
+        from bigartm_spark.operators.dictionary import gather_dictionary
+
+        long_docs = tokenize_documents(docs)
+        m = ARTM(
+            num_topics=args.doc_ppl_topics,
+            num_document_passes=2,
+            seed=args.seed,
+        )
+        m.initialize(gather_dictionary(long_docs))
+        m.fit_offline(long_docs, num_collection_passes=args.doc_ppl_passes)
+        ppl = doc_perplexity(long_docs, m.pwt).select("doc_id", "doc_ppl")
+        docs = docs.join(ppl, "doc_id")
+        if args.min_doc_ppl is not None:
+            docs = docs.filter(F.col("doc_ppl") >= args.min_doc_ppl)
+        if args.max_doc_ppl is not None:
+            docs = docs.filter(F.col("doc_ppl") <= args.max_doc_ppl)
+        docs = docs.drop("doc_ppl")
+        stats["after_doc_ppl"] = docs.count()
 
     if args.redact_pii:
         docs = textstats.pii_redact(docs).drop("text").withColumnRenamed(

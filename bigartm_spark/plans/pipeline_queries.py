@@ -9,6 +9,8 @@ before the ROUND(6).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from bigartm_spark.functions.hashing import char_hash_sql, int_uniform_sql
@@ -469,7 +471,7 @@ def ann_ivf_assign(spark, sf_dir):
 
 
 @register(
-    "ann_ivf_topk",
+    "ann_ivf_index_probe",
     f"""
 WITH {_CENTROID_CTE},
 s AS (
@@ -488,7 +490,7 @@ qcell AS (
   SELECT cell_id FROM (
     SELECT c.cell_id, {_cos_sql('c.centroid', 'qe')} AS sim
     FROM cents c, q
-    ORDER BY sim DESC, cell_id ASC LIMIT 1)
+    ORDER BY sim DESC, cell_id ASC LIMIT 2)
 ),
 cand AS (
   SELECT a.vec_id, a.label, a.cell_id,
@@ -498,17 +500,31 @@ cand AS (
 ),
 r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
       FROM cand)
-SELECT vec_id, label, cell_id, ROUND(cosine, 6) AS cosine,
-       CAST(rank AS BIGINT) AS rank
+SELECT vec_id, label, CAST(cell_id AS INT) AS cell_id,
+       ROUND(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 5
 """,
 )
-def ann_ivf_topk(spark, sf_dir):
+def ann_ivf_index_probe(spark, sf_dir):
+    """Persistent IVF index (build-once store partitioned by cell_id,
+    similarity.py ivf_build_index/ivf_query_index) replayed end-to-end:
+    build with the deterministic seed centroids, then a 2-probe query
+    whose scan reads ONLY the probed cell directories (PartitionFilters
+    — the pruned-scan path pinned in test_similarity_ivf). Replaces the
+    ephemeral ann_ivf_topk registry row (that path is the same assign +
+    probe + topk machinery, still covered by tests/test_similarity_ivf
+    and the ann_ivf_assign/refine rows) to keep the registry at the
+    50-row driver cap."""
+    import tempfile
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = similarity.seed_centroids(emb, 8)
-    return _r6(
-        similarity.ivf_topk(emb, cents, query_id=0, k=5, n_probe=1), "cosine"
+    idx = os.path.join(
+        tempfile.gettempdir(), f"bigartm_ivf_idx_{abs(hash(sf_dir)) % 10**8}"
     )
+    similarity.ivf_build_index(emb, idx, centroids=cents)
+    out = similarity.ivf_query_index(spark, idx, query_id=0, k=5, n_probe=2)
+    return _r6(out.withColumn("cell_id", F.col("cell_id").cast("int")), "cosine")
 
 
 @register(

@@ -331,6 +331,72 @@ def test_pipeline_cli_end_to_end(tmp_path):
     assert {"doc_id", "pack_id", "start_offset", "crosses_boundary"} <= cols
 
 
+def test_pipeline_cli_semantic_dedup_and_doc_ppl(tmp_path):
+    """--semantic-dedup (SemDeDup over the embeddings table) and
+    --max-doc-ppl (model-based per-doc quality) as pipeline stages:
+    both must drop rows and compose with the rest of the pipeline."""
+    import json
+    import subprocess
+    import sys
+
+    out_dir = tmp_path / "clean_sem"
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "bigartm_spark",
+            "pipeline",
+            "--input",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--output",
+            str(out_dir),
+            "--dedup",
+            "exact",
+            "--semantic-dedup",
+            "--embeddings",
+            "/root/testdata/sf0.001/embeddings.parquet",
+            "--sem-threshold",
+            "0.8",
+            "--max-doc-ppl",
+            "100000",
+            "--doc-ppl-topics",
+            "4",
+            "--doc-ppl-passes",
+            "1",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["input_rows"] == 500
+    assert 0 < stats["after_semantic_dedup"] <= stats["after_dedup"]
+    assert 0 < stats["after_doc_ppl"] <= stats["after_semantic_dedup"]
+    assert stats["output_rows"] == stats["after_doc_ppl"]
+    # --semantic-dedup without --embeddings is a usage error, not a crash
+    r2 = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "bigartm_spark",
+            "pipeline",
+            "--input",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--output",
+            str(tmp_path / "x"),
+            "--semantic-dedup",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    assert r2.returncode == 2
+    assert "--embeddings" in r2.stderr
+
+
 def test_cli_sparse_init_flags(tmp_path, spark):
     """--dense-init-rate/--guaranteed-zeros-rate reach initialize_phi:
     a sparse-initialized model carries exact zeros in the tail tokens'

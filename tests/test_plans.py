@@ -70,6 +70,21 @@ def test_cooc_is_equi_join_no_cartesian(spark, docs):
     plan = _plan(cooc_gather(docs, window=2))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # default (dense pos) plan: pairs from a lead() window — ONE shuffle,
+    # no join operator at all
+    assert "Join" not in _plan(cooc_gather(docs, window=2, dense_pos=True))
+
+
+def test_cooc_dense_and_sparse_pos_paths_agree(spark, docs):
+    """The lead-window pair plan (dense_pos=True, default) and the
+    offset-explode equi-join (dense_pos=False, gap-tolerant) are exactly
+    the same relation on row_number-positioned corpora."""
+    from bigartm_spark.operators.cooc import cooc_gather
+
+    a = cooc_gather(docs, window=3, dense_pos=True)
+    b = cooc_gather(docs, window=3, dense_pos=False)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
 
 
 def test_wide_topic_count_arrays(spark, docs):
