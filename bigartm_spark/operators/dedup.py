@@ -482,3 +482,107 @@ def simhash(
         bit = F.when(F.col(f"_v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
     return per_doc.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+# -- sub-document dedup ---------------------------------------------------
+
+
+def line_dedup(
+    documents: DataFrame, sep: str = "\n", min_line_chars: int = 1
+) -> DataFrame:
+    """C4-style global exact-line dedup: every distinct line keeps its
+    FIRST occurrence corpus-wide (min doc_id, then min position within
+    that doc); later occurrences are removed and each doc's text is
+    reassembled from its surviving lines in original order.
+
+    Returns (doc_id, text, n_lines, n_kept). Docs whose every line was
+    a later duplicate come back with empty text (callers typically drop
+    text == '').
+
+    Scale shape: explode to one row per line, ONE groupBy shuffle on
+    the line string to pick the global first occurrence (min over a
+    struct — no window over the whole corpus), broadcast-free join back
+    on (line, doc_id, pos) via a second groupBy. Lines shorter than
+    ``min_line_chars`` are kept verbatim (never deduped) — the C4 rule
+    that boilerplate detection shouldn't eat list markup.
+    """
+    lines = documents.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), sep)).alias("pos", "line")
+    )
+    elig = lines.filter(F.length("line") >= min_line_chars)
+    first = elig.groupBy("line").agg(
+        F.min(F.struct("doc_id", "pos")).alias("_first")
+    )
+    kept_elig = elig.join(first, "line").filter(
+        (F.col("doc_id") == F.col("_first.doc_id"))
+        & (F.col("pos") == F.col("_first.pos"))
+    ).select("doc_id", "pos", "line")
+    kept_short = lines.filter(F.length("line") < min_line_chars)
+    kept = kept_elig.unionByName(kept_short.select("doc_id", "pos", "line"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            sep, F.transform(F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s.line)
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+def duplicate_spans(
+    documents: DataFrame, span_tokens: int = 20, stride: int | None = None
+) -> DataFrame:
+    """Cross-document repeated token spans — the scalable approximation
+    of suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): hash every rolling
+    ``span_tokens``-token window and report spans whose exact text
+    occurs in more than one document.
+
+    Returns (doc_id, start_pos, span_hash, n_docs) — one row per
+    occurrence of a cross-doc duplicated span. start_pos is 1-based in
+    tokens. Consumers cut or mask these ranges.
+
+    ``stride`` defaults to span_tokens (non-overlapping windows: |tokens|
+    rows total, the 100 TB-safe default — a duplicated region ≥ 2*span
+    tokens is always hit). stride=1 is the exact rolling variant
+    (span_tokens× more rows; still explode→ONE groupBy, no joins wider
+    than the span list itself).
+    """
+    if stride is None:
+        stride = span_tokens
+    ws = words_col()
+    k = F.size(ws) - (span_tokens - 1)
+    starts = F.when(
+        k >= 1, F.sequence(F.lit(1), k, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    spans = _spread(documents).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("start_pos"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            " ", F.slice(ws, i, F.lit(span_tokens))
+                        )
+                    ).alias("span_hash"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.start_pos", "s.span_hash")
+    per_span = spans.groupBy("span_hash").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    dup = per_span.filter(F.col("n_docs") > 1)
+    return spans.join(dup, "span_hash").select(
+        "doc_id", "start_pos", "span_hash", "n_docs"
+    )

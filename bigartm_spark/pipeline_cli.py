@@ -1,8 +1,9 @@
 """`python -m bigartm_spark pipeline ...` — the training-data pipeline
-as one command: dedup -> semantic dedup (SemDeDup over embeddings) ->
-quality/language filter -> doc-perplexity filter (model-based quality)
--> PII redaction -> domain-mixture resample -> train/val/test split ->
-sequence packing -> partitioned parquet shards.
+as one command: dedup -> line dedup (C4-style, rewrites text) ->
+semantic dedup (SemDeDup over embeddings) -> quality/language filter ->
+doc-perplexity filter (model-based quality) -> PII redaction ->
+domain-mixture resample -> train/val/test split -> sequence packing ->
+partitioned parquet shards.
 
 Composes the oracle-checked operators (operators/{dedup,textstats,
 sampling,packing}.py); every stage is optional and the stage order is
@@ -42,6 +43,14 @@ def build_parser() -> argparse.ArgumentParser:
         default="exact",
         help="exact = md5 canonical only; lsh = exact + MinHash-LSH clusters",
     )
+    p.add_argument(
+        "--line-dedup",
+        action="store_true",
+        help="C4-style global exact-line dedup: later occurrences of a "
+        "duplicated line are removed and text is rewritten; docs left "
+        "empty are dropped",
+    )
+    p.add_argument("--line-sep", default="\n")
     p.add_argument(
         "--semantic-dedup",
         action="store_true",
@@ -121,6 +130,15 @@ def main(argv: list[str] | None = None) -> int:
         docs = dedup.deduplicate_corpus(docs)
     if args.dedup != "none":
         stats["after_dedup"] = docs.count()
+
+    if args.line_dedup:
+        cleaned = dedup.line_dedup(docs, sep=args.line_sep)
+        docs = (
+            docs.drop("text")
+            .join(cleaned.select("doc_id", "text"), "doc_id")
+            .filter(F.col("text") != "")
+        )
+        stats["after_line_dedup"] = docs.count()
 
     if args.semantic_dedup:
         if not args.embeddings:
