@@ -192,25 +192,27 @@ def write_corpus_vw(docs: DataFrame, path: str):
 def save_bucketed(
     df: DataFrame,
     table: str,
-    bucket_col: str = "doc_id",
+    bucket_col: str | list[str] = "doc_id",
     num_buckets: int = 32,
     path: str | None = None,
 ):
-    """Persist a relation bucketed (and sorted) by its join key. This is
-    the co-located-join store: two tables bucketed on the same key with
-    the same bucket count join WITHOUT a shuffle — the move that matters
-    most for repeated joins against a 100 TB corpus (dedup reruns,
-    incremental fits, theta-cache joins). At cluster scale choose
-    num_buckets ~ total_size / 256 MB.
+    """Persist a relation bucketed (and sorted) by its join key(s). This
+    is the co-located-join store: two tables bucketed on the same keys
+    with the same bucket count join WITHOUT a shuffle — the move that
+    matters most for repeated joins against a 100 TB corpus (dedup
+    reruns, incremental fits, theta-cache joins, the shuffle-regime
+    E-step token->phi join on (class_id, token)). At cluster scale
+    choose num_buckets ~ total_size / 256 MB.
 
     Bucketing metadata lives in the session catalog (saveAsTable);
     ``path`` makes it an external table at that location.
     """
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
     w = (
         df.write.mode("overwrite")
         .format("parquet")
-        .bucketBy(num_buckets, bucket_col)
-        .sortBy(bucket_col)
+        .bucketBy(num_buckets, *cols)
+        .sortBy(*cols)
     )
     if path is not None:
         w = w.option("path", path)

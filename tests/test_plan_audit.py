@@ -205,3 +205,47 @@ def test_bucketed_corpus_join_has_no_shuffle(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS t_meta_b")
         spark.sql("DROP TABLE IF EXISTS t_txt_b")
+
+
+def test_bucketed_estep_join_no_shuffle(spark, tmp_path):
+    """The shuffle-regime E-step join (docs ⋈ phi on (class_id, token),
+    used when phi exceeds the broadcast budget) goes shuffle-free when
+    corpus and model are stored bucketed on those keys — the composite
+    key variant of the co-located store. This is the cluster deployment
+    documented in SCALE.md: pre-bucket once, every EM pass reads
+    co-partitioned buckets with ZERO Exchange."""
+    from bigartm_spark.corpus import docs_from_lineitem
+    from bigartm_spark.model.init import initialize_phi
+    from bigartm_spark.operators.dictionary import gather_dictionary
+    from bigartm_spark.sources.io import load_bucketed, save_bucketed
+
+    docs = docs_from_lineitem(spark, SF).limit(20000)
+    phi = initialize_phi(gather_dictionary(docs), ["t0", "t1"], seed=1)
+    save_bucketed(
+        docs,
+        "t_corpus_b",
+        bucket_col=["class_id", "token"],
+        num_buckets=8,
+        path=str(tmp_path / "c"),
+    )
+    save_bucketed(
+        phi.compact,
+        "t_phi_b",
+        bucket_col=["class_id", "token"],
+        num_buckets=8,
+        path=str(tmp_path / "p"),
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = load_bucketed(spark, "t_corpus_b").join(
+            load_bucketed(spark, "t_phi_b"), ["class_id", "token"]
+        )
+        plan = _explain(j)
+        assert plan.count("Exchange") == 0, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS t_corpus_b")
+        spark.sql("DROP TABLE IF EXISTS t_phi_b")
