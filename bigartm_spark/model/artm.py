@@ -296,7 +296,17 @@ class ARTM:
             nwt_new = mstep.merge_nwt(
                 [(self.nwt, decay_weight), (nwt_new, apply_weight)], "nwt"
             )
-        self.nwt = nwt_new
+        # LAZY localCheckpoint: materialized by this pass's existing
+        # action (the pwt collect/checkpoint reads nwt), no extra job —
+        # and it bounds nwt lineage, which otherwise chains across
+        # online passes (nwt_k references nwt_{k-1}'s whole kernel, so
+        # pass k would recompute every earlier E-step: O(k^2) work on a
+        # long online run; offline reads of m.nwt get cheap too)
+        self.nwt = PhiMatrix(
+            nwt_new.name,
+            nwt_new.topics,
+            nwt_new.compact.localCheckpoint(eager=False),
+        )
         ctx = RegularizeContext(
             dictionary=self.dictionary,
             topic_totals=mstep.topic_totals(self.nwt)

@@ -28,6 +28,14 @@ def test_fit_online_decay_merge(spark, docs):
     m.fit_online(groups[:3], tau0=64, kappa=0.7)
     assert len(m.score_tracker["perplexity"]) == 3
     assert all(np.isfinite(p) for p in m.score_tracker["perplexity"])
+    # nwt lineage is BOUNDED across online passes: the merged n_wt is
+    # lazily localCheckpointed (materialized by each pass's own action),
+    # so pass k never re-runs pass k-1's E-step kernel. The analyzed
+    # plan of the final nwt must be a checkpoint scan, not a chain of
+    # python-kernel merges.
+    nwt_plan = m.nwt.compact._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandas" not in nwt_plan
+    assert "ExistingRDD" in nwt_plan or "LogicalRDD" in nwt_plan
 
 
 def test_online_trainer_stateful(spark, docs):
