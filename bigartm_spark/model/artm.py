@@ -218,12 +218,12 @@ class ARTM:
 
         self._autosize_buckets(doc_groups)
 
-        def launch(group, pwt, theta_cache):
-            # phi and theta-cache are captured AT SUBMIT TIME: the main
-            # thread reassigns self.pwt concurrently in
-            # _merge_and_normalize, so reading it here would make "stale
-            # or fresh phi" timing-dependent instead of the reference's
-            # deterministic deferred scheme
+        def launch(group, pwt, theta_cache, phi_local):
+            # phi (and its driver copy) and theta-cache are captured AT
+            # SUBMIT TIME: the main thread reassigns self.pwt
+            # concurrently in _merge_and_normalize, so reading it here
+            # would make "stale or fresh phi" timing-dependent instead
+            # of the reference's deterministic deferred scheme
             out = estep.process_batches(
                 group,
                 pwt,
@@ -236,6 +236,7 @@ class ARTM:
                 broadcast_phi=getattr(self, "_broadcast_phi", True),
                 num_buckets=self.num_buckets,
                 theta_cache=theta_cache,
+                phi_local=phi_local,
             ).cache()
             out.count()  # materialize in the background thread
             return out
@@ -250,7 +251,10 @@ class ARTM:
         t = 0
         retired: list = []  # phis awaiting unpersist (in-flight E-step may hold them)
         with ThreadPoolExecutor(max_workers=1) as pool:
-            pending = pool.submit(launch, doc_groups[0], self.pwt, theta_cache_df())
+            pending = pool.submit(
+                launch, doc_groups[0], self.pwt, theta_cache_df(),
+                getattr(self, "_phi_local", None),
+            )
             for k in range(len(doc_groups)):
                 kernel_out = pending.result()
                 # the E-step that captured any retired phi has completed
@@ -263,7 +267,8 @@ class ARTM:
                 if k + 1 < len(doc_groups):
                     # launched BEFORE this group's merge -> stale phi by design
                     pending = pool.submit(
-                        launch, doc_groups[k + 1], self.pwt, theta_cache_df()
+                        launch, doc_groups[k + 1], self.pwt, theta_cache_df(),
+                        getattr(self, "_phi_local", None),
                     )
                 t += update_every
                 rho = _math.pow(tau0 + t, -kappa)
