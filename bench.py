@@ -46,10 +46,13 @@ def main():
 
     timings: dict[str, float] = {}
 
-    def bench(name, fn, repeats: int = 2):
+    def bench(name, fn, repeats: int = 3):
         """min over ``repeats`` runs: the steady-state number (host
         CPU-steal and first-iteration scheduling jitter on a shared box
-        otherwise dominate sub-second queries)."""
+        otherwise dominate sub-second queries; identical invocations
+        have measured 40% apart on this host — see SCALE.md errata, the
+        r3 initialize_phi phantom. Three repeats, not two, so one noisy
+        run can't set the floor)."""
         best = float("inf")
         for _ in range(repeats):
             t0 = time.time()
@@ -141,7 +144,7 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
-                "timing": "min of 2 runs per query (steady-state)",
+                "timing": "min of 3 runs per query (steady-state)",
             }
         )
     )
