@@ -71,13 +71,27 @@ def dict_field_type(schema, name):
 
 
 def export_model(phi: PhiMatrix, path: str):
-    """A8: long-COO parquet + topics sidecar."""
+    """A8. A ``.bin``/``.model`` path writes the reference's binary
+    chunked-TopicModel format (sources/model_pb.py, readable by the C++
+    ImportModel); any other path is the long-COO parquet export dir with
+    a topics sidecar."""
+    if path.endswith((".bin", ".model")):
+        from bigartm_spark.sources.model_pb import write_model_file
+
+        write_model_file(phi, path)
+        return
     phi.to_long().write.mode("overwrite").parquet(f"{path}/phi.parquet")
     with open(f"{path}/meta.json", "w") as f:
         json.dump({"name": phi.name, "topics": phi.topics}, f)
 
 
 def import_model(spark: SparkSession, path: str) -> PhiMatrix:
+    """Auto-detects the format: a reference binary model file (version
+    byte 0, master_component.cc:432-505) or our parquet export dir."""
+    if os.path.isfile(path):
+        from bigartm_spark.sources.model_pb import read_model_file
+
+        return read_model_file(spark, path)
     with open(f"{path}/meta.json") as f:
         meta = json.load(f)
     long_df = spark.read.parquet(f"{path}/phi.parquet")
