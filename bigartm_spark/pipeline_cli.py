@@ -191,7 +191,10 @@ def main(argv: list[str] | None = None) -> int:
         from bigartm_spark.model.scores import doc_perplexity
         from bigartm_spark.operators.dictionary import gather_dictionary
 
-        long_docs = tokenize_documents(docs)
+        # cache: the scoring fit scans this relation once per EM action;
+        # uncached it would re-run the whole upstream dedup lineage each
+        # pass (the CLI session ends after the write, so no unpersist)
+        long_docs = tokenize_documents(docs).cache()
         m = ARTM(
             num_topics=args.doc_ppl_topics,
             num_document_passes=2,
