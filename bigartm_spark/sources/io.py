@@ -152,13 +152,28 @@ def import_cooc(spark: SparkSession, path: str) -> DataFrame | None:
 
 
 def export_score_tracker(tracker: dict[str, list[float]], path: str):
-    """A10: per-pass score history as JSON."""
+    """A10: per-pass score history. A ``.bin``/``.tracker`` path writes
+    the reference's binary ScoreData stream (sources/tracker_pb.py,
+    readable by the C++ ImportScoreTracker); otherwise JSON."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if path.endswith((".bin", ".tracker")):
+        from bigartm_spark.sources.tracker_pb import write_score_tracker_file
+
+        write_score_tracker_file(tracker, path)
+        return
     with open(path, "w") as f:
         json.dump(tracker, f)
 
 
 def import_score_tracker(path: str) -> dict[str, list[float]]:
+    """Sniffs the format: a leading 0x00 byte is the reference binary
+    stream (JSON can never start with NUL), anything else is JSON."""
+    with open(path, "rb") as f:
+        first = f.read(1)
+    if first == b"\x00":
+        from bigartm_spark.sources.tracker_pb import read_score_tracker_file
+
+        return read_score_tracker_file(path)
     with open(path) as f:
         return json.load(f)
 
