@@ -1,6 +1,7 @@
 """`python -m bigartm_spark pipeline ...` — the training-data pipeline
 as one command: dedup -> line dedup (C4-style, rewrites text) ->
-semantic dedup (SemDeDup over embeddings) -> quality/language filter ->
+duplicated-span filter (cross-doc repeated token windows) -> semantic
+dedup (SemDeDup over embeddings) -> quality/language filter ->
 doc-perplexity filter (model-based quality) -> PII redaction ->
 domain-mixture resample -> train/val/test split -> sequence packing ->
 partitioned parquet shards.
@@ -51,6 +52,19 @@ def build_parser() -> argparse.ArgumentParser:
         "empty are dropped",
     )
     p.add_argument("--line-sep", default="\n")
+    p.add_argument(
+        "--max-dup-span-frac",
+        type=float,
+        default=None,
+        help="drop docs where more than this fraction of tokens sits in "
+        "cross-document duplicated spans (duplicate_spans detector)",
+    )
+    p.add_argument(
+        "--dup-span-tokens",
+        type=int,
+        default=20,
+        help="span window (tokens) for --max-dup-span-frac",
+    )
     p.add_argument(
         "--semantic-dedup",
         action="store_true",
@@ -139,6 +153,31 @@ def main(argv: list[str] | None = None) -> int:
             .filter(F.col("text") != "")
         )
         stats["after_line_dedup"] = docs.count()
+
+    if args.max_dup_span_frac is not None:
+        from bigartm_spark.operators.textstats import token_count
+
+        spans = dedup.duplicate_spans(
+            docs, span_tokens=args.dup_span_tokens
+        )
+        # non-overlapping default stride -> each hit covers span_tokens
+        # distinct tokens; coverage = hits * span / doc_tokens
+        hits = spans.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("_n_dup_spans")
+        )
+        toks = token_count(docs).select("doc_id", "n_tokens")
+        frac = (
+            F.col("_n_dup_spans")
+            * F.lit(float(args.dup_span_tokens))
+            / F.greatest(F.col("n_tokens").cast("double"), F.lit(1.0))
+        )
+        too_dup = (
+            hits.join(toks, "doc_id")
+            .filter(frac > args.max_dup_span_frac)
+            .select("doc_id")
+        )
+        docs = docs.join(too_dup, "doc_id", "left_anti")
+        stats["after_dup_span_filter"] = docs.count()
 
     if args.semantic_dedup:
         if not args.embeddings:

@@ -173,6 +173,58 @@ def test_pipeline_cli_line_dedup_stage(spark, tmp_path):
     assert got[4] == "x\ny"
 
 
+def test_pipeline_cli_dup_span_filter(spark, tmp_path):
+    """--max-dup-span-frac drops the heavily-duplicated docs and keeps
+    the rest."""
+    import json
+    import subprocess
+    import sys
+
+    # docs 0/1 share their full 8-token text (duplicated span coverage
+    # 1.0 with span=4); docs 2/3 are unique
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d e f g h"),
+        (2, "q r s t u v w x"),
+        (3, "m n o p j k l i"),
+    ]
+    src = str(tmp_path / "docs_spans")
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).write.parquet(src)
+    out_dir = tmp_path / "clean_spans"
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "bigartm_spark",
+            "pipeline",
+            "--input",
+            src,
+            "--output",
+            str(out_dir),
+            "--dedup",
+            "none",
+            "--max-dup-span-frac",
+            "0.5",
+            "--dup-span-tokens",
+            "4",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["input_rows"] == 4
+    assert stats["after_dup_span_filter"] == 2
+    kept = {
+        r["doc_id"] for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    assert kept == {2, 3}
+
+
 def test_duplicate_spans_plan_shape(spark):
     """Scale pin: explode -> one hash agg -> hash join on span_hash;
     no cartesian, no window over the corpus."""
