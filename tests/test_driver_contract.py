@@ -1,6 +1,6 @@
 """Driver-contract safety net: a representative slice of the
 queries()/oracle_sql() pairs replayed against DuckDB at sf0.001 inside
-the normal test run (the full 49-pair sweep lives in
+the normal test run (the full 50-pair sweep lives in
 tools/check_oracle.py at sf0.01)."""
 
 from __future__ import annotations
