@@ -140,6 +140,52 @@ def test_bad_version_rejected(spark, tmp_path):
         read_model_file(spark, str(p))
 
 
+def test_chunk_codec_property_round_trip():
+    """Property test over the pure serialization layer (no Spark):
+    arbitrary unicode tokens/classes and float32-exact weights survive
+    serialize -> parse; exact zeros are dropped by the sparse layout."""
+    from hypothesis import given, settings, strategies as st
+
+    from bigartm_spark.sources.model_pb import (
+        _parse_topic_model,
+        _serialize_topic_model_chunk,
+    )
+
+    f32 = st.floats(
+        min_value=2.0**-100, max_value=2.0**20, allow_nan=False, width=32
+    )
+    value = st.one_of(st.just(0.0), f32)
+    row = st.tuples(
+        st.text(min_size=0, max_size=12),
+        st.text(min_size=0, max_size=20),
+        st.lists(value, min_size=3, max_size=3),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(row, min_size=0, max_size=8))
+    def check(rows):
+        buf = _serialize_topic_model_chunk(
+            "m", ["t0", "t1", "t2"], rows, eps=1e-37
+        )
+        m = _parse_topic_model(buf)
+        assert m["name"] == "m"
+        assert m["topic_name"] == ["t0", "t1", "t2"]
+        assert m["token"] == [tok for _, tok, _ in rows]
+        assert m["class_id"] == [cls for cls, _, _ in rows]
+        for k, (_, _, values) in enumerate(rows):
+            expect = [
+                (i, struct.unpack("<f", struct.pack("<f", v))[0])
+                for i, v in enumerate(values)
+                if abs(v) > 1e-37
+            ]
+            got = list(zip(m["topic_indices"][k], m["token_weights"][k]))
+            assert [
+                (i, pytest.approx(v, rel=1e-6)) for i, v in expect
+            ] == got or got == expect
+
+    check()
+
+
 def test_io_layer_sniffing_and_fitted_model_round_trip(spark, docs, tmp_path):
     """export_model/.bin + import_model(file) carry a real fitted phi;
     parquet-dir behavior unchanged."""
