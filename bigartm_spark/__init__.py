@@ -22,5 +22,39 @@ would be catastrophically slower.
 
 from bigartm_spark.session import get_spark
 
-__all__ = ["get_spark"]
+
+def __getattr__(name):
+    # lazy top-level facades (keep `import bigartm_spark` dependency-free):
+    # the reference's front-door names resolve to their modules on first use
+    if name == "BatchVectorizer":
+        from bigartm_spark.sources.batches_utils import BatchVectorizer
+
+        return BatchVectorizer
+    if name == "ARTM":
+        from bigartm_spark.model.artm import ARTM
+
+        return ARTM
+    if name == "LDA":
+        from bigartm_spark.model.artm import LDA
+
+        return LDA
+    if name == "dump_artm_model":
+        from bigartm_spark.sources.dump import dump_artm_model
+
+        return dump_artm_model
+    if name == "load_artm_model":
+        from bigartm_spark.sources.dump import load_artm_model
+
+        return load_artm_model
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = [
+    "get_spark",
+    "ARTM",
+    "LDA",
+    "BatchVectorizer",
+    "dump_artm_model",
+    "load_artm_model",
+]
 __version__ = "0.1.0"
