@@ -540,10 +540,32 @@ class ARTM:
             out = out.filter(F.col("token").isin(list(tokens)))
         return out
 
-    def get_theta(self) -> DataFrame:
+    def get_theta(
+        self,
+        topic_names: list[str] | None = None,
+        eps: float | None = None,
+    ) -> DataFrame:
+        """Cached theta with GetThetaMatrixArgs filters
+        (artm_model.py:875-962): select topics, eps>0 = sparse COO
+        layout (the reference's get_theta_sparse)."""
         if self.theta is None:
             raise RuntimeError("cache_theta is off; use transform()")
-        return self.theta
+        from pyspark.sql import functions as F
+
+        out = self.theta
+        if topic_names is not None:
+            out = out.filter(F.col("topic").isin(list(topic_names)))
+        if eps is not None:
+            out = out.filter(F.col("value") > eps)
+        return out
+
+    def transform_sparse(self, docs: DataFrame, eps: float = 1e-37) -> DataFrame:
+        """transform with the sparse retrieval layout
+        (artm_model.py:1040-1058; default eps = the retrieval epsilon,
+        messages.proto:610)."""
+        from pyspark.sql import functions as F
+
+        return self.transform(docs).filter(F.col("value") > eps)
 
 
 class LDA(ARTM):

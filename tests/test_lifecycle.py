@@ -282,3 +282,29 @@ def test_fit_with_cooc_regularizer_integration(spark, docs):
     sums = m.get_phi().groupBy("topic").agg(F.sum("value").alias("s")).collect()
     for r in sums:
         assert abs(r["s"] - 1.0) < 1e-6
+
+
+def test_theta_retrieval_filters(spark, docs):
+    """get_theta(topic_names, eps) + transform_sparse (artm_model.py:
+    875-962, 1040-1058): topic selection and the eps-sparse COO layout."""
+    from pyspark.sql import functions as F
+
+    from bigartm_spark.model.artm import ARTM
+    from bigartm_spark.operators.dictionary import gather_dictionary
+
+    m = ARTM(num_topics=3, num_document_passes=2, seed=6, cache_theta=True)
+    m.initialize(gather_dictionary(docs))
+    m.fit_offline(docs, num_collection_passes=1)
+
+    full = m.get_theta()
+    one = m.get_theta(topic_names=["topic_0"])
+    assert one.select("topic").distinct().collect()[0].topic == "topic_0"
+    assert one.count() * 3 == full.count()
+
+    eps = 0.30
+    sparse = m.get_theta(eps=eps)
+    assert sparse.count() == full.filter(F.col("value") > eps).count()
+    assert sparse.agg(F.min("value")).collect()[0][0] > eps
+
+    ts = m.transform_sparse(docs.limit(100), eps=eps)
+    assert ts.agg(F.min("value")).collect()[0][0] > eps
