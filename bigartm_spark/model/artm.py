@@ -492,6 +492,69 @@ class ARTM:
         clone.score_tracker = {k: list(v) for k, v in self.score_tracker.items()}
         return clone
 
+    def clone(self) -> "ARTM":
+        """Reference alias for duplicate (artm_model.py:317)."""
+        return self.duplicate()
+
+    def save(self, filename: str, model_name: str = "p_wt") -> None:
+        """Save one Phi-like matrix (artm_model.py:682-702). 'p_wt' or
+        'n_wt'; a .bin/.model filename writes the reference's binary
+        chunked format, anything else a parquet export dir."""
+        from bigartm_spark.sources.io import export_model
+
+        mat = self._named_matrix(model_name)
+        if mat is None:
+            raise RuntimeError(
+                "Model does not exist yet. Use ARTM.initialize()/ARTM.fit_*()"
+            )
+        export_model(mat, filename)
+
+    def load(self, filename: str, model_name: str = "p_wt") -> None:
+        """Load a matrix saved by save() (artm_model.py:703-748).
+        Reference semantics preserved: topic names are overwritten from
+        the file and the score tracker is emptied."""
+        from pyspark.sql import SparkSession
+
+        from bigartm_spark.sources.io import import_model
+
+        spark = SparkSession.getActiveSession()
+        mat = import_model(spark, filename)
+        if model_name == "n_wt":
+            self.nwt = mat
+        else:
+            self.pwt = mat.cache()
+            self.topics = list(mat.topics)
+            self._broadcast_phi = estep.should_broadcast_phi(
+                mat.compact.count(), len(mat.topics)
+            )
+        self.score_tracker = {}
+
+    def _named_matrix(self, model_name: str) -> PhiMatrix | None:
+        if model_name in ("p_wt", "pwt"):
+            return self.pwt
+        if model_name in ("n_wt", "nwt"):
+            return self.nwt
+        raise ValueError(f"unknown matrix name {model_name!r}")
+
+    def remove_theta(self) -> None:
+        """Drop the cached theta matrix (artm_model.py:962-967)."""
+        self.theta = None
+
+    def get_score(self, score_name: str) -> float:
+        """Latest value of a tracked score (artm_model.py:968-975)."""
+        if score_name not in self.score_tracker:
+            raise KeyError(
+                f"score {score_name!r} not tracked; have "
+                f"{sorted(self.score_tracker)}"
+            )
+        return self.score_tracker[score_name][-1]
+
+    @property
+    def library_version(self) -> str:
+        from bigartm_spark import __version__
+
+        return __version__
+
     def dispose(self):
         """G14: drop cached state."""
         for mat in (self.pwt, self.nwt):

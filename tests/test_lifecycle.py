@@ -308,3 +308,33 @@ def test_theta_retrieval_filters(spark, docs):
 
     ts = m.transform_sparse(docs.limit(100), eps=eps)
     assert ts.agg(F.min("value")).collect()[0][0] > eps
+
+
+def test_save_load_matrix_and_score_api(spark, docs, tmp_path):
+    """ARTM.save/load single-matrix round trip + clone/remove_theta/
+    get_score aliases (artm_model.py:682-975)."""
+    from bigartm_spark.model.artm import ARTM
+    from bigartm_spark.operators.dictionary import gather_dictionary
+
+    m = ARTM(num_topics=3, num_document_passes=2, seed=13, cache_theta=True)
+    m.initialize(gather_dictionary(docs))
+    m.fit_offline(docs, num_collection_passes=1)
+
+    assert m.get_score("perplexity") == m.score_tracker["perplexity"][-1]
+
+    p = str(tmp_path / "pwt_export")
+    m.save(p)
+    other = ARTM(num_topics=3, seed=0)
+    other.load(p)
+    assert other.topics == m.topics
+    assert other.score_tracker == {}
+    a = {(r.token, r.topic): r.value for r in m.get_phi().collect()}
+    b = {(r.token, r.topic): r.value for r in other.get_phi().collect()}
+    assert a.keys() == b.keys()
+    assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
+
+    c = m.clone()
+    assert c.get_score("perplexity") == m.get_score("perplexity")
+    m.remove_theta()
+    assert m.theta is None
+    assert isinstance(m.library_version, str)
