@@ -193,27 +193,67 @@ def write_model_readable(phi: PhiMatrix, path: str, sep: str = ","):
 
 
 def write_corpus_vw(docs: DataFrame, path: str):
-    """A11: re-export the corpus in VW format (one doc per line)."""
-    per_doc = (
-        docs.withColumn(
-            "_tok",
-            F.when(
-                F.col("class_id") == "@default_class",
-                F.concat("token", F.lit(":"), F.col("weight").cast("string")),
-            ).otherwise(
-                F.concat(
-                    F.lit("|"),
-                    "class_id",
-                    F.lit(" "),
-                    "token",
-                    F.lit(":"),
-                    F.col("weight").cast("string"),
-                )
-            ),
+    """A11: re-export the corpus in VW format (one doc per line).
+
+    ``|class`` is a modality *switch* in the VW grammar — it applies to
+    every following token until the next switch (collection_parser.cc:
+    595-623) — so tokens are grouped per class before assembly:
+    default-class tokens (no prefix) first, then one ``|class`` segment
+    per remaining modality. Interleaving classes token-by-token (one
+    pipe per token) would silently re-class every default token that
+    follows a modality token on re-read."""
+    tok = F.concat("token", F.lit(":"), F.col("weight").cast("string"))
+    per_class = (
+        docs.withColumn("_tok", tok)
+        .groupBy("doc_id", "title", "class_id")
+        .agg(
+            # sort by in-doc position for a deterministic, order-
+            # preserving line (collect_list order is plan-dependent)
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.coalesce("pos", F.lit(0)).alias("pos"),
+                                F.col("_tok").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                " ",
+            ).alias("_body")
         )
-        .groupBy("doc_id", "title")
-        .agg(F.concat_ws(" ", F.collect_list("_tok")).alias("_body"))
-        .select(F.concat_ws(" ", "title", "_body").alias("value"))
+        .withColumn(
+            "_seg",
+            F.when(
+                F.col("class_id") == "@default_class", F.col("_body")
+            ).otherwise(F.concat(F.lit("|"), "class_id", F.lit(" "), "_body")),
+        )
+    )
+    per_doc = (
+        per_class.groupBy("doc_id", "title")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                # default class sorts first, then by name
+                                (F.col("class_id") != "@default_class")
+                                .cast("int")
+                                .alias("k"),
+                                F.col("class_id").alias("c"),
+                                F.col("_seg").alias("s"),
+                            )
+                        )
+                    ),
+                    lambda s: s["s"],
+                ),
+                " ",
+            ).alias("_line")
+        )
+        .select(F.concat_ws(" ", "title", "_line").alias("value"))
     )
     per_doc.coalesce(1).write.mode("overwrite").text(path)
 

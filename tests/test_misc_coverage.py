@@ -193,3 +193,36 @@ def test_resize_images_and_audio_chunks(spark):
     assert (2, 0, 5000) in chunks and (2, 10000, 12500) in chunks
     assert len([c for c in chunks if c[0] == 2]) == 3
     assert len([c for c in chunks if c[0] == 1]) == 1
+
+
+def test_write_corpus_vw_groups_modalities(spark, tmp_path):
+    """|class is a modality SWITCH (collection_parser.cc:595-623): a
+    default-class token serialized after a modality token must still
+    re-read as @default_class. Regression for the one-pipe-per-token
+    writer, which re-classed every default token that followed a
+    modality token."""
+    from bigartm_spark.schemas import DOCS_SCHEMA
+    from bigartm_spark.sources.io import write_corpus_vw
+    from bigartm_spark.sources.vw import read_vowpal_wabbit
+
+    rows = [
+        (1, "doc1", "0", "@default_class", "hello", 1.0, 0, None, None),
+        (1, "doc1", "0", "author", "alex", 3.0, 1, None, None),
+        (1, "doc1", "0", "@default_class", "world", 2.0, 2, None, None),
+        (2, "doc2", "0", "label", "pos", 1.0, 0, None, None),
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    path = str(tmp_path / "vw_grouped")
+    write_corpus_vw(docs, path)
+    back = read_vowpal_wabbit(spark, path)
+    got = sorted(
+        (r.title, r.class_id, r.token, r.weight) for r in back.collect()
+    )
+    assert got == sorted(
+        [
+            ("doc1", "@default_class", "hello", 1.0),
+            ("doc1", "author", "alex", 3.0),
+            ("doc1", "@default_class", "world", 2.0),
+            ("doc2", "label", "pos", 1.0),
+        ]
+    )
