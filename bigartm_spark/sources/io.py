@@ -192,6 +192,20 @@ def write_model_readable(phi: PhiMatrix, path: str, sep: str = ","):
     ).csv(path)
 
 
+def _sorted_join(key_cols, body_col="_seg"):
+    """collect_list order is plan-dependent; sort segments by their key
+    struct before joining so the emitted line is deterministic."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(*key_cols, F.col(body_col).alias("s")))
+            ),
+            lambda s: s["s"],
+        ),
+        " ",
+    )
+
+
 def write_corpus_vw(docs: DataFrame, path: str):
     """A11: re-export the corpus in VW format (one doc per line).
 
@@ -201,27 +215,35 @@ def write_corpus_vw(docs: DataFrame, path: str):
     default-class tokens (no prefix) first, then one ``|class`` segment
     per remaining modality. Interleaving classes token-by-token (one
     pipe per token) would silently re-class every default token that
-    follows a modality token on re-read."""
+    follows a modality token on re-read.
+
+    Typed transactions are emitted as ``||type`` segments, one per
+    original transaction_id (grammar `:595-666`): tokens of one
+    transaction stay in one segment, so transaction grouping (which the
+    E-step's product form depends on) survives the round trip; the
+    numeric transaction_id values themselves are re-assigned by the
+    parser, exactly as a reference re-parse would."""
     tok = F.concat("token", F.lit(":"), F.col("weight").cast("string"))
+    is_tx = (
+        F.col("transaction_typename").isNotNull()
+        & (F.col("transaction_typename") != "@default_transaction")
+    )
+    base = docs.withColumn("_tok", tok).withColumn("_is_tx", is_tx)
+
+    # class-grouped body inside one (doc, transaction) scope; the
+    # default-transaction scope collapses every non-tx token
     per_class = (
-        docs.withColumn("_tok", tok)
-        .groupBy("doc_id", "title", "class_id")
+        base.withColumn(
+            "_tid", F.when(is_tx, F.col("transaction_id")).otherwise(F.lit(-1))
+        )
+        .withColumn(
+            "_ttype",
+            F.when(is_tx, F.col("transaction_typename")).otherwise(F.lit("")),
+        )
+        .groupBy("doc_id", "title", "_tid", "_ttype", "class_id")
         .agg(
-            # sort by in-doc position for a deterministic, order-
-            # preserving line (collect_list order is plan-dependent)
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.coalesce("pos", F.lit(0)).alias("pos"),
-                                F.col("_tok").alias("t"),
-                            )
-                        )
-                    ),
-                    lambda s: s["t"],
-                ),
-                " ",
+            _sorted_join(
+                [F.coalesce("pos", F.lit(0)).alias("pos")], "_tok"
             ).alias("_body")
         )
         .withColumn(
@@ -231,27 +253,30 @@ def write_corpus_vw(docs: DataFrame, path: str):
             ).otherwise(F.concat(F.lit("|"), "class_id", F.lit(" "), "_body")),
         )
     )
-    per_doc = (
-        per_class.groupBy("doc_id", "title")
+    per_scope = (
+        per_class.groupBy("doc_id", "title", "_tid", "_ttype")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                # default class sorts first, then by name
-                                (F.col("class_id") != "@default_class")
-                                .cast("int")
-                                .alias("k"),
-                                F.col("class_id").alias("c"),
-                                F.col("_seg").alias("s"),
-                            )
-                        )
-                    ),
-                    lambda s: s["s"],
-                ),
-                " ",
-            ).alias("_line")
+            _sorted_join(
+                [
+                    # default class sorts first, then by name
+                    (F.col("class_id") != "@default_class").cast("int").alias("k"),
+                    F.col("class_id").alias("c"),
+                ]
+            ).alias("_scope_body")
+        )
+        .withColumn(
+            "_scope",
+            F.when(F.col("_tid") == -1, F.col("_scope_body")).otherwise(
+                F.concat(F.lit("||"), "_ttype", F.lit(" "), "_scope_body")
+            ),
+        )
+    )
+    per_doc = (
+        per_scope.groupBy("doc_id", "title")
+        .agg(
+            # non-transaction scope (_tid=-1) first, then transactions
+            # in original order
+            _sorted_join([F.col("_tid").alias("t")], "_scope").alias("_line")
         )
         .select(F.concat_ws(" ", "title", "_line").alias("value"))
     )

@@ -226,3 +226,37 @@ def test_write_corpus_vw_groups_modalities(spark, tmp_path):
             ("doc2", "label", "pos", 1.0),
         ]
     )
+
+
+def test_write_corpus_vw_transactions_roundtrip(spark, tmp_path):
+    """Typed transactions survive the VW re-export: same-transaction
+    tokens stay grouped under one ||type segment (grammar
+    collection_parser.cc:595-666)."""
+    from bigartm_spark.schemas import DOCS_SCHEMA
+    from bigartm_spark.sources.io import write_corpus_vw
+    from bigartm_spark.sources.vw import read_vowpal_wabbit
+
+    rows = [
+        (1, "doc1", "0", "@default_class", "plain", 1.0, 0, 0, "@default_transaction"),
+        (1, "doc1", "0", "user", "mel", 3.0, 1, 1, "trans1"),
+        (1, "doc1", "0", "action", "click", 3.0, 2, 1, "trans1"),
+        (1, "doc1", "0", "user", "mel", 1.0, 3, 2, "trans1"),
+        (1, "doc1", "0", "action", "show", 1.0, 4, 2, "trans1"),
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    path = str(tmp_path / "vw_tx")
+    write_corpus_vw(docs, path)
+    back = read_vowpal_wabbit(spark, path)
+    got = back.collect()
+    by_tok = {}
+    for r in got:
+        by_tok.setdefault((r.class_id, r.token, r.weight), []).append(r)
+    assert by_tok[("@default_class", "plain", 1.0)][0].transaction_typename == "@default_transaction"
+    # both trans1 transactions distinct, each pairing user with action
+    tx_ids = {}
+    for r in got:
+        if r.transaction_typename == "trans1":
+            tx_ids.setdefault(r.transaction_id, set()).add((r.class_id, r.token, r.weight))
+    assert len(tx_ids) == 2
+    assert {("user", "mel", 3.0), ("action", "click", 3.0)} in tx_ids.values()
+    assert {("user", "mel", 1.0), ("action", "show", 1.0)} in tx_ids.values()
