@@ -158,7 +158,126 @@ def build_parser() -> argparse.ArgumentParser:
         help="column separator for the readable CSV sinks "
         "(srcmain.cc:1833; \\t or TAB for tab)",
     )
+    sc = p.add_argument_group("scores (srcmain.cc:652-760)")
+    sc.add_argument(
+        "--score",
+        action="append",
+        default=[],
+        help='"Name [@class_id]" tracked per pass: SparsityPhi, '
+        "TopicMassPhi, BackgroundTokensRatio (Perplexity, SparsityTheta, "
+        "ItemsProcessed always ride the E-step)",
+    )
+    sc.add_argument(
+        "--final-score",
+        action="append",
+        default=[],
+        help='"Name [@class_id]" computed once after fit and printed: '
+        "the --score names plus TopTokens and TopicKernel",
+    )
+    sc.add_argument(
+        "--write-scores",
+        help="readable per-pass score history (one 'score pass value' "
+        "line each)",
+    )
+    p.add_argument(
+        "--disk-cache-folder",
+        default=None,
+        help="persist the theta cache as a parquet state table there "
+        "(reference disk_cache_path, messages.proto:792)",
+    )
+    cooc2 = p.add_argument_group("cooc/ppmi sinks")
+    cooc2.add_argument(
+        "--store-symmetric-cooc",
+        type=int,
+        default=1,
+        choices=(0, 1),
+        help="canonicalize cooc pairs a<b (srcmain.cc:1863); 0 keeps "
+        "directed windows",
+    )
+    cooc2.add_argument(
+        "--write-ppmi-tf", help="CSV sink: token_a,token_b,ppmi (tf-based)"
+    )
+    cooc2.add_argument(
+        "--write-ppmi-df", help="CSV sink: token_a,token_b,ppmi_df"
+    )
+    noop = p.add_argument_group(
+        "accepted engine knobs (no Spark meaning; warned, never silently "
+        "dropped)"
+    )
+    for flag, why in _NOOP_FLAGS.items():
+        noop.add_argument(flag, default=None, help=f"no-op here: {why}")
+    p.add_argument(
+        "--response-file",
+        default=None,
+        help="read additional whitespace-separated flags from a file "
+        "(srcmain.cc response_file)",
+    )
     return p
+
+
+# engine/process knobs with no meaning on Spark — accepted so reference
+# invocations run unchanged, warned so nobody thinks they took effect
+_NOOP_FLAGS = {
+    "--threads": "parallelism comes from the Spark master/executor conf",
+    "--disable-avx-opt": "kernels are numpy/BLAS via Arrow",
+    "--use-sparse-computation": "long-format plans skip zeros structurally",
+    "--log-dir": "Spark log4j owns logging",
+    "--log-level": "Spark log4j owns logging",
+    "--profile": "use the Spark UI / event log",
+    "--time-limit": "drive timeouts from the scheduler",
+    "--paused": "no interactive console on a cluster driver",
+    "--force": "sinks always overwrite (idempotent reruns)",
+}
+
+
+def parse_score_spec(spec: str):
+    """'Name [@class_id]' -> (name, class_id | None)."""
+    parts = spec.split()
+    name, class_id = parts[0], None
+    for elem in parts[1:]:
+        if elem.startswith("@"):
+            class_id = elem[1:]
+        else:
+            raise SystemExit(f"bad element {elem!r} in score {spec!r}")
+    return name, class_id
+
+
+def tracked_score_fn(name: str, class_id: str | None):
+    """Scalar per-pass phi score for ARTM.phi_scores (I2/I8/I11)."""
+    from pyspark.sql import functions as F
+
+    from bigartm_spark.model import scores as S
+
+    lname = name.lower()
+    if lname == "sparsityphi":
+        def fn(phi):
+            df = S.sparsity_phi(phi, class_id=class_id)
+            row = df.agg(
+                F.sum("zero_count").alias("z"), F.sum("total_count").alias("t")
+            ).collect()[0]
+            return (row.z or 0) / row.t if row.t else 0.0
+
+        return fn
+    if lname == "topicmassphi":
+        def fn(phi):
+            # largest topic share — the scalar skew signal the full
+            # per-topic relation collapses to
+            df = S.topic_mass_phi(phi)
+            return df.agg(F.max("topic_ratio")).collect()[0][0] or 0.0
+
+        return fn
+    if lname == "backgroundtokensratio":
+        def fn(phi):
+            df = S.background_tokens_ratio(phi)
+            return df.agg(F.avg(F.col("is_background").cast("double"))).collect()[
+                0
+            ][0] or 0.0
+
+        return fn
+    raise SystemExit(
+        f"unknown or non-scalar score {name!r} for --score "
+        "(use --final-score for TopTokens / TopicKernel)"
+    )
 
 
 def parse_key_value_pairs(s: str) -> dict[str, float]:
@@ -279,8 +398,27 @@ def parse_regularizers(specs: list[str], topics: list[str], cooc=None):
     return phi_regs, theta_agents
 
 
+def _expand_response_file(argv: list[str]) -> list[str]:
+    """srcmain.cc response_file: splice in whitespace-separated flags
+    read from a file (before parsing, so they behave as typed)."""
+    if "--response-file" not in argv:
+        return argv
+    i = argv.index("--response-file")
+    with open(argv[i + 1]) as f:
+        extra = f.read().split()
+    return argv[:i] + extra + argv[i + 2 :]
+
+
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    args = build_parser().parse_args(_expand_response_file(argv))
+    for flag in _NOOP_FLAGS:
+        if getattr(args, flag.lstrip("-").replace("-", "_"), None) is not None:
+            print(
+                f"warning: {flag} accepted for parity but has no effect "
+                f"({_NOOP_FLAGS[flag]})",
+                file=sys.stderr,
+            )
     if args.write_class_predictions and not args.predict_class:
         raise SystemExit(
             "--write-class-predictions requires --predict-class"
@@ -361,26 +499,61 @@ def main(argv: list[str] | None = None) -> int:
             args.save_dictionary,
             num_items_in_collection=num_items(docs),
         )
-    if args.write_cooc_tf or args.write_cooc_df:
-        from bigartm_spark.operators.cooc import cooc_ppmi
+    if (
+        args.write_cooc_tf
+        or args.write_cooc_df
+        or args.write_ppmi_tf
+        or args.write_ppmi_df
+    ):
+        from bigartm_spark.operators.cooc import cooc_ppmi, ppmi
 
         cooc = cooc_ppmi(
             docs,
             window=args.cooc_window,
             min_tf=args.cooc_min_tf,
             min_df=args.cooc_min_df,
+            symmetric=bool(args.store_symmetric_cooc),
         )
+
+        def _csv(df, path):
+            df.coalesce(1).write.mode("overwrite").option(
+                "header", True
+            ).csv(path)
+
         if args.write_cooc_tf:
-            cooc.select(
-                "token_a", "token_b", "cooc_tf", "ppmi"
-            ).coalesce(1).write.mode("overwrite").option("header", True).csv(
-                args.write_cooc_tf
+            _csv(
+                cooc.select("token_a", "token_b", "cooc_tf", "ppmi"),
+                args.write_cooc_tf,
             )
         if args.write_cooc_df:
-            cooc.select("token_a", "token_b", "cooc_df").coalesce(
-                1
-            ).write.mode("overwrite").option("header", True).csv(
-                args.write_cooc_df
+            _csv(
+                cooc.select("token_a", "token_b", "cooc_df"),
+                args.write_cooc_df,
+            )
+        if args.write_ppmi_tf:
+            # srcmain.cc --write-ppmi-tf: tf-mass PPMI, positive cells
+            _csv(
+                cooc.filter(F.col("ppmi") > 0).select(
+                    "token_a", "token_b", "ppmi"
+                ),
+                args.write_ppmi_tf,
+            )
+        if args.write_ppmi_df:
+            # df-mass PPMI (cooccurrence_collector.cc:745-790 keeps
+            # separate tf/df pipelines): same ppmi over doc counts
+            df_ppmi = ppmi(
+                cooc.select(
+                    "token_a",
+                    "token_b",
+                    F.col("cooc_df").alias("cooc_tf"),
+                    "cooc_df",
+                )
+            )
+            _csv(
+                df_ppmi.filter(F.col("ppmi") > 0).select(
+                    "token_a", "token_b", F.col("ppmi").alias("ppmi_df")
+                ),
+                args.write_ppmi_df,
             )
         from bigartm_spark.operators.cooc import release_cooc_caches
 
@@ -403,6 +576,10 @@ def main(argv: list[str] | None = None) -> int:
     phi_regs, theta_agents = parse_regularizers(
         args.regularizer, topic_names, cooc=cooc_rel
     )
+    phi_scores = {}
+    for spec in args.score:
+        name, cls = parse_score_spec(spec)
+        phi_scores[name] = tracked_score_fn(name, cls)
     model = ARTM(
         topic_names=topic_names,
         num_document_passes=args.num_document_passes,
@@ -411,6 +588,8 @@ def main(argv: list[str] | None = None) -> int:
         phi_regularizers=phi_regs,
         theta_agents=theta_agents,
         reuse_theta=args.reuse_theta,
+        phi_scores=phi_scores,
+        theta_cache_path=args.disk_cache_folder,
     )
     if args.load_model:
         from bigartm_spark.sources.io import import_model
@@ -446,6 +625,38 @@ def main(argv: list[str] | None = None) -> int:
         for i, ppl in enumerate(model.score_tracker.get("perplexity", [])):
             print(f"pass {i}: perplexity = {ppl:.4f}")
 
+    for spec in args.final_score:
+        name, cls = parse_score_spec(spec)
+        lname = name.lower()
+        if lname == "toptokens":
+            from bigartm_spark.operators.topk import top_tokens
+
+            rows = top_tokens(model.pwt.to_long(), k=10).collect()
+            for r in sorted(rows, key=lambda r: (r.topic, r.rank)):
+                print(f"{name} {r.topic} #{r.rank}: {r.token} {r.value:.6f}")
+        elif lname == "topickernel":
+            from bigartm_spark.model.scores import topic_kernel
+
+            for r in sorted(
+                topic_kernel(model.pwt).collect(), key=lambda r: r.topic
+            ):
+                print(
+                    f"{name} {r.topic}: size={r.kernel_size} "
+                    f"purity={r.purity:.4f} contrast={r.contrast:.4f}"
+                )
+        else:
+            val = tracked_score_fn(name, cls)(model.pwt)
+            print(f"{name} = {val:.6f}")
+    if args.write_scores:
+        import os as _os
+
+        _os.makedirs(
+            _os.path.dirname(args.write_scores) or ".", exist_ok=True
+        )
+        with open(args.write_scores, "w") as f:
+            for score_name, vals in sorted(model.score_tracker.items()):
+                for i, v in enumerate(vals):
+                    f.write(f"{score_name} {i} {v}\n")
     if args.save_model:
         sio.export_model(model.pwt, args.save_model)
     if args.write_model_readable:

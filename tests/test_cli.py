@@ -448,3 +448,50 @@ def test_cli_sparse_init_flags(tmp_path, spark):
     n_zero_dense = dense.filter("value = 0.0").count()
     n_zero_sparse = sparse.filter("value = 0.0").count()
     assert n_zero_sparse > n_zero_dense
+
+
+def test_cli_scores_response_file_and_ppmi(spark, tmp_path, capsys):
+    """--score / --final-score / --write-scores, --response-file splice,
+    --disk-cache-folder, --write-ppmi-tf/df, engine no-op warning."""
+    from bigartm_spark.cli import main
+
+    corpus = tmp_path / "c.vw"
+    lines = []
+    for d in range(30):
+        toks = " ".join(f"tok{(d + j) % 9}:{j % 3 + 1}" for j in range(6))
+        lines.append(f"doc{d} {toks}")
+    corpus.write_text("\n".join(lines) + "\n")
+
+    resp = tmp_path / "args.rsp"
+    resp.write_text("-t 3 -p 2 --num-document-passes 2 --threads 8\n")
+    scores_txt = str(tmp_path / "scores.txt")
+    ppmi_tf = str(tmp_path / "ppmi_tf")
+    ppmi_df = str(tmp_path / "ppmi_df")
+    cache_dir = str(tmp_path / "theta_cache")
+    rc = main(
+        [
+            "--read-vw-corpus", str(corpus),
+            "--response-file", str(resp),
+            "--score", "SparsityPhi",
+            "--final-score", "TopTokens",
+            "--final-score", "SparsityPhi",
+            "--write-scores", scores_txt,
+            "--write-ppmi-tf", ppmi_tf,
+            "--write-ppmi-df", ppmi_df,
+            "--disk-cache-folder", cache_dir,
+        ]
+    )
+    assert rc == 0
+    captured = capsys.readouterr()
+    assert "TopTokens" in captured.out
+    assert "SparsityPhi = " in captured.out
+    assert "--threads accepted for parity" in captured.err
+    body = open(scores_txt).read()
+    assert "perplexity 0 " in body and "SparsityPhi 0 " in body
+    # per-pass tracked score has one value per pass
+    assert body.count("SparsityPhi ") == 2
+    import os
+
+    assert any(f.endswith(".csv") for f in os.listdir(ppmi_tf))
+    assert any(f.endswith(".csv") for f in os.listdir(ppmi_df))
+    assert os.path.isdir(cache_dir)  # theta state table written
