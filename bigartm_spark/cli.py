@@ -160,6 +160,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sc = p.add_argument_group("scores (srcmain.cc:652-760)")
     sc.add_argument(
+        "--score-level",
+        type=int,
+        default=2,
+        choices=(0, 1, 2, 3),
+        help="auto-configure scores (srcmain.cc:440-489): >=1 tracks "
+        "SparsityPhi per modality (perplexity/sparsity-theta always ride "
+        "the E-step); >=2 prints TopTokens after fit; >=3 adds "
+        "TopicKernel. Explicit --score/--final-score set it to 0",
+    )
+    sc.add_argument(
         "--score",
         action="append",
         default=[],
@@ -576,10 +586,21 @@ def main(argv: list[str] | None = None) -> int:
     phi_regs, theta_agents = parse_regularizers(
         args.regularizer, topic_names, cooc=cooc_rel
     )
+    if args.score or args.final_score:
+        args.score_level = 0  # srcmain.cc:440-446: explicit scores win
+    if args.score_level >= 1:
+        args.score.append("SparsityPhi")
+        for cls in class_weights or {}:
+            args.score.append(f"SparsityPhi @{cls}")
+    if args.score_level >= 2:
+        args.final_score.append("TopTokens")
+    if args.score_level >= 3:
+        args.final_score.append("TopicKernel")
     phi_scores = {}
     for spec in args.score:
         name, cls = parse_score_spec(spec)
-        phi_scores[name] = tracked_score_fn(name, cls)
+        key = name if cls is None else f"{name}@{cls}"
+        phi_scores[key] = tracked_score_fn(name, cls)
     model = ARTM(
         topic_names=topic_names,
         num_document_passes=args.num_document_passes,

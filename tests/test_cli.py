@@ -495,3 +495,34 @@ def test_cli_scores_response_file_and_ppmi(spark, tmp_path, capsys):
     assert any(f.endswith(".csv") for f in os.listdir(ppmi_tf))
     assert any(f.endswith(".csv") for f in os.listdir(ppmi_df))
     assert os.path.isdir(cache_dir)  # theta state table written
+
+
+def test_cli_score_level_auto_scores(spark, tmp_path, capsys):
+    """Default --score-level 2 (srcmain.cc:1834, expansion :440-489):
+    SparsityPhi tracked per pass, TopTokens printed after fit; explicit
+    --score resets the level to 0."""
+    from bigartm_spark.cli import main
+
+    corpus = tmp_path / "c.vw"
+    corpus.write_text(
+        "\n".join(
+            f"doc{d} " + " ".join(f"tok{(d + j) % 7}" for j in range(5))
+            for d in range(20)
+        )
+        + "\n"
+    )
+    rc = main(
+        ["--read-vw-corpus", str(corpus), "-t", "2", "-p", "2",
+         "--num-document-passes", "1"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "TopTokens topic_0 #1:" in out
+
+    rc = main(
+        ["--read-vw-corpus", str(corpus), "-t", "2", "-p", "1",
+         "--num-document-passes", "1", "--score", "SparsityPhi"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "TopTokens" not in out  # explicit --score => level 0
