@@ -121,10 +121,52 @@ class ARTM:
         )
         return self
 
+    # -- hARTM child wiring (artm_model.py:1259-1286) ----------------------
+    def set_parent_model(
+        self, parent_model: "ARTM", parent_model_weight: float = 1.0
+    ) -> "ARTM":
+        """Make this model a child hierarchy level: fit_offline unions
+        the parent-phi pseudo-batch (A12) into the corpus with this
+        weight, exactly as HARTM.add_level does."""
+        if parent_model.pwt is None:
+            raise RuntimeError("parent model is not initialized")
+        self._parent_model = parent_model
+        self.parent_model_weight = parent_model_weight
+        # psi reads the pseudo-docs' theta rows
+        self.cache_theta = True
+        return self
+
+    def get_parent_psi(self) -> DataFrame:
+        """p(child_topic | parent_topic) from the pseudo-docs' theta
+        (artm_model.py:1275-1286). Columns: parent_topic, topic, value."""
+        from pyspark.sql import functions as F
+
+        parent = getattr(self, "_parent_model", None)
+        if parent is None:
+            raise RuntimeError("call set_parent_model first")
+        theta = self.get_theta()
+        mapping = [(-1_000_000 - i, t) for i, t in enumerate(parent.topics)]
+        map_df = theta.sparkSession.createDataFrame(
+            mapping, "doc_id long, parent_topic string"
+        )
+        return theta.join(F.broadcast(map_df), "doc_id").select(
+            "parent_topic", "topic", "value"
+        )
+
     # -- G5 ---------------------------------------------------------------
     def fit_offline(self, docs: DataFrame, num_collection_passes: int = 1) -> "ARTM":
         if self.pwt is None:
             raise RuntimeError("call initialize(dictionary) first")
+        parent = getattr(self, "_parent_model", None)
+        if parent is not None:
+            from bigartm_spark.model.hierarchy import phi_to_pseudo_batch
+
+            docs = docs.unionByName(
+                phi_to_pseudo_batch(
+                    parent.pwt,
+                    parent_level_weight=self.parent_model_weight,
+                )
+            )
         if self.num_buckets is None:
             # size E-step buckets from the corpus, not just parallelism:
             # one count (amortized over all passes) keeps the per-bucket

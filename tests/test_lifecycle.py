@@ -338,3 +338,31 @@ def test_save_load_matrix_and_score_api(spark, docs, tmp_path):
     m.remove_theta()
     assert m.theta is None
     assert isinstance(m.library_version, str)
+
+
+def test_set_parent_model_psi(spark, docs):
+    """ARTM.set_parent_model/get_parent_psi (artm_model.py:1259-1286):
+    the child level fits on corpus + parent pseudo-batch and psi rows
+    are per-parent-topic distributions over child topics."""
+    from pyspark.sql import functions as F
+
+    from bigartm_spark.model.artm import ARTM
+    from bigartm_spark.operators.dictionary import gather_dictionary
+
+    d = gather_dictionary(docs)
+    parent = ARTM(num_topics=3, num_document_passes=2, seed=21)
+    parent.initialize(d)
+    parent.fit_offline(docs, num_collection_passes=1)
+
+    child = ARTM(num_topics=5, num_document_passes=2, seed=22)
+    child.initialize(d)
+    child.set_parent_model(parent, parent_model_weight=2.0)
+    child.fit_offline(docs, num_collection_passes=1)
+
+    psi = child.get_parent_psi()
+    assert psi.select("parent_topic").distinct().count() == 3
+    sums = (
+        psi.groupBy("parent_topic").agg(F.sum("value").alias("s")).collect()
+    )
+    for r in sums:
+        assert abs(r.s - 1.0) < 1e-6
