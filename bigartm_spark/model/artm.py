@@ -525,6 +525,25 @@ class ARTM:
         self.dictionary = dictionary
         return self
 
+    # reference method names (artm_model.py:1104-1143)
+    def reshape_tokens(self, dictionary: DataFrame) -> "ARTM":
+        return self.rekey_tokens(dictionary)
+
+    def reshape(
+        self,
+        topic_names: list[str] | None = None,
+        dictionary: DataFrame | None = None,
+    ) -> "ARTM":
+        """Combined reshape (artm_model.py:1119-1143): exactly one of
+        topic_names / dictionary, as the reference enforces."""
+        if (topic_names is None) == (dictionary is None):
+            raise ValueError(
+                "give exactly one of topic_names or dictionary"
+            )
+        if topic_names is not None:
+            return self.reshape_topics(topic_names)
+        return self.rekey_tokens(dictionary)
+
     def duplicate(self) -> "ARTM":
         """G13: DataFrames are immutable — a shallow copy of the named
         object map is a deep copy semantically (c_interface.cc:251-261)."""

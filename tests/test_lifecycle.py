@@ -366,3 +366,24 @@ def test_set_parent_model_psi(spark, docs):
     )
     for r in sums:
         assert abs(r.s - 1.0) < 1e-6
+
+
+def test_reshape_combined_api(spark, docs):
+    """reshape(topic_names=... | dictionary=...) dispatch + exclusivity
+    (artm_model.py:1119-1143)."""
+    import pytest as _pytest
+
+    from bigartm_spark.model.artm import ARTM
+    from bigartm_spark.operators.dictionary import gather_dictionary
+
+    d = gather_dictionary(docs)
+    m = ARTM(num_topics=3, num_document_passes=1, seed=2).initialize(d)
+    m.reshape(topic_names=["topic_0", "topic_1"])
+    assert m.topics == ["topic_0", "topic_1"]
+    small = d.limit(50)
+    m.reshape(dictionary=small)
+    assert m.pwt.compact.count() == 50
+    with _pytest.raises(ValueError):
+        m.reshape()
+    with _pytest.raises(ValueError):
+        m.reshape(topic_names=["a"], dictionary=small)
