@@ -578,7 +578,12 @@ class ARTM:
 
         from bigartm_spark.sources.io import import_model
 
-        spark = SparkSession.getActiveSession()
+        # getActiveSession is thread-local; fall back to the default
+        # session so load() works from any caller thread
+        spark = (
+            SparkSession.getActiveSession()
+            or SparkSession.builder.getOrCreate()
+        )
         mat = import_model(spark, filename)
         if model_name == "n_wt":
             self.nwt = mat
