@@ -119,6 +119,15 @@ def dump_artm_model(model, data_path: str) -> None:
 
     if os.path.exists(data_path):
         raise IOError(f"Folder {data_path} already exists")
+    if getattr(model, "_parent_model", None) is not None:
+        import warnings
+
+        warnings.warn(
+            "hierarchy parent link is not dumped (the reference's dump "
+            "doesn't serialize it either); call set_parent_model again "
+            "after load_artm_model",
+            stacklevel=2,
+        )
     if model.phi_transforms:
         # closures (specified_sparse_phi_transform) carry no declarative
         # spec; failing loudly beats silently dropping them from the dump
