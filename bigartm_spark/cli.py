@@ -198,11 +198,11 @@ def build_parser() -> argparse.ArgumentParser:
     cooc2 = p.add_argument_group("cooc/ppmi sinks")
     cooc2.add_argument(
         "--store-symmetric-cooc",
-        type=int,
-        default=1,
-        choices=(0, 1),
-        help="canonicalize cooc pairs a<b (srcmain.cc:1863); 0 keeps "
-        "directed windows",
+        action="store_true",
+        help="write each cooc pair once, canonicalized token_a < token_b "
+        "(srcmain.cc:1788 bool switch); without it both (a,b) and (b,a) "
+        "rows are written with equal counts, the reference's default "
+        "storage",
     )
     cooc2.add_argument(
         "--write-ppmi-tf", help="CSV sink: token_a,token_b,ppmi (tf-based)"
@@ -215,7 +215,18 @@ def build_parser() -> argparse.ArgumentParser:
         "dropped)"
     )
     for flag, why in _NOOP_FLAGS.items():
-        noop.add_argument(flag, default=None, help=f"no-op here: {why}")
+        if flag in _NOOP_SWITCHES:
+            # bool_switch in the reference (srcmain.cc:1832-1847): must
+            # parse bare, with no value, or reference invocations break
+            noop.add_argument(
+                flag,
+                action="store_const",
+                const=True,
+                default=None,
+                help=f"no-op here: {why}",
+            )
+        else:
+            noop.add_argument(flag, default=None, help=f"no-op here: {why}")
     p.add_argument(
         "--response-file",
         default=None,
@@ -226,7 +237,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 # engine/process knobs with no meaning on Spark — accepted so reference
-# invocations run unchanged, warned so nobody thinks they took effect
+# invocations run unchanged, warned so nobody thinks they took effect.
+# Switches (boost bool_switch) take no value; the rest take one.
+_NOOP_SWITCHES = {
+    "--disable-avx-opt",
+    "--use-sparse-computation",
+    "--paused",
+    "--force",
+    "--profile",
+}
 _NOOP_FLAGS = {
     "--threads": "parallelism comes from the Spark master/executor conf",
     "--disable-avx-opt": "kernels are numpy/BLAS via Arrow",
@@ -411,12 +430,18 @@ def parse_regularizers(specs: list[str], topics: list[str], cooc=None):
 def _expand_response_file(argv: list[str]) -> list[str]:
     """srcmain.cc response_file: splice in whitespace-separated flags
     read from a file (before parsing, so they behave as typed)."""
-    if "--response-file" not in argv:
+    for i, tok in enumerate(argv):
+        if tok == "--response-file":
+            path, tail = argv[i + 1], argv[i + 2 :]
+            break
+        if tok.startswith("--response-file="):
+            path, tail = tok.split("=", 1)[1], argv[i + 1 :]
+            break
+    else:
         return argv
-    i = argv.index("--response-file")
-    with open(argv[i + 1]) as f:
+    with open(path) as f:
         extra = f.read().split()
-    return argv[:i] + extra + argv[i + 2 :]
+    return argv[:i] + extra + tail
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -522,7 +547,7 @@ def main(argv: list[str] | None = None) -> int:
             window=args.cooc_window,
             min_tf=args.cooc_min_tf,
             min_df=args.cooc_min_df,
-            symmetric=bool(args.store_symmetric_cooc),
+            symmetric=args.store_symmetric_cooc,
         )
 
         def _csv(df, path):

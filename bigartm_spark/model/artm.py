@@ -585,7 +585,9 @@ class ARTM:
             or SparkSession.builder.getOrCreate()
         )
         mat = import_model(spark, filename)
-        if model_name == "n_wt":
+        if model_name not in ("p_wt", "pwt", "n_wt", "nwt"):
+            raise ValueError(f"unknown matrix name {model_name!r}")
+        if model_name in ("n_wt", "nwt"):
             self.nwt = mat
         else:
             self.pwt = mat.cache()

@@ -39,6 +39,13 @@ def release_cooc_caches() -> None:
             pass
 
 
+def _pair_cols():
+    return [
+        F.least("_tok_i", "_tok_j").alias("token_a"),
+        F.greatest("_tok_i", "_tok_j").alias("token_b"),
+    ]
+
+
 def cooc_gather(
     docs: DataFrame,
     window: int = 5,
@@ -48,8 +55,12 @@ def cooc_gather(
     dense_pos: bool = True,
 ) -> DataFrame:
     """cooc(token_a, token_b, cooc_tf, cooc_df) — pairs of tokens whose
-    positions within a doc are at most ``window`` apart. token_a < token_b
-    canonicalizes symmetric pairs.
+    positions within a doc are at most ``window`` apart. Counting is always
+    over unordered pairs (the window relation is symmetric); symmetric=True
+    (default) stores each pair once, canonicalized token_a < token_b.
+    symmetric=False mirrors every cell into both orientations — the
+    reference's storage default, where --store-symmetric-cooc merely
+    suppresses the repeated (b, a) rows (srcmain.cc:1788).
 
     Plan note (dense_pos=True, the default — every parser here emits pos
     as a per-doc row_number, so positions are dense 1..n): the forward
@@ -79,11 +90,7 @@ def cooc_gather(
             )
             .filter(F.col("_tok_j").isNotNull())
             .filter(F.col("_tok_i") != F.col("_tok_j"))
-            .select(
-                "doc_id",
-                F.least("_tok_i", "_tok_j").alias("token_a"),
-                F.greatest("_tok_i", "_tok_j").alias("token_b"),
-            )
+            .select("doc_id", *_pair_cols())
         )
     else:
         offsets = F.array(
@@ -102,11 +109,7 @@ def cooc_gather(
         pairs = (
             left.join(right, ["doc_id", "_pos_j"])
             .filter(F.col("_tok_i") != F.col("_tok_j"))
-            .select(
-                "doc_id",
-                F.least("_tok_i", "_tok_j").alias("token_a"),
-                F.greatest("_tok_i", "_tok_j").alias("token_b"),
-            )
+            .select("doc_id", *_pair_cols())
         )
     # two-stage agg instead of count(distinct doc_id): the Expand that
     # implements countDistinct doubles the shuffled rows; pre-aggregating
@@ -123,6 +126,15 @@ def cooc_gather(
         out = out.filter(F.col("cooc_tf") >= min_tf)
     if min_df is not None:
         out = out.filter(F.col("cooc_df") >= min_df)
+    if not symmetric:
+        out = out.unionAll(
+            out.select(
+                F.col("token_b").alias("token_a"),
+                F.col("token_a").alias("token_b"),
+                "cooc_tf",
+                "cooc_df",
+            )
+        )
     return out
 
 

@@ -506,8 +506,14 @@ def line_dedup(
     ``min_line_chars`` are kept verbatim (never deduped) — the C4 rule
     that boilerplate detection shouldn't eat list markup.
     """
+    # F.split takes a Java regex but reassembly uses sep literally —
+    # quote it (\Q...\E) so metacharacter separators ('.', '|') split
+    # on the literal string instead of garbling every document
     lines = documents.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), sep)).alias("pos", "line")
+        "doc_id",
+        F.posexplode(
+            F.split(F.col("text"), "\\Q" + sep + "\\E")
+        ).alias("pos", "line"),
     )
     elig = lines.filter(F.length("line") >= min_line_chars)
     first = elig.groupBy("line").agg(

@@ -242,11 +242,21 @@ def main(argv: list[str] | None = None) -> int:
         m.initialize(gather_dictionary(long_docs))
         m.fit_offline(long_docs, num_collection_passes=args.doc_ppl_passes)
         ppl = doc_perplexity(long_docs, m.pwt).select("doc_id", "doc_ppl")
-        docs = docs.join(ppl, "doc_id")
+        # LEFT join: a doc that tokenizes to zero tokens has no
+        # perplexity row; an inner join would silently drop it no matter
+        # what thresholds were given. Null doc_ppl passes both filters
+        # (the ppl filter never evaluated that doc).
+        docs = docs.join(ppl, "doc_id", "left")
         if args.min_doc_ppl is not None:
-            docs = docs.filter(F.col("doc_ppl") >= args.min_doc_ppl)
+            docs = docs.filter(
+                F.col("doc_ppl").isNull()
+                | (F.col("doc_ppl") >= args.min_doc_ppl)
+            )
         if args.max_doc_ppl is not None:
-            docs = docs.filter(F.col("doc_ppl") <= args.max_doc_ppl)
+            docs = docs.filter(
+                F.col("doc_ppl").isNull()
+                | (F.col("doc_ppl") <= args.max_doc_ppl)
+            )
         docs = docs.drop("doc_ppl")
         stats["after_doc_ppl"] = docs.count()
 

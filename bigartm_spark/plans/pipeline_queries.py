@@ -515,13 +515,16 @@ def ann_ivf_index_probe(spark, sf_dir):
     probe + topk machinery, still covered by tests/test_similarity_ivf
     and the ann_ivf_assign/refine rows) to keep the registry at the
     50-row driver cap."""
+    import hashlib
     import tempfile
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = similarity.seed_centroids(emb, 8)
-    idx = os.path.join(
-        tempfile.gettempdir(), f"bigartm_ivf_idx_{abs(hash(sf_dir)) % 10**8}"
-    )
+    # md5, not hash(): Python string hashing is salted per process, so
+    # hash() would mint a new never-cleaned index dir every run instead
+    # of reusing the build-once store
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = os.path.join(tempfile.gettempdir(), f"bigartm_ivf_idx_{digest}")
     similarity.ivf_build_index(emb, idx, centroids=cents)
     out = similarity.ivf_query_index(spark, idx, query_id=0, k=5, n_probe=2)
     return _r6(out.withColumn("cell_id", F.col("cell_id").cast("int")), "cosine")

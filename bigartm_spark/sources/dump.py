@@ -135,14 +135,17 @@ def dump_artm_model(model, data_path: str) -> None:
             "phi_transforms are arbitrary callables and cannot be dumped; "
             "re-attach them after load_artm_model"
         )
+    # validate BEFORE creating anything on disk: a failed dump must not
+    # leave a partial folder that makes every retry hit the
+    # already-exists guard above
+    if model.pwt is None:
+        raise RuntimeError("model has no p_wt matrix (not initialized)")
     os.makedirs(data_path)
     relations_dir = os.path.join(data_path, RELATIONS_DIRNAME)
 
     export_score_tracker(
         model.score_tracker, os.path.join(data_path, SCORE_TRACKER_FILENAME)
     )
-    if model.pwt is None:
-        raise RuntimeError("model has no p_wt matrix (not initialized)")
     export_model(model.pwt, os.path.join(data_path, PWT_FILENAME))
     if model.nwt is not None:
         export_model(model.nwt, os.path.join(data_path, NWT_FILENAME))

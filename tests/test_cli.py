@@ -526,3 +526,29 @@ def test_cli_score_level_auto_scores(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "TopTokens" not in out  # explicit --score => level 0
+
+
+def test_cli_switch_noops_and_response_file_eq(spark, tmp_path, capsys):
+    """Reference bool_switch flags parse bare (--force, --paused, ...)
+    and --response-file=FILE splices like the two-token form."""
+    from bigartm_spark.cli import main
+
+    corpus = tmp_path / "c.vw"
+    corpus.write_text(
+        "\n".join(f"doc{d} a b c" for d in range(10)) + "\n"
+    )
+    resp = tmp_path / "a.rsp"
+    resp.write_text("-t 2 -p 1 --num-document-passes 1\n")
+    rc = main(
+        [
+            "--read-vw-corpus", str(corpus),
+            f"--response-file={resp}",
+            "--force", "--paused", "--disable-avx-opt",
+            "--use-sparse-computation",
+            "--score-level", "0",
+        ]
+    )
+    assert rc == 0
+    err = capsys.readouterr().err
+    for flag in ("--force", "--paused", "--disable-avx-opt"):
+        assert f"{flag} accepted for parity" in err

@@ -132,3 +132,18 @@ def test_dump_relation_backed_regularizer(spark, docs, tmpdir_mod):
     model.fit_offline(docs, num_collection_passes=1)
     a, b = _phi_dict(model.pwt), _phi_dict(back.pwt)
     assert all(abs(a[k] - b[k]) < 1e-7 for k in a)
+
+
+def test_failed_dump_leaves_no_partial_folder(spark, tmp_path):
+    """Validation precedes any disk write: a dump of an uninitialized
+    model must not create the folder (a partial folder would make every
+    retry fail the already-exists guard)."""
+    import os
+
+    from bigartm_spark.model.artm import ARTM
+
+    m = ARTM(num_topics=2, seed=0)  # never initialized
+    path = str(tmp_path / "never")
+    with pytest.raises(RuntimeError):
+        dump_artm_model(m, path)
+    assert not os.path.exists(path)

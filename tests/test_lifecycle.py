@@ -387,3 +387,26 @@ def test_reshape_combined_api(spark, docs):
         m.reshape()
     with _pytest.raises(ValueError):
         m.reshape(topic_names=["a"], dictionary=small)
+
+
+def test_load_nwt_alias_targets_nwt(spark, docs, tmp_path):
+    """load(path, 'nwt') must land in nwt, not clobber pwt (the alias
+    accepted by save/_named_matrix)."""
+    from bigartm_spark.model.artm import ARTM
+    from bigartm_spark.operators.dictionary import gather_dictionary
+
+    m = ARTM(num_topics=2, num_document_passes=1, seed=5)
+    m.initialize(gather_dictionary(docs))
+    m.fit_offline(docs, num_collection_passes=1)
+    p = str(tmp_path / "nwt_store")
+    m.save(p, "n_wt")
+    other = ARTM(num_topics=2, seed=0)
+    other.initialize(gather_dictionary(docs))
+    before = other.pwt
+    other.load(p, "nwt")
+    assert other.nwt is not None
+    assert other.pwt is before  # pwt untouched
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        other.load(p, "wat")

@@ -260,3 +260,39 @@ def test_write_corpus_vw_transactions_roundtrip(spark, tmp_path):
     assert len(tx_ids) == 2
     assert {("user", "mel", 3.0), ("action", "click", 3.0)} in tx_ids.values()
     assert {("user", "mel", 1.0), ("action", "show", 1.0)} in tx_ids.values()
+
+
+def test_cooc_gather_asymmetric_storage(spark):
+    """symmetric=False writes both orientations with equal counts (the
+    reference storage default; --store-symmetric-cooc suppresses the
+    mirrored rows, srcmain.cc:1788)."""
+    from bigartm_spark.operators.cooc import cooc_gather
+    from bigartm_spark.schemas import DOCS_SCHEMA
+
+    rows = [
+        (1, "d1", "0", "@default_class", "a", 1.0, 1, None, None),
+        (1, "d1", "0", "@default_class", "b", 1.0, 2, None, None),
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    sym = {(r.token_a, r.token_b): r.cooc_tf
+           for r in cooc_gather(docs, window=2).collect()}
+    assert sym == {("a", "b"): 1.0}
+    asym = {(r.token_a, r.token_b): r.cooc_tf
+            for r in cooc_gather(docs, window=2, symmetric=False).collect()}
+    assert asym == {("a", "b"): 1.0, ("b", "a"): 1.0}
+
+
+def test_line_dedup_metachar_separator(spark):
+    """Separators containing regex metacharacters split literally
+    (F.split takes a Java regex; the sep is \\Q-quoted)."""
+    from bigartm_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "first line.second line.first line"),
+         (2, "first line.third line")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in
+           line_dedup(docs, sep=".", min_line_chars=3).collect()}
+    assert out[1] == "first line.second line"
+    assert out[2] == "third line"
