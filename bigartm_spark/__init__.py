@@ -23,6 +23,11 @@ would be catastrophically slower.
 from bigartm_spark.session import get_spark
 
 
+def version() -> str:
+    """Reference front-door artm.version() (artm_model.py:1287-1289)."""
+    return __version__
+
+
 def __getattr__(name):
     # lazy top-level facades (keep `import bigartm_spark` dependency-free):
     # the reference's front-door names resolve to their modules on first use
@@ -51,6 +56,7 @@ def __getattr__(name):
 
 __all__ = [
     "get_spark",
+    "version",
     "ARTM",
     "LDA",
     "BatchVectorizer",

@@ -48,6 +48,10 @@ class ARTM:
         phi_scores: dict | None = None,
         theta_cache_path: str | None = None,
         num_buckets: int | None = None,
+        transaction_typenames: dict[str, float] | None = None,
+        theta_columns_naming: str = "id",
+        show_progress_bars: bool = False,
+        class_ids: dict[str, float] | None = None,
     ):
         """phi_scores: optional {name: callable(PhiMatrix) -> float}
         evaluated on the fresh p_wt after every pass (the non-cumulative
@@ -65,7 +69,10 @@ class ARTM:
         self.topics = topic_names
         self.num_document_passes = num_document_passes
         self.seed = seed
-        self.class_weights = class_weights
+        if class_weights is not None and class_ids is not None:
+            raise ValueError("give class_weights or class_ids, not both")
+        # class_ids is the reference ctor name (artm_model.py:383-385)
+        self.class_weights = class_weights if class_weights is not None else class_ids
         self.phi_regularizers = phi_regularizers or []
         self.theta_agents = theta_agents or []
         self.phi_transforms = phi_transforms or []
@@ -74,6 +81,14 @@ class ARTM:
         self.phi_scores = phi_scores or {}
         self.theta_cache_path = theta_cache_path
         self.num_buckets = num_buckets
+        self.transaction_typenames = transaction_typenames
+        self.theta_columns_naming = theta_columns_naming
+        # accepted for reference signature compatibility; there is no
+        # terminal progress bar to draw in a Spark job (the Spark UI is
+        # the progress surface), so the flag is held but never read
+        self.show_progress_bars = show_progress_bars
+        self._num_phi_updates = 0
+        self._num_online_processed_batches = 0
         self.pwt = None
         self.nwt: PhiMatrix | None = None
         self.theta: DataFrame | None = None
@@ -192,6 +207,8 @@ class ARTM:
             compute_scores=True,
             broadcast_phi=getattr(self, "_broadcast_phi", True),
             num_buckets=self.num_buckets,
+            transaction_mode=bool(self.transaction_typenames),
+            transaction_weights=self.transaction_typenames,
             theta_cache=(
                 estep.theta_to_cache(self.theta, self.topics)
                 if self.reuse_theta and self.theta is not None
@@ -228,6 +245,7 @@ class ARTM:
             t += update_every
             rho = math.pow(tau0 + t, -kappa)
             self._one_pass(group, decay_weight=1.0 - rho, apply_weight=rho)
+            self._num_online_processed_batches += update_every
         estep.release_phi_broadcasts()  # nothing in flight after the loop
         return self
 
@@ -313,6 +331,7 @@ class ARTM:
                         getattr(self, "_phi_local", None),
                     )
                 t += update_every
+                self._num_online_processed_batches += update_every
                 rho = _math.pow(tau0 + t, -kappa)
                 old_pwt = self.pwt
                 self._merge_and_normalize(
@@ -427,6 +446,7 @@ class ARTM:
             self.score_tracker.setdefault(k, []).append(v)
         for name, fn in self.phi_scores.items():
             self.score_tracker.setdefault(name, []).append(float(fn(self.pwt)))
+        self._num_phi_updates += 1
 
     # -- G4 ---------------------------------------------------------------
     def transform(self, docs: DataFrame) -> DataFrame:
@@ -675,10 +695,16 @@ class ARTM:
         self,
         topic_names: list[str] | None = None,
         eps: float | None = None,
+        docs: DataFrame | None = None,
     ) -> DataFrame:
         """Cached theta with GetThetaMatrixArgs filters
         (artm_model.py:875-962): select topics, eps>0 = sparse COO
-        layout (the reference's get_theta_sparse)."""
+        layout (the reference's get_theta_sparse).
+
+        theta_columns_naming == 'title' (artm_model.py:503-509): pass the
+        corpus ``docs`` and each row gains a ``doc_title`` column joined
+        from the corpus ``title`` (the reference keys theta columns by
+        item title in this mode; our long layout carries it as a column)."""
         if self.theta is None:
             raise RuntimeError("cache_theta is off; use transform()")
         from pyspark.sql import functions as F
@@ -688,6 +714,12 @@ class ARTM:
             out = out.filter(F.col("topic").isin(list(topic_names)))
         if eps is not None:
             out = out.filter(F.col("value") > eps)
+        if self.theta_columns_naming == "title" and docs is not None:
+            # |titles| == |docs| — same axis as theta, so no forced
+            # broadcast; AQE picks the strategy at actual sizes
+            titles = docs.select("doc_id", F.col("title").alias("doc_title"))
+            titles = titles.dropDuplicates(["doc_id"])
+            out = out.join(titles, "doc_id", "left")
         return out
 
     def transform_sparse(self, docs: DataFrame, eps: float = 1e-37) -> DataFrame:
@@ -697,6 +729,180 @@ class ARTM:
         from pyspark.sql import functions as F
 
         return self.transform(docs).filter(F.col("value") > eps)
+
+    # -- reference-name properties (artm_model.py:333-534) -----------------
+    @property
+    def num_topics(self) -> int:
+        """artm_model.py:357-359."""
+        return len(self.topics)
+
+    @property
+    def topic_names(self) -> list[str]:
+        """artm_model.py:361-381 / 503-509; the setter renames topics
+        in-place. On a fitted model a rename is a pure relabel (the phi
+        columns keep their order), unlike reshape_topics which matches
+        by NAME (drops/zero-fills)."""
+        return list(self.topics)
+
+    @topic_names.setter
+    def topic_names(self, names: list[str]) -> None:
+        if not names:
+            raise ValueError("topic_names must be non-empty")
+        if self.pwt is not None and len(names) != len(self.topics):
+            raise ValueError(
+                "renaming a fitted model needs the same topic count; use "
+                "reshape_topics to add/drop topics"
+            )
+        self.topics = list(names)
+        for m in ("pwt", "nwt"):
+            mat = getattr(self, m)
+            if mat is not None:
+                setattr(self, m, PhiMatrix(mat.name, list(names), mat.compact))
+
+    @property
+    def class_ids(self) -> dict[str, float] | None:
+        """Reference name for the modality-weight map (artm_model.py:383-385)."""
+        return self.class_weights
+
+    @class_ids.setter
+    def class_ids(self, weights: dict[str, float] | None) -> None:
+        self.class_weights = weights
+
+    @property
+    def theta_columns_naming(self) -> str:
+        """'id' | 'title' (artm_model.py:503-509)."""
+        return self._theta_columns_naming
+
+    @theta_columns_naming.setter
+    def theta_columns_naming(self, naming: str) -> None:
+        if naming not in ("id", "title"):
+            raise ValueError("theta_columns_naming should be 'id' or 'title'")
+        self._theta_columns_naming = naming
+
+    @property
+    def num_phi_updates(self) -> int:
+        """How many times phi was recomputed (artm_model.py:419-421)."""
+        return self._num_phi_updates
+
+    @property
+    def num_online_processed_batches(self) -> int:
+        """artm_model.py:423-425 / 488-494."""
+        return self._num_online_processed_batches
+
+    @property
+    def num_processors(self) -> int:
+        """The reference's worker-thread count maps to Spark default
+        parallelism (artm_model.py:333-334; read-only here — the cluster
+        manager owns task slots, not the model object)."""
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        return spark.sparkContext.defaultParallelism if spark else 0
+
+    # matrix-name surface (artm_model.py:403-421): the reference
+    # addresses matrices by string name inside the master component; our
+    # named objects are attributes, but the names remain the API keys
+    # for save()/get_phi(model_name=...) parity
+    @property
+    def model_pwt(self) -> str:
+        return "pwt"
+
+    @property
+    def model_nwt(self) -> str:
+        return "nwt"
+
+    @property
+    def theta_name(self) -> str:
+        return "theta"
+
+    @property
+    def phi_(self):
+        """Dense pandas phi, topics as columns (artm_model.py:435-440).
+        Collects to the driver — valid for models that fit there (the
+        same budget as the broadcast fast path); at larger vocab use
+        get_phi(), which stays distributed."""
+        return self.get_phi_dense()
+
+    def get_phi_dense(
+        self,
+        topic_names: list[str] | None = None,
+        class_ids: list[str] | None = None,
+        model_name: str | None = None,
+    ):
+        """(pandas wide matrix, tokens index, topics columns) —
+        artm_model.py:749-786. Driver-side by contract (reference returns
+        an in-process matrix); distributed callers use get_phi()."""
+        import pandas as pd
+
+        mat = self._named_matrix(model_name or "p_wt")
+        df = mat.compact
+        if class_ids is not None:
+            from pyspark.sql import functions as F
+
+            df = df.filter(F.col("class_id").isin(list(class_ids)))
+        pdf = df.toPandas()
+        import numpy as np
+
+        vals = (
+            np.stack(pdf["values"].to_numpy())
+            if len(pdf)
+            else np.zeros((0, len(self.topics)))
+        )
+        out = pd.DataFrame(vals, columns=list(self.topics))
+        out.index = pd.MultiIndex.from_arrays(
+            [pdf["class_id"], pdf["token"]], names=["class_id", "token"]
+        )
+        if topic_names is not None:
+            out = out[list(topic_names)]
+        return out
+
+    def get_phi_sparse(
+        self,
+        eps: float = 1e-37,
+        class_ids: list[str] | None = None,
+        model_name: str | None = None,
+    ):
+        """(values, row_idx, col_idx, tokens, topics) COO arrays —
+        artm_model.py:814-874 returns a scipy csr_matrix; scipy is not a
+        dependency here, so the caller feeds these straight into
+        scipy.sparse.coo_matrix((values, (row_idx, col_idx))) if they
+        have it. Collects only the >eps entries."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        mat = self._named_matrix(model_name or "p_wt")
+        df = mat.compact
+        if class_ids is not None:
+            df = df.filter(F.col("class_id").isin(list(class_ids)))
+        pdf = df.select("class_id", "token").toPandas()
+        tokens = list(zip(pdf["class_id"], pdf["token"]))
+        long = mat.to_long(eps=eps)
+        if class_ids is not None:
+            long = long.filter(F.col("class_id").isin(list(class_ids)))
+        lpdf = long.toPandas()
+        row_of = {t: i for i, t in enumerate(tokens)}
+        col_of = {t: i for i, t in enumerate(self.topics)}
+        rows = np.array(
+            [row_of[(c, t)] for c, t in zip(lpdf["class_id"], lpdf["token"])],
+            dtype=np.int64,
+        )
+        cols = np.array([col_of[t] for t in lpdf["topic"]], dtype=np.int64)
+        vals = lpdf["value"].to_numpy()
+        return vals, rows, cols, tokens, list(self.topics)
+
+    def get_theta_sparse(self, eps: float = 1e-37):
+        """(values, doc_ids, topic_idx) COO arrays over the cached theta
+        (artm_model.py:912-961); scipy-free, same contract as
+        get_phi_sparse."""
+        import numpy as np
+
+        pdf = self.get_theta(eps=eps).toPandas()
+        col_of = {t: i for i, t in enumerate(self.topics)}
+        return (
+            pdf["value"].to_numpy(),
+            pdf["doc_id"].to_numpy(),
+            np.array([col_of[t] for t in pdf["topic"]], dtype=np.int64),
+        )
 
 
 class LDA(ARTM):

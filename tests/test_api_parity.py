@@ -1,0 +1,177 @@
+"""Reference-name API surface (artm_model.py:333-534, 749-961, 1287-1289):
+property aliases, update counters, dense/sparse driver-side getters, the
+title theta naming mode, and ARTM-level transaction fitting."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bigartm_spark.model.artm import ARTM
+from bigartm_spark.operators.dictionary import gather_dictionary
+
+TOPICS = ["t0", "t1", "t2"]
+
+
+def _small(docs):
+    return docs.filter(F.col("doc_id") < 300)
+
+
+@pytest.fixture(scope="module")
+def fitted(spark, docs):
+    sub = _small(docs)
+    m = ARTM(
+        topic_names=list(TOPICS), num_document_passes=2, seed=7,
+        cache_theta=True,
+    )
+    m.initialize(gather_dictionary(sub))
+    m.fit_offline(sub, 2)
+    return m
+
+
+def test_version_surface(fitted):
+    import bigartm_spark
+
+    assert bigartm_spark.version() == bigartm_spark.__version__
+    assert fitted.library_version == bigartm_spark.__version__
+
+
+def test_property_aliases(fitted):
+    assert fitted.num_topics == 3
+    assert fitted.topic_names == TOPICS
+    assert fitted.model_pwt == "pwt"
+    assert fitted.model_nwt == "nwt"
+    assert fitted.theta_name == "theta"
+    assert fitted.num_processors >= 1
+    # two offline passes -> two phi updates
+    assert fitted.num_phi_updates == 2
+    assert fitted.num_online_processed_batches == 0
+
+
+def test_class_ids_alias(spark):
+    m = ARTM(num_topics=2, class_ids={"@default_class": 2.0})
+    assert m.class_weights == {"@default_class": 2.0}
+    m.class_ids = {"@default_class": 1.0, "supp": 0.5}
+    assert m.class_weights["supp"] == 0.5
+
+
+def test_topic_names_rename(spark, docs):
+    sub = _small(docs)
+    m = ARTM(topic_names=list(TOPICS), num_document_passes=1, seed=7)
+    m.initialize(gather_dictionary(sub))
+    m.fit_offline(sub, 1)
+    before = {
+        (r["class_id"], r["token"]): r["values"]
+        for r in m.pwt.compact.collect()
+    }
+    m.topic_names = ["a", "b", "c"]
+    assert m.topics == ["a", "b", "c"]
+    assert m.pwt.topics == ["a", "b", "c"]
+    # pure relabel: values untouched
+    after = {
+        (r["class_id"], r["token"]): r["values"]
+        for r in m.pwt.compact.collect()
+    }
+    assert before == after
+    with pytest.raises(ValueError):
+        m.topic_names = ["only", "two"]
+    with pytest.raises(ValueError):
+        m.topic_names = []
+
+
+def test_theta_columns_naming_validation_and_title_join(spark, docs, fitted):
+    with pytest.raises(ValueError):
+        ARTM(num_topics=2, theta_columns_naming="names")
+    fitted.theta_columns_naming = "title"
+    out = fitted.get_theta(docs=_small(docs))
+    assert "doc_title" in out.columns
+    row = out.filter(F.col("doc_id").isNotNull()).first()
+    assert row["doc_title"] == str(row["doc_id"])  # title == str(orderkey)
+    fitted.theta_columns_naming = "id"
+    assert "doc_title" not in fitted.get_theta().columns
+
+
+def test_get_phi_dense_matches_get_phi(fitted):
+    dense = fitted.get_phi_dense()
+    assert list(dense.columns) == TOPICS
+    long_rows = fitted.get_phi().collect()
+    by_key = {
+        (r["class_id"], r["token"], r["topic"]): r["value"] for r in long_rows
+    }
+    # spot-check every dense cell against the long view
+    for (cls, tok), row in dense.iterrows():
+        for t in TOPICS:
+            assert abs(row[t] - by_key[(cls, tok, t)]) < 1e-12
+    # column selection
+    sel = fitted.get_phi_dense(topic_names=["t1"])
+    assert list(sel.columns) == ["t1"]
+
+
+def test_get_phi_sparse_roundtrip(fitted):
+    vals, rows, cols, tokens, topics = fitted.get_phi_sparse(eps=1e-9)
+    assert topics == TOPICS
+    dense = fitted.get_phi_dense()
+    mat = np.zeros((len(tokens), len(topics)))
+    mat[rows, cols] = vals
+    np.testing.assert_allclose(
+        mat, dense.loc[tokens].to_numpy(), atol=1e-9
+    )
+
+
+def test_get_theta_sparse(fitted):
+    vals, doc_ids, topic_idx = fitted.get_theta_sparse(eps=1e-9)
+    assert len(vals) == len(doc_ids) == len(topic_idx)
+    assert np.all(vals > 1e-9)
+    assert set(topic_idx) <= {0, 1, 2}
+    # per-doc theta sums to ~1 when all topics survive eps
+    import pandas as pd
+
+    s = pd.DataFrame({"d": doc_ids, "v": vals}).groupby("d")["v"].sum()
+    assert (np.abs(s - 1.0) < 1e-6).mean() > 0.9
+
+
+def test_online_batch_counter(spark, docs):
+    from bigartm_spark.streaming.online import split_batch_groups
+
+    sub = _small(docs)
+    m = ARTM(topic_names=list(TOPICS), num_document_passes=1, seed=3)
+    m.initialize(gather_dictionary(sub))
+    groups = split_batch_groups(sub, update_every=16)[:2]
+    m.fit_online(groups, update_every=16)
+    assert m.num_online_processed_batches == 32
+    assert m.num_phi_updates == 2
+
+
+def test_artm_transaction_fit(spark, docs):
+    """ARTM-level transaction mode (transaction_typenames in the ctor
+    routes the fit through the transaction kernel — artm_model.py:526-533
+    / processor_transaction_helpers.cc:12-26). Singleton transactions:
+    the result must match the plain path with the reference's off-by-one
+    (tx runs num_document_passes+1 inner iterations)."""
+    sub = _small(docs)
+    d = gather_dictionary(sub)
+
+    tx = ARTM(
+        topic_names=list(TOPICS), num_document_passes=0, seed=5,
+        transaction_typenames={"@default_transaction": 1.0},
+    )
+    tx.initialize(d)
+    tx.fit_offline(sub, 1)
+
+    plain = ARTM(topic_names=list(TOPICS), num_document_passes=1, seed=5)
+    plain.initialize(d)
+    plain.fit_offline(sub, 1)
+
+    tx_phi = {
+        (r["class_id"], r["token"]): r["values"]
+        for r in tx.pwt.compact.collect()
+    }
+    pl_phi = {
+        (r["class_id"], r["token"]): r["values"]
+        for r in plain.pwt.compact.collect()
+    }
+    assert tx_phi.keys() == pl_phi.keys()
+    for k in tx_phi:
+        np.testing.assert_allclose(tx_phi[k], pl_phi[k], rtol=1e-7)
+    assert np.isfinite(tx.score_tracker["perplexity"][-1])
