@@ -47,11 +47,16 @@ def phi_to_pseudo_batch(
 
 
 class HARTM:
-    """Hierarchy of ARTM levels. add_level fits the new level on
-    corpus ∪ parent-pseudo-batch; psi(level) reads the pseudo-docs' theta."""
+    """Hierarchy of ARTM levels (hierarchy_utils.py:18-330). add_level
+    fits the new level on corpus ∪ parent-pseudo-batch; psi(level) reads
+    the pseudo-docs' theta. Navigation/stacking surface mirrors the
+    reference: get_level/del_level/[]/iter/num_levels, whole-hierarchy
+    fit_offline / get_theta / get_phi / transform / save / load /
+    clone / dispose."""
 
     def __init__(self):
         self.levels: list[ARTM] = []
+        self._parent_level_weights: list[float] = []
 
     def add_level(
         self,
@@ -63,6 +68,15 @@ class HARTM:
         seed: int = 0,
         **artm_kwargs,
     ) -> ARTM:
+        import warnings
+
+        if self.levels and num_topics <= self.levels[-1].num_topics:
+            # hierarchy_utils.py:262-265: child levels are expected to
+            # refine the parent with MORE topics
+            warnings.warn(
+                f"adding level with num_topics={num_topics} <= parent "
+                f"level's {self.levels[-1].num_topics}"
+            )
         topic_names = [
             f"level{len(self.levels)}_topic_{i}" for i in range(num_topics)
         ]
@@ -80,7 +94,158 @@ class HARTM:
             fit_docs = docs
         model.fit_offline(fit_docs, num_collection_passes)
         self.levels.append(model)
+        self._parent_level_weights.append(float(parent_level_weight))
         return model
+
+    # -- navigation (hierarchy_utils.py:293-318) ---------------------------
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels)
+
+    def get_level(self, level_idx: int) -> ARTM:
+        return self.levels[level_idx]
+
+    def del_level(self, level_idx: int) -> None:
+        """Remove level level_idx AND every level below it (children are
+        coupled to the parent phi, hierarchy_utils.py:293-303)."""
+        if level_idx == -1:
+            self.levels.pop()
+            self._parent_level_weights.pop()
+            return
+        del self.levels[level_idx:]
+        del self._parent_level_weights[level_idx:]
+
+    def __getitem__(self, i: int) -> ARTM:
+        return self.levels[i]
+
+    def __iter__(self):
+        return iter(self.levels)
+
+    def __len__(self) -> int:
+        return len(self.levels)
+
+    def dispose(self) -> None:
+        """hierarchy_utils.py:320-338 (also used by __exit__/__del__ in
+        the reference; explicit here — no finalizer magic on a JVM-backed
+        session)."""
+        for level in self.levels:
+            level.dispose()
+        self.levels = []
+        self._parent_level_weights = []
+
+    def clone(self) -> "HARTM":
+        out = HARTM()
+        out.levels = [level.clone() for level in self.levels]
+        out._parent_level_weights = list(self._parent_level_weights)
+        return out
+
+    # -- whole-hierarchy verbs (hierarchy_utils.py:340-534) ----------------
+    def fit_offline(
+        self, docs: DataFrame, num_collection_passes: int = 1
+    ) -> "HARTM":
+        """Refit every level 0..last in order on the same corpus
+        (hierarchy_utils.py:340-357 — the 'added a regularizer / loaded
+        from disk' workflow). Non-root levels see corpus ∪ the (freshly
+        refit) parent's pseudo-batch."""
+        for i, level in enumerate(self.levels):
+            if i == 0:
+                level.fit_offline(docs, num_collection_passes)
+            else:
+                pseudo = phi_to_pseudo_batch(
+                    self.levels[i - 1].pwt,
+                    parent_level_weight=self._parent_level_weights[i],
+                )
+                level.fit_offline(
+                    docs.unionByName(pseudo), num_collection_passes
+                )
+        return self
+
+    def get_theta(self, topic_names: list[str] | None = None) -> DataFrame:
+        """Level-wise stacked theta (hierarchy_utils.py:437-464): the
+        union of every level's theta — topic names already carry the
+        level prefix, so the stack stays unambiguous. Long layout
+        (doc_id, topic, value), pseudo-docs excluded."""
+        from functools import reduce
+
+        if not self.levels:
+            raise RuntimeError("hierarchy has no levels")
+        thetas = [
+            m.get_theta(topic_names=topic_names).filter(F.col("doc_id") >= 0)
+            for m in self.levels
+        ]
+        return reduce(lambda a, b: a.unionByName(b), thetas)
+
+    def transform(self, docs: DataFrame) -> DataFrame:
+        """Stacked theta for NEW documents (hierarchy_utils.py:465-495)."""
+        from functools import reduce
+
+        if not self.levels:
+            raise RuntimeError("hierarchy has no levels")
+        return reduce(
+            lambda a, b: a.unionByName(b),
+            [m.transform(docs) for m in self.levels],
+        )
+
+    def get_phi(
+        self,
+        class_ids: list[str] | None = None,
+        model_name: str | None = None,
+    ) -> DataFrame:
+        """Level-wise stacked phi, long COO layout with a level column
+        (hierarchy_utils.py:496-521 stacks horizontally in pandas; the
+        long union is the distributed equivalent)."""
+        from functools import reduce
+
+        outs = []
+        for idx, m in enumerate(self.levels):
+            long = m._named_matrix(model_name or "p_wt").to_long()
+            if class_ids is not None:
+                long = long.filter(F.col("class_id").isin(list(class_ids)))
+            outs.append(long.withColumn("level", F.lit(idx)))
+        return reduce(lambda a, b: a.unionByName(b), outs)
+
+    def save(self, path: str) -> None:
+        """Save all levels (hierarchy_utils.py:358-380): per level the
+        pwt AND nwt matrices in the reference binary chunk format, plus
+        an info.json (num topics + parent weights; JSON, not pickle —
+        portable and code-free)."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        if os.listdir(path):
+            raise ValueError("passed path should be empty")
+        for i, level in enumerate(self.levels):
+            level.save(os.path.join(path, f"level{i}_pwt.model"), "p_wt")
+            level.save(os.path.join(path, f"level{i}_nwt.model"), "n_wt")
+        info = {
+            "num_level_topics": [m.num_topics for m in self.levels],
+            "parent_level_weight": self._parent_level_weights[1:],
+        }
+        with open(os.path.join(path, "info.json"), "w") as f:
+            json.dump(info, f)
+
+    def load(self, path: str) -> "HARTM":
+        """Rebuild the hierarchy from save() output
+        (hierarchy_utils.py:381-436). Reference caveats apply: topic
+        names come from the files, score trackers start empty,
+        regularizers are NOT restored."""
+        import json
+        import os
+
+        with open(os.path.join(path, "info.json")) as f:
+            info = json.load(f)
+        self.levels = []
+        self._parent_level_weights = []
+        for i, n in enumerate(info["num_level_topics"]):
+            model = ARTM(num_topics=n, cache_theta=True)
+            model.load(os.path.join(path, f"level{i}_pwt.model"), "p_wt")
+            model.load(os.path.join(path, f"level{i}_nwt.model"), "n_wt")
+            self.levels.append(model)
+            self._parent_level_weights.append(
+                1.0 if i == 0 else float(info["parent_level_weight"][i - 1])
+            )
+        return self
 
     def psi(self, level: int = -1) -> DataFrame:
         """p(child_topic | parent_topic): theta restricted to pseudo-docs.

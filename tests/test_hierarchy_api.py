@@ -1,0 +1,119 @@
+"""hARTM whole-hierarchy surface (hierarchy_utils.py:293-534):
+navigation, stacked theta/phi/transform, save/load round trip, refit."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bigartm_spark.model.hierarchy import HARTM
+from bigartm_spark.operators.dictionary import gather_dictionary
+
+
+@pytest.fixture(scope="module")
+def hier(spark, docs):
+    sub = docs.filter(F.col("doc_id") < 400).cache()
+    d = gather_dictionary(sub)
+    h = HARTM()
+    h.add_level(sub, d, num_topics=2, num_collection_passes=1, seed=2,
+                num_document_passes=2)
+    h.add_level(sub, d, num_topics=3, num_collection_passes=1, seed=3,
+                num_document_passes=2, parent_level_weight=2.0)
+    return h, sub
+
+
+def test_navigation(hier):
+    h, _ = hier
+    assert h.num_levels == 2 and len(h) == 2
+    assert h.get_level(0) is h[0]
+    assert [m.num_topics for m in h] == [2, 3]
+
+
+def test_add_level_warns_on_shrinking(spark, docs, hier):
+    h, sub = hier
+    d = gather_dictionary(sub)
+    h2 = h.clone()
+    with pytest.warns(UserWarning, match="num_topics"):
+        h2.add_level(sub, d, num_topics=2, num_collection_passes=1, seed=4,
+                     num_document_passes=1)
+    assert h2.num_levels == 3
+    h2.del_level(-1)
+    assert h2.num_levels == 2
+
+
+def test_del_level_cascades(hier):
+    h, _ = hier
+    h3 = h.clone()
+    h3.del_level(0)
+    assert h3.num_levels == 0
+
+
+def test_stacked_theta_and_phi(hier):
+    h, sub = hier
+    theta = h.get_theta()
+    topics = {r["topic"] for r in theta.select("topic").distinct().collect()}
+    assert topics == {
+        "level0_topic_0", "level0_topic_1",
+        "level1_topic_0", "level1_topic_1", "level1_topic_2",
+    }
+    # pseudo-docs excluded from the stack
+    assert theta.filter(F.col("doc_id") < 0).count() == 0
+
+    phi = h.get_phi()
+    lv = {r["level"] for r in phi.select("level").distinct().collect()}
+    assert lv == {0, 1}
+    n_tokens = h[0].pwt.compact.count()
+    assert phi.count() == n_tokens * 2 + h[1].pwt.compact.count() * 3
+
+
+def test_stacked_transform(hier):
+    h, sub = hier
+    out = h.transform(sub.filter(F.col("doc_id") < 50))
+    per_doc = (
+        out.groupBy("doc_id").agg(F.sum("value").alias("s")).collect()
+    )
+    # each level's theta sums to 1 per doc -> stacked sum == num_levels
+    for r in per_doc:
+        assert abs(r["s"] - 2.0) < 1e-6
+
+
+def test_save_load_roundtrip(hier, tmp_path):
+    h, sub = hier
+    path = str(tmp_path / "hier")
+    h.save(path)
+    with pytest.raises(ValueError, match="empty"):
+        h.save(path)
+
+    h2 = HARTM().load(path)
+    assert h2.num_levels == 2
+    assert [m.num_topics for m in h2.levels] == [2, 3]
+    assert h2._parent_level_weights == [1.0, 2.0]
+    for a, b in zip(h.levels, h2.levels):
+        pa = {
+            (r["class_id"], r["token"]): r["values"]
+            for r in a.pwt.compact.collect()
+        }
+        pb = {
+            (r["class_id"], r["token"]): r["values"]
+            for r in b.pwt.compact.collect()
+        }
+        assert pa.keys() == pb.keys()
+        for k in pa:
+            np.testing.assert_allclose(pa[k], pb[k], rtol=1e-6)
+    # reference caveat preserved: trackers start empty after load
+    assert all(not m.score_tracker for m in h2.levels)
+
+
+def test_refit_after_load(hier, tmp_path):
+    h, sub = hier
+    path = str(tmp_path / "hier_refit")
+    h.save(path)
+    h2 = HARTM().load(path)
+    h2.fit_offline(sub, num_collection_passes=1)
+    assert all(
+        np.isfinite(m.score_tracker["perplexity"][-1]) for m in h2.levels
+    )
+    # psi is recoverable after the refit (pseudo-doc thetas cached again)
+    psi = h2.psi()
+    assert psi.count() == 2 * 3
