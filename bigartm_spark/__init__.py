@@ -51,7 +51,43 @@ def __getattr__(name):
         from bigartm_spark.sources.dump import load_artm_model
 
         return load_artm_model
+    if name in _API_NAMES:
+        from bigartm_spark.model import api
+
+        return getattr(api, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+# reference front-door config classes (python/artm/{scores,regularizers}.py)
+_API_NAMES = frozenset(
+    [
+        "PerplexityScore",
+        "SparsityPhiScore",
+        "SparsityThetaScore",
+        "ItemsProcessedScore",
+        "TopTokensScore",
+        "ThetaSnippetScore",
+        "TopicKernelScore",
+        "TopicMassPhiScore",
+        "ClassPrecisionScore",
+        "BackgroundTokensRatioScore",
+        "SmoothSparsePhiRegularizer",
+        "SmoothSparseThetaRegularizer",
+        "DecorrelatorPhiRegularizer",
+        "LabelRegularizationPhiRegularizer",
+        "SpecifiedSparsePhiRegularizer",
+        "ImproveCoherencePhiRegularizer",
+        "SmoothPtdwRegularizer",
+        "TopicSelectionThetaRegularizer",
+        "BitermsPhiRegularizer",
+        "HierarchySparsingThetaRegularizer",
+        "TopicSegmentationPtdwRegularizer",
+        "SmoothTimeInTopicsPhiRegularizer",
+        "NetPlsaPhiRegularizer",
+        "MultiLanguagePhiRegularizer",
+        "KlFunctionInfo",
+    ]
+)
 
 
 __all__ = [

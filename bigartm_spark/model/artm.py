@@ -52,6 +52,8 @@ class ARTM:
         theta_columns_naming: str = "id",
         show_progress_bars: bool = False,
         class_ids: dict[str, float] | None = None,
+        scores: list | None = None,
+        regularizers: list | None = None,
     ):
         """phi_scores: optional {name: callable(PhiMatrix) -> float}
         evaluated on the fresh p_wt after every pass (the non-cumulative
@@ -94,6 +96,19 @@ class ARTM:
         self.theta: DataFrame | None = None
         self.dictionary: DataFrame | None = None
         self.score_tracker: dict[str, list[float]] = {}
+        # reference class-based config front door (model/api.py):
+        # model.scores.add(PerplexityScore(...)),
+        # model.regularizers['x'].tau = ... — containers route configs
+        # onto the engine lists above
+        from bigartm_spark.model.api import Regularizers, Scores
+
+        self.ptdw_agents: list = []
+        self.scores = Scores(self)
+        self.regularizers = Regularizers(self)
+        for s in scores or []:
+            self.scores.add(s)
+        for r in regularizers or []:
+            self.regularizers.add(r)
 
     # _phi_local is the driver-side numpy copy of pwt (cls, tok, matrix)
     # that feeds the next pass's broadcast without a collect job. It is
@@ -207,6 +222,7 @@ class ARTM:
             compute_scores=True,
             broadcast_phi=getattr(self, "_broadcast_phi", True),
             num_buckets=self.num_buckets,
+            ptdw_agents=self.ptdw_agents or None,
             transaction_mode=bool(self.transaction_typenames),
             transaction_weights=self.transaction_typenames,
             theta_cache=(
@@ -443,10 +459,32 @@ class ARTM:
         # is unpersist-not-destroy so even that would only re-ship)
         estep.release_phi_broadcasts(keep_last=1)
         for k, v in scores.items():
-            self.score_tracker.setdefault(k, []).append(v)
+            self._tracker_append(k, v)
         for name, fn in self.phi_scores.items():
-            self.score_tracker.setdefault(name, []).append(float(fn(self.pwt)))
+            self._tracker_append(name, float(fn(self.pwt)))
+        self._collect_configured_scores(scores)
         self._num_phi_updates += 1
+
+    def _tracker_append(self, key: str, value) -> None:
+        lst = self.score_tracker.get(key)
+        if lst is None:
+            from bigartm_spark.model.api import ScoreTrackerList
+
+            lst = ScoreTrackerList(name=key, store=self.score_tracker)
+            self.score_tracker[key] = lst
+        lst.append(value)
+
+    def _collect_configured_scores(self, pass_scores: dict) -> None:
+        """Evaluate every attached class-based score after a phi update
+        (score_tracker.py semantics: one record per synchronization);
+        extra per-score fields live as <name>__<field> siblings that the
+        tracker resolves via attribute access."""
+        for cfg in getattr(self, "scores", []):
+            rec = cfg.collect(self, pass_scores)
+            if "value" in rec:
+                self._tracker_append(cfg.name, rec.pop("value"))
+            for field, v in rec.items():
+                self._tracker_append(f"{cfg.name}__{field}", v)
 
     # -- G4 ---------------------------------------------------------------
     def transform(self, docs: DataFrame) -> DataFrame:
@@ -569,8 +607,28 @@ class ARTM:
         object map is a deep copy semantically (c_interface.cc:251-261)."""
         import copy
 
+        from bigartm_spark.model.api import (
+            Regularizers,
+            Scores,
+            ScoreTrackerList,
+        )
+
         clone = copy.copy(self)
-        clone.score_tracker = {k: list(v) for k, v in self.score_tracker.items()}
+        clone.score_tracker = {}
+        for k, v in self.score_tracker.items():
+            clone.score_tracker[k] = ScoreTrackerList(
+                v, name=k, store=clone.score_tracker
+            )
+        # engine lists and containers must not alias the original's
+        # (adding a regularizer to the clone must leave the source alone)
+        clone.phi_regularizers = list(self.phi_regularizers)
+        clone.theta_agents = list(self.theta_agents)
+        clone.phi_transforms = list(self.phi_transforms)
+        clone.ptdw_agents = list(getattr(self, "ptdw_agents", []))
+        clone.scores = Scores(clone)
+        clone.scores._data = dict(self.scores._data)
+        clone.regularizers = Regularizers(clone)
+        clone.regularizers._data = dict(self.regularizers._data)
         return clone
 
     def clone(self) -> "ARTM":

@@ -1,0 +1,204 @@
+"""Class-based config front door (python/artm scores.py / regularizers.py /
+score_tracker.py parity): reference-named score and regularizer classes,
+containers, live retuning, and the tracker object surface."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import bigartm_spark as bs
+from bigartm_spark.model.artm import ARTM
+from bigartm_spark.operators.dictionary import gather_dictionary
+
+TOPICS = ["t0", "t1", "t2"]
+
+
+def _sub(docs):
+    return docs.filter(F.col("doc_id") < 300)
+
+
+@pytest.fixture(scope="module")
+def fitted(spark, docs):
+    sub = _sub(docs)
+    m = ARTM(
+        topic_names=list(TOPICS),
+        num_document_passes=2,
+        seed=9,
+        cache_theta=True,
+        scores=[
+            bs.PerplexityScore(name="p"),
+            bs.SparsityPhiScore(name="sp"),
+            bs.SparsityThetaScore(name="st"),
+            bs.ItemsProcessedScore(name="items"),
+            bs.TopTokensScore(name="tt", num_tokens=3),
+            bs.TopicMassPhiScore(name="tm"),
+        ],
+        regularizers=[
+            bs.SmoothSparsePhiRegularizer(name="ssp", tau=0.1),
+            bs.SmoothSparseThetaRegularizer(name="sst", tau=0.05),
+        ],
+    )
+    m.initialize(gather_dictionary(sub))
+    m.fit_offline(sub, 2)
+    return m
+
+
+def test_score_tracker_object_surface(fitted):
+    t = fitted.score_tracker["p"]
+    # back-compat: it IS a list
+    assert isinstance(t, list) and len(t) == 2
+    # reference tracker surface
+    assert t.value == list(t)
+    assert t.last_value == t[-1]
+    assert np.isfinite(t.last_value)
+    # per-score extra fields with last_ variants
+    assert len(t.raw) == 2
+    assert t.last_normalizer > 0
+    assert t.last_zero_tokens >= 0
+    with pytest.raises(AttributeError):
+        t.no_such_field
+
+
+def test_sparsity_and_items_scores(fitted):
+    sp = fitted.score_tracker["sp"]
+    assert 0.0 <= sp.last_value <= 1.0
+    assert sp.last_total_tokens == 3 * 0 + fitted.pwt.compact.count() * 3
+    st = fitted.score_tracker["st"]
+    assert 0.0 <= st.last_value <= 1.0
+    items = fitted.score_tracker["items"]
+    assert items.last_value > 0
+
+
+def test_top_tokens_and_topic_mass(fitted):
+    tt = fitted.score_tracker["tt"]
+    toks = tt.last_tokens
+    assert set(toks) == set(TOPICS)
+    assert all(len(v) == 3 for v in toks.values())
+    ws = tt.last_weights
+    for topic in TOPICS:
+        assert ws[topic] == sorted(ws[topic], reverse=True)
+    tm = fitted.score_tracker["tm"]
+    assert tm.last_value > 0
+    ratios = tm.last_topic_ratio
+    assert abs(sum(ratios.values()) - 1.0) < 1e-6
+
+
+def test_regularizer_container_and_proxy(fitted):
+    regs = fitted.regularizers
+    assert len(regs) == 2 and "ssp" in regs
+    # tau proxies to the live engine object
+    eng = regs["ssp"]._engine
+    assert eng in fitted.phi_regularizers
+    regs["ssp"].tau = -0.42
+    assert eng.tau == -0.42
+    assert regs["ssp"].tau == -0.42
+    with pytest.raises(AttributeError):
+        regs.add(bs.SmoothSparsePhiRegularizer(name="ssp", tau=1.0))
+    # theta-side config landed in theta_agents
+    assert regs["sst"]._engine in fitted.theta_agents
+
+
+def test_regularizer_del_detaches(spark, docs):
+    m = ARTM(topic_names=list(TOPICS), num_document_passes=1, seed=1)
+    m.regularizers.add(bs.SmoothSparsePhiRegularizer(name="a", tau=0.1))
+    m.regularizers.add(bs.DecorrelatorPhiRegularizer(name="d", tau=0.01))
+    assert len(m.phi_regularizers) == 2
+    del m.regularizers["a"]
+    assert len(m.phi_regularizers) == 1 and len(m.regularizers) == 1
+
+
+def test_config_equals_engine_fit(spark, docs):
+    """Fitting through the named config must be bit-equal to wiring the
+    engine regularizer directly."""
+    from bigartm_spark.model.regularizers import SmoothSparsePhi
+
+    sub = _sub(docs)
+    d = gather_dictionary(sub)
+
+    via_cfg = ARTM(
+        topic_names=list(TOPICS), num_document_passes=2, seed=4,
+        regularizers=[bs.SmoothSparsePhiRegularizer(name="s", tau=-0.05)],
+    )
+    via_cfg.initialize(d)
+    via_cfg.fit_offline(sub, 1)
+
+    via_eng = ARTM(
+        topic_names=list(TOPICS), num_document_passes=2, seed=4,
+        phi_regularizers=[SmoothSparsePhi(tau=-0.05)],
+    )
+    via_eng.initialize(d)
+    via_eng.fit_offline(sub, 1)
+
+    a = {
+        (r["class_id"], r["token"]): r["values"]
+        for r in via_cfg.pwt.compact.collect()
+    }
+    b = {
+        (r["class_id"], r["token"]): r["values"]
+        for r in via_eng.pwt.compact.collect()
+    }
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-12)
+
+
+def test_retune_between_fits_changes_result(spark, docs):
+    sub = _sub(docs)
+    d = gather_dictionary(sub)
+    m = ARTM(
+        topic_names=list(TOPICS), num_document_passes=1, seed=6,
+        regularizers=[bs.SmoothSparsePhiRegularizer(name="s", tau=0.0)],
+        scores=[bs.SparsityPhiScore(name="sp")],
+    )
+    m.initialize(d)
+    m.fit_offline(sub, 1)
+    sp_before = m.score_tracker["sp"].last_value
+    m.regularizers["s"].tau = -5.0  # strong sparsifier
+    m.fit_offline(sub, 1)
+    assert m.score_tracker["sp"].last_value > sp_before
+
+
+def test_kl_function_info(spark):
+    with pytest.raises(ValueError):
+        bs.KlFunctionInfo(function_type="exp")
+    cfg = bs.SmoothSparsePhiRegularizer(
+        name="k", tau=0.1, kl_function_info=bs.KlFunctionInfo("log")
+    )
+    assert cfg._engine.transform_function.kind == "logarithm"
+    cfg2 = bs.SmoothSparseThetaRegularizer(
+        name="k2", tau=0.1,
+        kl_function_info=bs.KlFunctionInfo("pol", power_value=3.0, a_value=2.0),
+    )
+    tf = cfg2._engine.transform_function
+    assert tf.kind == "polynomial" and tf.n == 3.0 and tf.a == 2.0
+
+
+def test_smooth_sparse_theta_topic_mask_resolution(spark, docs):
+    m = ARTM(topic_names=list(TOPICS), num_document_passes=1, seed=2)
+    cfg = bs.SmoothSparseThetaRegularizer(
+        name="masked", tau=1.0, topic_names=["t1"]
+    )
+    m.regularizers.add(cfg)
+    np.testing.assert_array_equal(
+        cfg._engine.topic_mask, np.array([0.0, 1.0, 0.0])
+    )
+
+
+def test_scores_container_semantics(fitted):
+    s = fitted.scores
+    assert s.size == len(s) == 6
+    assert "p" in s and s["p"].name == "p"
+    with pytest.raises(AttributeError):
+        s.add(bs.PerplexityScore(name="p"))
+    assert set(s.data) == {"p", "sp", "st", "items", "tt", "tm"}
+
+
+def test_clone_does_not_alias_config(fitted):
+    c = fitted.clone()
+    c.regularizers.add(bs.DecorrelatorPhiRegularizer(name="extra", tau=0.01))
+    assert "extra" in c.regularizers and "extra" not in fitted.regularizers
+    assert len(c.phi_regularizers) == len(fitted.phi_regularizers) + 1
+    # cloned tracker keeps the object surface
+    assert c.score_tracker["p"].last_value == fitted.score_tracker["p"].last_value
