@@ -51,6 +51,10 @@ def __getattr__(name):
         from bigartm_spark.sources.dump import load_artm_model
 
         return load_artm_model
+    if name == "Dictionary":
+        from bigartm_spark.dictionary import Dictionary
+
+        return Dictionary
     if name in _API_NAMES:
         from bigartm_spark.model import api
 
@@ -94,6 +98,7 @@ __all__ = [
     "get_spark",
     "version",
     "ARTM",
+    "Dictionary",
     "LDA",
     "BatchVectorizer",
     "dump_artm_model",

@@ -133,7 +133,11 @@ class ARTM:
     ) -> "ARTM":
         """G1. Sparse init (srcmain.cc:1799-1800 --dense-init-rate /
         --guaranteed-zeros-rate) passes through to initialize_phi's E5
-        ranking gate."""
+        ranking gate. Accepts a raw dictionary DataFrame or the named
+        Dictionary facade (bigartm_spark/dictionary.py)."""
+        from bigartm_spark.dictionary import unwrap_dictionary
+
+        dictionary = unwrap_dictionary(dictionary)
         self.dictionary = dictionary.cache()
         self.pwt = initialize_phi(
             self.dictionary,
