@@ -969,17 +969,109 @@ class ARTM:
 
 class LDA(ARTM):
     """G12 facade: LDA = ARTM + SmoothSparsePhi(beta) + SmoothSparseTheta(alpha)
-    (python/artm/lda_model.py)."""
+    (python/artm/lda_model.py:23-380). Regularizers and the three built-in
+    scores attach under the reference's internal names
+    (lda_theta_reg / lda_phi_reg / perp_score / sp_phi_score /
+    sp_theta_score), so the convenience properties and any script poking
+    model.regularizers by name line up with upstream."""
 
-    def __init__(self, num_topics: int, alpha: float = 0.01, beta: float = 0.01, **kw):
-        from bigartm_spark.model.regularizers import (
-            SmoothSparsePhi,
-            SmoothSparseTheta,
+    def __init__(
+        self,
+        num_topics: int,
+        alpha: float = 0.01,
+        beta: float | list[float] = 0.01,
+        **kw,
+    ):
+        from bigartm_spark.model.api import (
+            PerplexityScore,
+            SmoothSparsePhiRegularizer,
+            SmoothSparseThetaRegularizer,
+            SparsityPhiScore,
+            SparsityThetaScore,
         )
 
-        super().__init__(
-            num_topics=num_topics,
-            phi_regularizers=[SmoothSparsePhi(tau=beta)],
-            theta_agents=[SmoothSparseTheta(tau=alpha)],
-            **kw,
+        if not isinstance(alpha, (int, float)):
+            raise ValueError("LDA.alpha should be float")
+        if isinstance(beta, list):
+            if len(beta) != num_topics:
+                raise ValueError(
+                    "LDA.beta should have the length equal to num_topics"
+                )
+        elif not isinstance(beta, (int, float)):
+            raise ValueError("LDA.beta should be float or list of floats")
+
+        super().__init__(num_topics=num_topics, **kw)
+        self._alpha = alpha
+        self._beta = beta
+        self.regularizers.add(
+            SmoothSparseThetaRegularizer(name="lda_theta_reg", tau=alpha)
         )
+        if isinstance(beta, list):
+            # per-topic smoothing: one phi regularizer per topic, scoped
+            # by topic_names (lda_model.py:90-97 documents beta as a
+            # per-topic hyperparameter)
+            for i, b in enumerate(beta):
+                self.regularizers.add(
+                    SmoothSparsePhiRegularizer(
+                        name=f"lda_phi_reg_{i}",
+                        tau=b,
+                        topic_names=[self.topics[i]],
+                    )
+                )
+        else:
+            self.regularizers.add(
+                SmoothSparsePhiRegularizer(name="lda_phi_reg", tau=beta)
+            )
+        self.scores.add(PerplexityScore(name="perp_score"))
+        self.scores.add(SparsityPhiScore(name="sp_phi_score"))
+        self.scores.add(SparsityThetaScore(name="sp_theta_score"))
+
+    # -- convenience properties (lda_model.py:120-183) ---------------------
+    @property
+    def alpha(self) -> float:
+        return self._alpha
+
+    @property
+    def beta(self):
+        return self._beta
+
+    @property
+    def perplexity_value(self) -> list[float]:
+        return self.score_tracker["perp_score"].value
+
+    @property
+    def perplexity_last_value(self) -> float:
+        return self.score_tracker["perp_score"].last_value
+
+    @property
+    def sparsity_phi_value(self) -> list[float]:
+        return self.score_tracker["sp_phi_score"].value
+
+    @property
+    def sparsity_phi_last_value(self) -> float:
+        return self.score_tracker["sp_phi_score"].last_value
+
+    @property
+    def sparsity_theta_value(self) -> list[float]:
+        return self.score_tracker["sp_theta_score"].value
+
+    @property
+    def sparsity_theta_last_value(self) -> float:
+        return self.score_tracker["sp_theta_score"].last_value
+
+    def get_top_tokens(self, num_tokens: int = 10, with_weights: bool = False):
+        """lda_model.py:341-380: list per topic (natural order) of the
+        top tokens, or of (token, weight) tuples."""
+        from bigartm_spark.operators.topk import top_tokens
+
+        rows = (
+            top_tokens(self.pwt.to_long(), k=num_tokens)
+            .orderBy("topic", "rank")
+            .collect()
+        )
+        by_topic: dict[str, list] = {t: [] for t in self.topics}
+        for r in rows:
+            by_topic[r["topic"]].append(
+                (r["token"], r["value"]) if with_weights else r["token"]
+            )
+        return [by_topic[t] for t in self.topics]

@@ -202,3 +202,27 @@ def test_clone_does_not_alias_config(fitted):
     assert len(c.phi_regularizers) == len(fitted.phi_regularizers) + 1
     # cloned tracker keeps the object surface
     assert c.score_tracker["p"].last_value == fitted.score_tracker["p"].last_value
+
+
+def test_lda_facade_reference_surface(spark, docs):
+    sub = _sub(docs)
+    d = gather_dictionary(sub)
+    lda = bs.LDA(num_topics=3, alpha=0.02, beta=0.01,
+                 num_document_passes=2, seed=5)
+    lda.initialize(d)
+    lda.fit_offline(sub, 2)
+    assert lda.alpha == 0.02 and lda.beta == 0.01
+    assert len(lda.perplexity_value) == 2
+    assert np.isfinite(lda.perplexity_last_value)
+    assert 0.0 <= lda.sparsity_phi_last_value <= 1.0
+    assert 0.0 <= lda.sparsity_theta_last_value <= 1.0
+    assert "lda_phi_reg" in lda.regularizers
+    assert "lda_theta_reg" in lda.regularizers
+    top = lda.get_top_tokens(num_tokens=4)
+    assert len(top) == 3 and all(len(t) == 4 for t in top)
+    topw = lda.get_top_tokens(num_tokens=2, with_weights=True)
+    assert all(isinstance(t[0], tuple) and len(t[0]) == 2 for t in topw)
+    with pytest.raises(ValueError):
+        bs.LDA(num_topics=3, beta=[0.1, 0.2])  # wrong length
+    per_topic = bs.LDA(num_topics=2, beta=[0.1, 0.2], seed=1)
+    assert len(per_topic.regularizers) == 3  # theta + 2 scoped phi regs
