@@ -26,6 +26,20 @@ from bigartm_spark.model.regularizers import (
 )
 
 
+def _as_docs(obj) -> DataFrame:
+    """Accept a long docs DataFrame OR a BatchVectorizer (the reference's
+    fit/transform verbs take batch_vectorizer objects,
+    artm_model.py:570-1058)."""
+    if isinstance(obj, DataFrame):
+        return obj
+    docs = getattr(obj, "docs", None)
+    if isinstance(docs, DataFrame):
+        return docs
+    raise TypeError(
+        f"expected a docs DataFrame or BatchVectorizer, got {type(obj)!r}"
+    )
+
+
 class ARTM:
     """Additive-regularization topic model on Spark DataFrames.
 
@@ -54,6 +68,7 @@ class ARTM:
         class_ids: dict[str, float] | None = None,
         scores: list | None = None,
         regularizers: list | None = None,
+        dictionary=None,
     ):
         """phi_scores: optional {name: callable(PhiMatrix) -> float}
         evaluated on the fresh p_wt after every pass (the non-cumulative
@@ -109,6 +124,10 @@ class ARTM:
             self.scores.add(s)
         for r in regularizers or []:
             self.regularizers.add(r)
+        if dictionary is not None:
+            # reference ctor semantics (artm_model.py:199-204): a
+            # dictionary given at construction initializes the model
+            self.initialize(dictionary)
 
     # _phi_local is the driver-side numpy copy of pwt (cls, tok, matrix)
     # that feeds the next pass's broadcast without a collect job. It is
@@ -188,7 +207,8 @@ class ARTM:
         )
 
     # -- G5 ---------------------------------------------------------------
-    def fit_offline(self, docs: DataFrame, num_collection_passes: int = 1) -> "ARTM":
+    def fit_offline(self, docs, num_collection_passes: int = 1) -> "ARTM":
+        docs = _as_docs(docs)
         if self.pwt is None:
             raise RuntimeError("call initialize(dictionary) first")
         parent = getattr(self, "_parent_model", None)
@@ -252,13 +272,24 @@ class ARTM:
     # -- G6 ---------------------------------------------------------------
     def fit_online(
         self,
-        doc_groups: list[DataFrame],
+        doc_groups,
         tau0: float = 1024.0,
         kappa: float = 0.7,
         update_every: int = 1,
     ) -> "ARTM":
         """Online EM: after each batch group, n_wt <- decay*n_wt + apply*n̂;
-        rho = (tau0 + t)^-kappa (python/artm/artm_model.py:652-659)."""
+        rho = (tau0 + t)^-kappa (python/artm/artm_model.py:652-659).
+
+        doc_groups may be a pre-split list of DataFrames, or a docs
+        DataFrame / BatchVectorizer — then groups are cut by batch_id
+        with update_every batches per group (the reference signature
+        fit_online(batch_vectorizer, update_every=...))."""
+        if not isinstance(doc_groups, list):
+            from bigartm_spark.streaming.online import split_batch_groups
+
+            doc_groups = split_batch_groups(
+                _as_docs(doc_groups), update_every=update_every
+            )
         self._autosize_buckets(doc_groups)
         t = 0
         for group in doc_groups:
@@ -491,10 +522,11 @@ class ARTM:
                 self._tracker_append(f"{cfg.name}__{field}", v)
 
     # -- G4 ---------------------------------------------------------------
-    def transform(self, docs: DataFrame) -> DataFrame:
-        """theta for new docs without touching nwt (pure E-step)."""
+    def transform(self, docs) -> DataFrame:
+        """theta for new docs without touching nwt (pure E-step).
+        Accepts a docs DataFrame or a BatchVectorizer."""
         kernel_out = estep.process_batches(
-            docs,
+            _as_docs(docs),
             self.pwt,
             num_document_passes=self.num_document_passes,
             class_weights=self.class_weights,
