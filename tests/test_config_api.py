@@ -226,3 +226,60 @@ def test_lda_facade_reference_surface(spark, docs):
         bs.LDA(num_topics=3, beta=[0.1, 0.2])  # wrong length
     per_topic = bs.LDA(num_topics=2, beta=[0.1, 0.2], seed=1)
     assert len(per_topic.regularizers) == 3  # theta + 2 scoped phi regs
+
+
+def test_lda_equals_artm_with_regularizers(spark, docs):
+    """test_lda_model.py:8-80: an ARTM with SmoothSparsePhi/Theta
+    regularizers and the LDA facade must produce identical score
+    trajectories and top tokens (zero_eps = 0.001 upstream; here the
+    models share one code path so we assert tighter)."""
+    sub = _sub(docs)
+    d = gather_dictionary(sub)
+    alpha, beta, passes = 0.01, 0.02, 3
+
+    m_artm = ARTM(
+        num_topics=4, num_document_passes=1, seed=8, cache_theta=True,
+        dictionary=d,
+        regularizers=[
+            bs.SmoothSparsePhiRegularizer(name="SparsePhi", tau=beta),
+            bs.SmoothSparseThetaRegularizer(name="SparseTheta", tau=alpha),
+        ],
+        scores=[
+            bs.SparsityThetaScore(name="SparsityThetaScore"),
+            bs.PerplexityScore(name="PerplexityScore"),
+            bs.SparsityPhiScore(name="SparsityPhiScore"),
+            bs.TopTokensScore(name="TopTokensScore", num_tokens=5),
+        ],
+    )
+    m_lda = bs.LDA(num_topics=4, alpha=alpha, beta=beta, seed=8,
+                   num_document_passes=1, cache_theta=True)
+    m_lda.initialize(d)
+
+    m_artm.fit_offline(sub, num_collection_passes=passes)
+    m_lda.fit_offline(sub, num_collection_passes=passes)
+
+    for i in range(passes):
+        assert abs(
+            m_artm.score_tracker["SparsityPhiScore"].value[i]
+            - m_lda.sparsity_phi_value[i]
+        ) < 1e-9
+        assert abs(
+            m_artm.score_tracker["SparsityThetaScore"].value[i]
+            - m_lda.sparsity_theta_value[i]
+        ) < 1e-9
+        assert abs(
+            m_artm.score_tracker["PerplexityScore"].value[i]
+            - m_lda.perplexity_value[i]
+        ) < 1e-6
+
+    lda_tt = m_lda.get_top_tokens(num_tokens=5)
+    artm_tt = m_artm.score_tracker["TopTokensScore"].last_tokens
+    for i, topic in enumerate(m_artm.topic_names):
+        assert artm_tt[topic] == lda_tt[i]
+    lda_ttw = m_lda.get_top_tokens(num_tokens=5, with_weights=True)
+    artm_w = m_artm.score_tracker["TopTokensScore"].last_weights
+    t0 = m_artm.topic_names[0]
+    for j in range(5):
+        assert abs(artm_w[t0][j] - lda_ttw[0][j][1]) < 1e-9
+    assert m_lda.library_version.count(".") == 2
+    assert m_lda.clone() is not None
