@@ -109,3 +109,17 @@ def test_context_manager_dispose(gathered):
     with tmp as t:
         assert t.df is not None
     assert tmp.df is None and tmp.cooc is None
+
+
+def test_filter_recalculate_value_sums_to_one(gathered):
+    """test_dictionary.py value-sum discipline: after filter with
+    recalculate_value=True, token values renormalize to 1 per class."""
+    d, _ = gathered
+    cutoff = d.df.approxQuantile("df", [0.5], 0.0)[0]
+    out = d.filter(min_df=cutoff, recalculate_value=True, inplace=False)
+    assert out.df.count() < d.df.count()
+    total = out.df.agg(F.sum("value")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9
+    # without recalculate_value, the kept values no longer sum to 1
+    raw = d.filter(min_df=cutoff, inplace=False)
+    assert raw.df.agg(F.sum("value")).collect()[0][0] < 1.0 - 1e-6
