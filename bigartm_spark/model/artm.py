@@ -522,22 +522,54 @@ class ARTM:
                 self._tracker_append(f"{cfg.name}__{field}", v)
 
     # -- G4 ---------------------------------------------------------------
-    def transform(self, docs) -> DataFrame:
+    def transform(
+        self,
+        docs,
+        theta_matrix_type: str = "dense_theta",
+        predict_class_id: str | None = None,
+    ) -> DataFrame | None:
         """theta for new docs without touching nwt (pure E-step).
-        Accepts a docs DataFrame or a BatchVectorizer."""
+        Accepts a docs DataFrame or a BatchVectorizer.
+
+        theta_matrix_type (artm_model.py:976-1039): 'dense_theta' —
+        theta(doc_id, topic, value); 'dense_ptdw' — the flat p(t|d,w)
+        relation (doc_id, pos, topic, value), one row per token position
+        in input order; 'cache' — populate self.theta and return it;
+        None — run the pass for its side effects only."""
+        if predict_class_id is not None:
+            # artm_model.py:982-987: p(c|d) over the target modality's
+            # labels instead of theta
+            return self.predict_class_id(_as_docs(docs), predict_class_id)
+        if theta_matrix_type not in ("dense_theta", "dense_ptdw", "cache", None):
+            raise ValueError(
+                "theta_matrix_type should be 'dense_theta', 'dense_ptdw', "
+                "'cache', or None"
+            )
+        want_ptdw = theta_matrix_type == "dense_ptdw"
         kernel_out = estep.process_batches(
             _as_docs(docs),
             self.pwt,
             num_document_passes=self.num_document_passes,
             class_weights=self.class_weights,
             theta_agents=self.theta_agents,
+            ptdw_agents=self.ptdw_agents or None,
             emit_nwt=False,
-            emit_theta=True,
+            emit_theta=not want_ptdw,
+            emit_ptdw=want_ptdw,
             compute_scores=False,
             broadcast_phi=getattr(self, "_broadcast_phi", True),
             phi_local=getattr(self, "_phi_local", None),
         )
-        return estep.extract_theta(kernel_out, self.topics)
+        if want_ptdw:
+            return estep.extract_ptdw(kernel_out, self.topics)
+        theta = estep.extract_theta(kernel_out, self.topics)
+        if theta_matrix_type == "cache":
+            self.theta = theta.localCheckpoint(eager=True)
+            return self.theta
+        if theta_matrix_type is None:
+            theta.count()  # materialize the pass, return nothing
+            return None
+        return theta
 
     def predict_class_id(self, docs: DataFrame, class_id: str) -> DataFrame:
         """p(c|d) over label-modality tokens: theta ⋈ phi[label tokens] +

@@ -175,3 +175,33 @@ def test_artm_transaction_fit(spark, docs):
     for k in tx_phi:
         np.testing.assert_allclose(tx_phi[k], pl_phi[k], rtol=1e-7)
     assert np.isfinite(tx.score_tracker["perplexity"][-1])
+
+
+def test_transform_matrix_types(spark, docs, fitted):
+    sub = _small(docs).filter(F.col("doc_id") < 60)
+    theta = fitted.transform(sub)
+    assert set(theta.columns) == {"doc_id", "topic", "value"}
+
+    ptdw = fitted.transform(sub, theta_matrix_type="dense_ptdw")
+    assert set(ptdw.columns) == {"doc_id", "pos", "topic", "value"}
+    # one distribution over topics per (doc, pos): rows sum to 1
+    sums = (
+        ptdw.groupBy("doc_id", "pos")
+        .agg(F.sum("value").alias("s"))
+        .collect()
+    )
+    assert sums and all(abs(r["s"] - 1.0) < 1e-6 for r in sums)
+
+    cached = fitted.transform(sub, theta_matrix_type="cache")
+    assert fitted.theta is cached
+    assert fitted.transform(sub, theta_matrix_type=None) is None
+    with pytest.raises(ValueError):
+        fitted.transform(sub, theta_matrix_type="3d_theta")
+
+
+def test_transform_predict_class_id_passthrough(spark, docs, fitted):
+    sub = _small(docs).filter(F.col("doc_id") < 60)
+    out = fitted.transform(sub, predict_class_id="@default_class")
+    direct = fitted.predict_class_id(sub, "@default_class")
+    assert sorted(out.columns) == sorted(direct.columns)
+    assert out.count() == direct.count()
