@@ -669,8 +669,13 @@ class TopicSegmentationPtdw:
 @dataclass
 class TopicSelectionTheta:
     """H8: n_td -= tau * n_td * topic_value[t] * alpha_iter[pass]
-    (topic_selection_theta.cc:15-164); topic_value defaults to
-    n / (n_t * |T|) computed from the previous pass's totals."""
+    (topic_selection_theta.cc:15-164). When topic_value is not
+    configured, the reference computes it BATCH-LOCALLY on every inner
+    iteration (topic_selection_theta.cc:115-131): topic_value[t] =
+    n / (n_t * |T|) with n_t summed over the batch's current n_td — so
+    small topics get a large value and are damped hardest (rich-get-
+    richer topic selection). A uniform fallback would cancel in the
+    theta normalize and turn the regularizer into a no-op."""
 
     tau: float
     topic_value: np.ndarray | None = None  # (T,)
@@ -680,5 +685,12 @@ class TopicSelectionTheta:
         a = 1.0
         if self.alpha_iter is not None:
             a = self.alpha_iter[min(pass_idx, len(self.alpha_iter) - 1)]
-        tv = self.topic_value if self.topic_value is not None else 1.0
+        if self.topic_value is not None:
+            tv = self.topic_value
+        else:
+            n_t = n_td.sum(axis=0)
+            n = n_t.sum()
+            T_ = n_td.shape[1]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tv = np.where(n_t > 0, n / (n_t * T_), 0.0)
         return n_td - self.tau * a * n_td * tv

@@ -283,3 +283,38 @@ def test_lda_equals_artm_with_regularizers(spark, docs):
         assert abs(artm_w[t0][j] - lda_ttw[0][j][1]) < 1e-9
     assert m_lda.library_version.count(".") == 2
     assert m_lda.clone() is not None
+
+
+def test_topic_selection_kills_topics(spark, docs):
+    """test_regularizer_topic_selection.py behavior (kos goldens are
+    data-blocked; the behavioral claim ports): with the batch-local
+    n/(n_t*T) topic_value default, a positive tau starves small topics —
+    some topic masses collapse toward zero — while the unregularized fit
+    keeps every topic alive."""
+    from bigartm_spark.model.scores import topic_mass_phi
+
+    sub = _sub(docs)
+    d = gather_dictionary(sub)
+
+    def masses(model):
+        rows = topic_mass_phi(model.nwt).collect()
+        return sorted(r["topic_ratio"] for r in rows)
+
+    base = ARTM(num_topics=10, num_document_passes=10, seed=3, dictionary=d)
+    base.fit_offline(sub, 3)
+    sel = ARTM(
+        num_topics=10, num_document_passes=10, seed=3, dictionary=d,
+        regularizers=[
+            bs.TopicSelectionThetaRegularizer(name="TopicSelection", tau=0.5)
+        ],
+        scores=[bs.PerplexityScore(name="p")],
+    )
+    sel.fit_offline(sub, 3)
+
+    m_base, m_sel = masses(base), masses(sel)
+    # unregularized: every topic keeps real mass
+    assert m_base[0] > 0.01
+    # selected: the smallest topics are starved well below the
+    # unregularized floor (the reference's topics_left == 8 analogue)
+    assert m_sel[0] < m_base[0] / 10
+    assert np.isfinite(sel.score_tracker["p"].last_value)
