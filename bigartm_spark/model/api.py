@@ -463,7 +463,8 @@ class SmoothSparseThetaRegularizer(BaseRegularizer):
     _kind = "theta"
 
     def __init__(self, name=None, tau=1.0, topic_names=None,
-                 alpha_iter=None, kl_function_info=None):
+                 alpha_iter=None, kl_function_info=None,
+                 doc_titles=None, doc_topic_coef=None):
         eng = _engine.SmoothSparseTheta(
             tau=tau,
             alpha_iter=alpha_iter,
@@ -471,6 +472,13 @@ class SmoothSparseThetaRegularizer(BaseRegularizer):
         )
         super().__init__(name, eng)
         object.__setattr__(self, "topic_names", topic_names)
+        # per-doc scope (regularizers.py:389-502 doc_titles /
+        # doc_topic_coef): held on the config — titles resolve to doc
+        # ids against the fit corpus, so ARTM re-resolves at every fit
+        # (mutating these between fits works like the reference's
+        # reconfigure)
+        object.__setattr__(self, "doc_titles", doc_titles)
+        object.__setattr__(self, "doc_topic_coef", doc_topic_coef)
 
     def _resolve(self, topics: list[str]) -> None:
         """topic_names -> the engine's positional 0/1 mask (needs the

@@ -234,7 +234,52 @@ class ARTM:
         estep.release_phi_broadcasts()  # nothing in flight after the loop
         return self
 
+    def _resolve_doc_scoped_agents(self, docs: DataFrame) -> None:
+        """Resolve doc_titles on attached SmoothSparseTheta configs to
+        kernel doc ids against THIS corpus (the kernel rows carry ids,
+        not titles). Memoized per (docs, titles) so repeated passes pay
+        one lookup; a no-op when no config is doc-scoped."""
+        cfgs = [
+            c
+            for c in getattr(self, "regularizers", [])
+            if getattr(c, "doc_titles", None)
+        ]
+        if not cfgs:
+            return
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        key = (id(docs), tuple(sorted(t for c in cfgs for t in c.doc_titles)))
+        if getattr(self, "_doc_scope_key", None) == key:
+            return
+        titles = sorted(set(key[1]))
+        rows = (
+            docs.filter(F.col("title").isin(titles))
+            .select("doc_id", "title")
+            .distinct()
+            .collect()
+        )
+        by_title = {r["title"]: r["doc_id"] for r in rows}
+        for c in cfgs:
+            ids = [by_title[t] for t in c.doc_titles if t in by_title]
+            eng = c._engine
+            eng.doc_ids = np.array(ids, dtype=np.int64)
+            coef = c.doc_topic_coef
+            if coef is None:
+                eng.doc_topic_coef = None
+            elif isinstance(coef[0], (list, tuple, np.ndarray)):
+                # list-of-lists aligned with doc_titles -> per-doc map
+                eng.doc_topic_coef = {
+                    by_title[t]: np.asarray(cf, dtype=float)
+                    for t, cf in zip(c.doc_titles, coef)
+                    if t in by_title
+                }
+            else:
+                eng.doc_topic_coef = np.asarray(coef, dtype=float)
+        self._doc_scope_key = key
+
     def _one_pass(self, docs: DataFrame, decay_weight: float = 0.0, apply_weight: float = 1.0):
+        self._resolve_doc_scoped_agents(docs)
         kernel_out = estep.process_batches(
             docs,
             self.pwt,

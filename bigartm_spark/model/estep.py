@@ -212,8 +212,13 @@ def _doc_kernel_factory(
                     n_td = agent.apply(theta, n_td, p)
             np.maximum(n_td, 0.0, out=n_td)
             tot = n_td.sum(axis=1)
+            # zero-total rows (possible only under total regularizer
+            # suppression, e.g. SmoothSparseTheta tau<<0 on a scoped
+            # doc) stay ZERO like the reference's normalize, so the doc
+            # contributes nothing downstream (smooth_sparse_theta test
+            # semantics) -- not a uniform row
             theta = np.divide(
-                n_td, tot[:, None], out=np.full_like(n_td, 1.0 / T_),
+                n_td, tot[:, None], out=np.zeros_like(n_td),
                 where=tot[:, None] > 0,
             )
 
@@ -521,8 +526,13 @@ def _transaction_kernel_factory(
                     n_td = agent.apply(theta, n_td, it)
             np.maximum(n_td, 0.0, out=n_td)
             tot = n_td.sum(axis=1)
+            # zero-total rows (possible only under total regularizer
+            # suppression, e.g. SmoothSparseTheta tau<<0 on a scoped
+            # doc) stay ZERO like the reference's normalize, so the doc
+            # contributes nothing downstream (smooth_sparse_theta test
+            # semantics) -- not a uniform row
             theta = np.divide(
-                n_td, tot[:, None], out=np.full_like(n_td, 1.0 / T_),
+                n_td, tot[:, None], out=np.zeros_like(n_td),
                 where=tot[:, None] > 0,
             )
 

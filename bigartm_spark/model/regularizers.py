@@ -563,14 +563,35 @@ class SmoothSparseTheta:
     where f(n_td) > 0 (smooth_sparse_theta.cc:30-66: the agent applies
     the transform to the n_td cell and skips non-positive transformed
     values). f defaults to Constant; Logarithm/Polynomial supported.
-    Runs inside the E-step kernel as vectorized numpy."""
+    Runs inside the E-step kernel as vectorized numpy.
+
+    Per-document scoping (smooth_sparse_theta.cc item_topic_multiplier /
+    messages.proto SmoothSparseThetaConfig.item_title + item_topic_coef):
+    when ``doc_ids`` is set, only those documents are regularized;
+    ``doc_topic_coef`` multiplies tau per topic — one (T,) vector for all
+    selected docs, or a {doc_id: (T,) vector} map (the reference's
+    list-of-lists aligned with item_title). Title → doc_id resolution
+    happens at fit time (ARTM._resolve_doc_scoped_agents) because the
+    kernel sees ids, not titles."""
 
     tau: float
     alpha_iter: list[float] | None = None
     topic_mask: np.ndarray | None = None  # (T,) 0/1
     transform_function: TransformFunction | None = None
+    doc_ids: np.ndarray | None = None  # selected docs (kernel row scope)
+    doc_topic_coef: object | None = None  # (T,) array or {doc_id: (T,)}
 
-    def apply(self, theta: np.ndarray, n_td: np.ndarray, pass_idx: int) -> np.ndarray:
+    @property
+    def needs_doc_ids(self) -> bool:
+        return self.doc_ids is not None
+
+    def apply(
+        self,
+        theta: np.ndarray,
+        n_td: np.ndarray,
+        pass_idx: int,
+        doc_ids: np.ndarray | None = None,
+    ) -> np.ndarray:
         a = 1.0
         if self.alpha_iter is not None:
             a = self.alpha_iter[min(pass_idx, len(self.alpha_iter) - 1)]
@@ -579,9 +600,28 @@ class SmoothSparseTheta:
         if not tf.is_constant:
             v = tf.numpy(n_td)
             delta = delta * np.where(v > 0, v, 0.0)
+        mult: np.ndarray | float = 1.0
         if self.topic_mask is not None:
-            return n_td + delta * self.topic_mask[None, :]
-        return n_td + delta
+            mult = self.topic_mask[None, :]
+        if self.doc_ids is not None:
+            if doc_ids is None:
+                return n_td  # scoped agent without row ids: no-op
+            sel = np.isin(doc_ids, self.doc_ids).astype(float)
+            if self.doc_topic_coef is None:
+                mult = mult * sel[:, None]
+            elif isinstance(self.doc_topic_coef, dict):
+                T_ = n_td.shape[1]
+                coef = np.zeros((len(doc_ids), T_))
+                for i, d in enumerate(doc_ids):
+                    c = self.doc_topic_coef.get(d)
+                    if c is not None:
+                        coef[i] = c
+                mult = mult * coef
+            else:
+                mult = mult * sel[:, None] * np.asarray(
+                    self.doc_topic_coef, dtype=float
+                )[None, :]
+        return n_td + delta * mult
 
 
 @dataclass
