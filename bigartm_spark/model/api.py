@@ -412,7 +412,10 @@ class BaseRegularizer:
     _auto_prefix = "regularizer"
     _n_auto = 0
     _kind = "phi"  # phi | theta | ptdw | transform
-    _PROXIED = ("tau", "gamma", "alpha_iter", "topic_names", "class_ids")
+    _PROXIED = (
+        "tau", "gamma", "alpha_iter", "topic_names", "class_ids",
+        "topic_pairs",
+    )
 
     def __init__(self, name: str | None = None, engine: Any = None):
         if name is None:
@@ -498,10 +501,11 @@ class DecorrelatorPhiRegularizer(BaseRegularizer):
     _auto_prefix = "decorrelator_phi"
 
     def __init__(self, name=None, tau=1.0, gamma=None, class_ids=None,
-                 topic_names=None):
-        eng = _engine.DecorrelatorPhi(tau=tau, topic_names=topic_names)
-        eng.gamma = gamma
-        eng.class_ids = class_ids
+                 topic_names=None, topic_pairs=None):
+        eng = _engine.DecorrelatorPhi(
+            tau=tau, topic_names=topic_names, gamma=gamma,
+            class_ids=class_ids, topic_pairs=topic_pairs,
+        )
         super().__init__(name, eng)
 
 

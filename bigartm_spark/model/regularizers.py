@@ -154,25 +154,65 @@ class SmoothSparsePhi(PhiRegularizer):
 class DecorrelatorPhi(PhiRegularizer):
     """H3: r_wt -= tau * p_wt * sum_{s != t} p_ws  (decorrelator_phi.cc:25-140).
 
-    The row-sum is an array aggregate — no shuffle at all."""
+    The row-sum is an array aggregate — no shuffle at all.
+
+    class_ids restricts the regularized tokens to those modalities
+    (decorrelator_phi.cc:44-52); topic_pairs switches to the "complex
+    case" (decorrelator_phi.cc:80-95): {topic: {other_topic: weight}} —
+    for each listed topic t, weights_sum = sum_s pairs[t][s] * p_ws and
+    r_wt += -tau * p_wt * (weights_sum - p_wt); unlisted topics get no
+    delta. The reference subtracts p_wt even when t is not among its own
+    pair targets — quirk preserved."""
+
+    def __init__(self, tau, topic_names=None, gamma=None, class_ids=None,
+                 topic_pairs: dict | None = None):
+        super().__init__(tau, topic_names=topic_names, gamma=gamma)
+        self.class_ids = class_ids
+        self.topic_pairs = topic_pairs
 
     def rwt_delta(self, pwt, nwt, ctx):
-        mask = self._topic_mask(pwt.topics)
-        marr = F.array(*[F.lit(m) for m in mask])
-        rowsum = F.aggregate(
-            F.zip_with("values", marr, lambda v, m: v * m),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
         tau = F.lit(float(self.tau))
-        return pwt.compact.select(
+        base = pwt.compact
+        if self.class_ids is not None:
+            scoped = F.col("class_id").isin(list(self.class_ids))
+        else:
+            scoped = F.lit(True)
+        if self.topic_pairs:
+            idx = {t: i for i, t in enumerate(pwt.topics)}
+            cols = []
+            for i, t in enumerate(pwt.topics):
+                pairs = self.topic_pairs.get(t)
+                if not pairs:
+                    cols.append(F.lit(0.0))
+                    continue
+                v_t = F.col("values")[i]
+                wsum = None
+                for other, w in pairs.items():
+                    if other not in idx:
+                        continue
+                    term = F.lit(float(w)) * F.col("values")[idx[other]]
+                    wsum = term if wsum is None else wsum + term
+                if wsum is None:
+                    cols.append(F.lit(0.0))
+                    continue
+                cols.append(-tau * v_t * (wsum - v_t))
+            delta = F.array(*cols)
+        else:
+            mask = self._topic_mask(pwt.topics)
+            marr = F.array(*[F.lit(m) for m in mask])
+            rowsum = F.aggregate(
+                F.zip_with("values", marr, lambda v, m: v * m),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            delta = F.zip_with(
+                "values", marr, lambda v, m: -tau * m * v * (rowsum - v)
+            )
+        zero = F.array(*[F.lit(0.0)] * len(pwt.topics))
+        return base.select(
             "class_id",
             "token",
-            F.zip_with(
-                "values",
-                marr,
-                lambda v, m: -tau * m * v * (rowsum - v),
-            ).alias("values"),
+            F.when(scoped, delta).otherwise(zero).alias("values"),
         )
 
 

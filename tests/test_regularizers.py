@@ -248,3 +248,37 @@ def test_smooth_sparse_theta_polynomial_transform():
     out = agent.apply(None, n_td.copy(), 0)
     # delta = 0.5 * 2 * n^2 (zero cells transformed to 0 -> no add)
     np.testing.assert_allclose(out, [[2.0 + 4.0, 0.0], [3.0 + 9.0, 1.0 + 1.0]])
+
+
+def test_decorrelator_topic_pairs(spark, tiny_phi):
+    """decorrelator_phi.cc:80-95 'complex case': weights_sum is the
+    pair-weighted sum over listed topics; r += -tau*p*(weights_sum - p),
+    subtracting p even when the topic is not its own pair target
+    (reference quirk). Unlisted topics get no delta."""
+    r = DecorrelatorPhi(tau=2.0, topic_pairs={"t0": {"t1": 100.0}})
+    out = _vals(r.rwt_delta(tiny_phi, tiny_phi, RegularizeContext()))
+    # token a: t0 delta = -2 * 0.5 * (100*0.1 - 0.5) = -9.5; t1 -> 0
+    np.testing.assert_allclose(out["a"], [-9.5, 0.0], atol=1e-12)
+    # token c: -2 * 0.2 * (100*0.7 - 0.2) = -27.92
+    np.testing.assert_allclose(out["c"], [-27.92, 0.0], atol=1e-12)
+
+
+def test_decorrelator_class_ids_scope(spark):
+    rows = [
+        ("@default_class", "a", [0.5, 0.5]),
+        ("labels", "x", [0.4, 0.6]),
+    ]
+    phi = PhiMatrix(
+        "pwt",
+        TOPICS,
+        spark.createDataFrame(
+            rows, "class_id string, token string, values array<double>"
+        ),
+    )
+    r = DecorrelatorPhi(tau=1.0, class_ids=["labels"])
+    out = _vals(r.rwt_delta(phi, phi, RegularizeContext()))
+    # default class untouched (zero delta), labels regularized
+    np.testing.assert_allclose(out["a"], [0.0, 0.0], atol=1e-12)
+    np.testing.assert_allclose(
+        out["x"], [-0.4 * 0.6, -0.6 * 0.4], atol=1e-12
+    )
