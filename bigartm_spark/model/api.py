@@ -516,9 +516,9 @@ class LabelRegularizationPhiRegularizer(BaseRegularizer):
 
     def __init__(self, name=None, tau=1.0, gamma=None, class_ids=None,
                  topic_names=None, dictionary=None):
-        eng = _engine.LabelRegularizationPhi(tau=tau, topic_names=topic_names)
-        eng.gamma = gamma
-        eng.class_ids = class_ids
+        eng = _engine.LabelRegularizationPhi(
+            tau=tau, topic_names=topic_names, gamma=gamma, class_ids=class_ids
+        )
         super().__init__(name, eng)
         object.__setattr__(self, "dictionary", dictionary)
 

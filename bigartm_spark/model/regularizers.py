@@ -218,13 +218,23 @@ class DecorrelatorPhi(PhiRegularizer):
 
 class LabelRegularizationPhi(PhiRegularizer):
     """H4: r_wt += tau * dict[w] * (p_wt * n_t) / sum_s p_ws * n_s
-    (label_regularization_phi.cc:17-98)."""
+    (label_regularization_phi.cc:17-98); class_ids restricts the
+    regularized tokens to those modalities (the usual call scopes it to
+    the label class, label_regularization_phi.cc:33-45)."""
+
+    def __init__(self, tau, topic_names=None, gamma=None, class_ids=None):
+        super().__init__(tau, topic_names=topic_names, gamma=gamma)
+        self.class_ids = class_ids
 
     def rwt_delta(self, pwt, nwt, ctx):
         if ctx.topic_totals is None:
             raise ValueError("LabelRegularizationPhi needs topic totals (n_t)")
         base = pwt.compact.join(F.broadcast(ctx.topic_totals), "class_id")
         coef = F.lit(float(self.tau))
+        if self.class_ids is not None:
+            coef = F.when(
+                F.col("class_id").isin(list(self.class_ids)), coef
+            ).otherwise(F.lit(0.0))
         if ctx.dictionary is not None:
             d = ctx.dictionary.select(
                 "class_id", "token", F.col("value").alias("_dv")

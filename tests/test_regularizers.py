@@ -282,3 +282,29 @@ def test_decorrelator_class_ids_scope(spark):
     np.testing.assert_allclose(
         out["x"], [-0.4 * 0.6, -0.6 * 0.4], atol=1e-12
     )
+
+
+def test_label_regularization_class_scope(spark):
+    from bigartm_spark.model.mstep import topic_totals
+    from bigartm_spark.model.regularizers import LabelRegularizationPhi
+
+    rows = [
+        ("@default_class", "a", [0.5, 0.5]),
+        ("labels", "pos", [0.8, 0.2]),
+        ("labels", "neg", [0.2, 0.8]),
+    ]
+    phi = PhiMatrix(
+        "pwt",
+        TOPICS,
+        spark.createDataFrame(
+            rows, "class_id string, token string, values array<double>"
+        ),
+    )
+    ctx = RegularizeContext(topic_totals=topic_totals(phi))
+    out = _vals(
+        LabelRegularizationPhi(tau=1.0, class_ids=["labels"]).rwt_delta(
+            phi, phi, ctx
+        )
+    )
+    np.testing.assert_allclose(out["a"], [0.0, 0.0], atol=1e-12)
+    assert sum(out["pos"]) > 0 and sum(out["neg"]) > 0
