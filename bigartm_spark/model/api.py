@@ -654,19 +654,78 @@ class SmoothTimeInTopicsPhiRegularizer(BaseRegularizer):
 
 class NetPlsaPhiRegularizer(BaseRegularizer):
     """regularizers.py:1003-1096 -> engine NetPlsaPhi (H13).
-    edges(token_a, token_b, value) over the vertex modality."""
+
+    Two equivalent parameterizations:
+    - engine form: ``edges`` DataFrame (src, dst, weight) [+
+      ``vertex_weights`` DataFrame (token, d)];
+    - reference form: ``vertex_names`` list, ``vertex_weights`` list
+      aligned with it, and ``edge_weights`` {src_idx: {dst_idx: w}} —
+      the relations are built from these, and mutating any of them
+      after construction (the upstream test's pattern) rebuilds them."""
 
     _auto_prefix = "net_plsa_phi"
+    _REF_FIELDS = ("vertex_names", "edge_weights")
 
     def __init__(self, name=None, tau=1.0, class_id="vertex",
-                 topic_names=None, edges=None, vertex_weights=None):
-        if edges is None:
-            raise ValueError("NetPlsaPhiRegularizer needs the edge relation")
+                 topic_names=None, edges=None, vertex_weights=None,
+                 vertex_names=None, edge_weights=None):
         eng = _engine.NetPlsaPhi(
             tau=tau, edges=edges, class_id=class_id,
-            vertex_weights=vertex_weights, topic_names=topic_names,
+            vertex_weights=(
+                vertex_weights
+                if not isinstance(vertex_weights, (list, tuple))
+                else None
+            ),
+            topic_names=topic_names,
         )
         super().__init__(name, eng)
+        object.__setattr__(self, "vertex_names", vertex_names)
+        object.__setattr__(self, "edge_weights", edge_weights)
+        if isinstance(vertex_weights, (list, tuple)):
+            object.__setattr__(self, "_vw_list", list(vertex_weights))
+        else:
+            object.__setattr__(self, "_vw_list", None)
+        self._maybe_build()
+
+    def __setattr__(self, field, value):
+        if field == "class_id":
+            self._engine.class_id = value
+            return
+        if field == "vertex_weights" and isinstance(value, (list, tuple)):
+            object.__setattr__(self, "_vw_list", list(value))
+            self._maybe_build()
+            return
+        if field in self._REF_FIELDS:
+            object.__setattr__(self, field, value)
+            self._maybe_build()
+            return
+        super().__setattr__(field, value)
+
+    def _maybe_build(self) -> None:
+        names = object.__getattribute__(self, "vertex_names")
+        ew = object.__getattribute__(self, "edge_weights")
+        if not names or not ew:
+            return
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.getActiveSession()
+            or SparkSession.builder.getOrCreate()
+        )
+        rows = [
+            (names[i], names[j], float(w))
+            for i, nbrs in ew.items()
+            for j, w in nbrs.items()
+        ]
+        self._engine.edges = spark.createDataFrame(
+            rows, "src string, dst string, weight double"
+        )
+        vw = object.__getattribute__(self, "_vw_list")
+        if vw is not None:
+            self._engine.vertex_weights = spark.createDataFrame(
+                list(zip(names, [float(x) for x in vw])),
+                "token string, d double",
+            )
 
 
 class MultiLanguagePhiRegularizer(BaseRegularizer):

@@ -424,7 +424,8 @@ class NetPlsaPhi(PhiRegularizer):
     optional (D=1 otherwise). Two broadcast-joined edge passes, one
     groupBy — no graph library needed."""
 
-    def __init__(self, tau, edges: DataFrame, class_id: str = "vertex",
+    def __init__(self, tau, edges: DataFrame | None = None,
+                 class_id: str = "vertex",
                  vertex_weights: DataFrame | None = None, topic_names=None):
         super().__init__(tau, topic_names)
         self.edges = edges
@@ -432,6 +433,13 @@ class NetPlsaPhi(PhiRegularizer):
         self.vertex_weights = vertex_weights
 
     def rwt_delta(self, pwt, nwt, ctx):
+        if self.edges is None:
+            # reference behavior with no vertex info: regularization is
+            # skipped (net_plsa_phi.cc guards on vertex presence)
+            import warnings
+
+            warnings.warn("NetPlsaPhi has no edge relation; skipping")
+            return None
         if ctx.topic_totals is None:
             raise ValueError("NetPlsaPhi needs ctx.topic_totals (n_t)")
         n = pwt.num_topics

@@ -318,3 +318,56 @@ def test_topic_selection_kills_topics(spark, docs):
     # unregularized floor (the reference's topics_left == 8 analogue)
     assert m_sel[0] < m_base[0] / 10
     assert np.isfinite(sel.score_tracker["p"].last_value)
+
+
+def test_netplsa_ref_parameterization(spark, tmp_path):
+    """test_regularizer_net_plsa.py:14-48: the vertex_names /
+    vertex_weights / edge_weights parameterization, given at the ctor or
+    mutated after add, fits identically."""
+    from bigartm_spark.sources.vw import read_vowpal_wabbit
+
+    vw = tmp_path / "net.vw.txt"
+    vw.write_text(
+        "title_0 aaa:6 bbb:3 ccc:2 |@time_class time_1\n"
+        "title_1 aaa:2 bbb:9 ccc:3\n"
+        "title_2 aaa:1 bbb:2 ccc:7 |@time_class time_2\n"
+        "title_3 aaa:7 bbb:4 ccc:5 |@time_class time_2\n"
+    )
+    docs = read_vowpal_wabbit(spark, str(vw)).cache()
+    d = gather_dictionary(docs)
+
+    m1 = ARTM(num_topics=5, num_document_passes=1, seed=13, dictionary=d)
+    m1.regularizers.add(bs.NetPlsaPhiRegularizer(
+        name="net_plsa", tau=1.0, class_id="@time_class",
+        vertex_names=["time_1", "time_2"], vertex_weights=[1.0, 2.0],
+        edge_weights={0: {1: 3.0}, 1: {0: 2.0}},
+    ))
+
+    m2 = ARTM(num_topics=5, num_document_passes=1, seed=13, dictionary=d)
+    m2.regularizers.add(bs.NetPlsaPhiRegularizer(name="net_plsa", tau=1.0))
+    m2.regularizers["net_plsa"].class_id = "@time_class"
+    m2.regularizers["net_plsa"].vertex_names = ["time_1", "time_2"]
+    m2.regularizers["net_plsa"].vertex_weights = [1.0, 2.0]
+    m2.regularizers["net_plsa"].edge_weights = {0: {1: 3.0}, 1: {0: 2.0}}
+
+    m1.fit_offline(docs, 2)
+    m2.fit_offline(docs, 2)
+
+    p1 = {(r["class_id"], r["token"]): r["values"]
+          for r in m1.pwt.compact.collect()}
+    p2 = {(r["class_id"], r["token"]): r["values"]
+          for r in m2.pwt.compact.collect()}
+    assert p1.keys() == p2.keys()
+    for k in p1:
+        np.testing.assert_allclose(p1[k], p2[k], rtol=1e-12)
+    # the regularizer actually moved the time vertices (vs no-reg fit)
+    m0 = ARTM(num_topics=5, num_document_passes=1, seed=13, dictionary=d)
+    m0.fit_offline(docs, 2)
+    p0 = {(r["class_id"], r["token"]): r["values"]
+          for r in m0.pwt.compact.collect()}
+    moved = any(
+        abs(a - b) > 1e-9
+        for k in p1 if k[0] == "@time_class"
+        for a, b in zip(p1[k], p0[k])
+    )
+    assert moved
