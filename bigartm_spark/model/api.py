@@ -149,13 +149,20 @@ class SparsityPhiScore(BaseScore):
         self.eps = eps
 
     def collect(self, model, pass_scores):
-        rows = _scores.sparsity_phi(
-            model.pwt,
-            eps=self.eps if self.eps is not None else _scores.PHI_EPS,
-            class_id=self.class_id,
-        ).collect()
-        zero = sum(r["zero_count"] for r in rows)
-        total = sum(r["total_count"] for r in rows)
+        from pyspark.sql import functions as F
+
+        eps = self.eps if self.eps is not None else _scores.PHI_EPS
+        long = model.pwt.to_long()
+        if self.class_id is not None:
+            long = long.filter(F.col("class_id") == self.class_id)
+        if self.topic_names is not None:
+            # per-topic-subset sparsity (scores.py:202-229 topic_names)
+            long = long.filter(F.col("topic").isin(list(self.topic_names)))
+        row = long.agg(
+            F.sum(F.when(F.col("value") < eps, 1).otherwise(0)).alias("z"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        zero, total = row["z"] or 0, row["n"]
         return {
             "value": zero / total if total else 0.0,
             "zero_tokens": float(zero),
@@ -641,15 +648,36 @@ class SmoothTimeInTopicsPhiRegularizer(BaseRegularizer):
 
     def __init__(self, name=None, tau=1.0, class_id="@default_class",
                  topic_names=None, token_order=None):
-        if token_order is None:
-            raise ValueError(
-                "SmoothTimeInTopicsPhiRegularizer needs token_order"
-            )
         eng = _engine.SmoothTimeInTopicsPhi(
             tau=tau, token_order=token_order, class_id=class_id,
             topic_names=topic_names,
         )
         super().__init__(name, eng)
+
+    def _resolve(self, topics) -> None:
+        pass
+
+    def _resolve_token_order(self, model) -> None:
+        """The reference's time axis is the batch's token order
+        (smooth_time_in_topics_phi.cc iterates tokens as stored). With
+        no explicit token_order relation, derive a deterministic one
+        from the model dictionary: vocab_order when the dictionary was
+        gathered against a vocab file (E10), else lexicographic."""
+        if self._engine.token_order is not None or model.dictionary is None:
+            return
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        d = model.dictionary.filter(
+            F.col("class_id") == self._engine.class_id
+        )
+        order_col = (
+            "vocab_order" if "vocab_order" in d.columns else "token"
+        )
+        w = Window.orderBy(order_col)
+        self._engine.token_order = d.select(
+            "token", F.row_number().over(w).cast("long").alias("ord")
+        )
 
 
 class NetPlsaPhiRegularizer(BaseRegularizer):

@@ -239,6 +239,10 @@ class ARTM:
         kernel doc ids against THIS corpus (the kernel rows carry ids,
         not titles). Memoized per (docs, titles) so repeated passes pay
         one lookup; a no-op when no config is doc-scoped."""
+        for c in getattr(self, "regularizers", []):
+            hook = getattr(c, "_resolve_token_order", None)
+            if hook is not None:
+                hook(self)  # H12 default time axis from the dictionary
         cfgs = [
             c
             for c in getattr(self, "regularizers", [])

