@@ -633,10 +633,23 @@ class TopicSegmentationPtdwRegularizer(BaseRegularizer):
     _auto_prefix = "topic_segmentation_ptdw"
     _kind = "ptdw"
 
-    def __init__(self, name=None, window=10, threshold=0.3):
+    def __init__(self, name=None, window=10, threshold=0.3,
+                 background_topic_names=None):
         super().__init__(
             name, _engine.TopicSegmentationPtdw(window=window, threshold=threshold)
         )
+        object.__setattr__(
+            self, "background_topic_names", background_topic_names
+        )
+
+    def _resolve(self, topics) -> None:
+        if self.background_topic_names is not None:
+            import numpy as np
+
+            sel = set(self.background_topic_names)
+            self._engine.background_topic_mask = np.array(
+                [t in sel for t in topics], dtype=bool
+            )
 
 
 class SmoothTimeInTopicsPhiRegularizer(BaseRegularizer):

@@ -742,25 +742,66 @@ class SmoothPtdw:
 
 @dataclass
 class TopicSegmentationPtdw:
-    """H11 (topic_segmentation_ptdw.cc:21-136, E8): smooth p(t|d,w) with a
-    position window, then flatten rows whose dominant topic changed vs the
-    previous position (change-point damping toward the window average)."""
+    """H11 (topic_segmentation_ptdw.cc:12-117, E8): hard topic
+    segmentation of the position axis. Each position's p(t|d,w) row is
+    rewritten one-hot to the running ``main_topic``; the main topic
+    switches to the right-window argmax when the left/right window
+    divergence crosses ``threshold``:
+
+        change at i  <=>  (L[l]/Lw - R[l]/Rw)/2 + (R[r]/Rw - L[r]/Lw)/2
+                          > threshold,
+
+    with L/R the h-position window sums left/right of i, each row
+    weighted by (1 - background mass) so background topics neither vote
+    nor count (background_topic_mask from background_topic_names).
+    Position 0 (each doc start) one-hots its own argmax. Vectorized with
+    segment-aware prefix sums + forward fill; the reference's per-item
+    sliding loop, row for row."""
 
     window: int = 10
     threshold: float = 0.3
+    background_topic_mask: np.ndarray | None = None  # (T,) bool
 
     def apply_ptdw(self, ptdw: np.ndarray, starts: np.ndarray, seg: np.ndarray):
-        smooth = SmoothPtdw(tau=1.0, window=self.window).apply_ptdw(
-            ptdw, starts, seg
-        )
-        arg = smooth.argmax(axis=1)
-        prev = np.roll(arg, 1)
-        prev[starts] = arg[starts]  # no change-point at doc start
-        changed = arg != prev
-        mass = smooth.max(axis=1)
-        damp = changed & (mass < self.threshold)
-        out = ptdw.copy()
-        out[damp] = smooth[damp]
+        n, T_ = ptdw.shape
+        h = max(int(self.window), 1)
+        if self.background_topic_mask is not None:
+            bg = ptdw[:, np.asarray(self.background_topic_mask, bool)].sum(
+                axis=1
+            )
+            w = 1.0 - bg
+        else:
+            w = np.ones(n)
+        wp = ptdw * w[:, None]
+        csum = np.vstack([np.zeros((1, T_)), np.cumsum(wp, axis=0)])
+        wsum = np.concatenate([[0.0], np.cumsum(w)])
+        idx = np.arange(n)
+        seg_start = starts[seg]
+        ends = np.append(starts[1:], n)
+        seg_end = ends[seg]
+        llo = np.maximum(idx - h, seg_start)
+        rhi = np.minimum(idx + h, seg_end)
+        left = csum[idx] - csum[llo]
+        lw = wsum[idx] - wsum[llo]
+        right = csum[rhi] - csum[idx]
+        rw = wsum[rhi] - wsum[idx]
+        l_topic = left.argmax(axis=1)
+        r_topic = right.argmax(axis=1)
+        lw_ = np.where(lw > 0, lw, 1.0)
+        rw_ = np.where(rw > 0, rw, 1.0)
+        ll = left[idx, l_topic] / lw_
+        rl = right[idx, l_topic] / rw_
+        rr = right[idx, r_topic] / rw_
+        lr = left[idx, r_topic] / lw_
+        score = (ll - rl) / 2.0 + (rr - lr) / 2.0
+        changes = (score > self.threshold) & (lw > 0) & (rw > 0)
+        vals = np.where(changes, r_topic, -1)
+        vals[starts] = ptdw[starts].argmax(axis=1)  # doc starts reset
+        set_idx = np.where(vals >= 0, idx, -1)
+        last = np.maximum.accumulate(set_idx)
+        main = vals[last]
+        out = np.zeros_like(ptdw)
+        out[idx, main] = 1.0
         return out
 
 

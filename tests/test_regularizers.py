@@ -308,3 +308,61 @@ def test_label_regularization_class_scope(spark):
     )
     np.testing.assert_allclose(out["a"], [0.0, 0.0], atol=1e-12)
     assert sum(out["pos"]) > 0 and sum(out["neg"]) > 0
+
+
+def test_topic_segmentation_one_hot_semantics():
+    """topic_segmentation_ptdw.cc:12-117 closed form: positions are
+    hard-assigned one-hot; the main topic switches when the left/right
+    window divergence crosses threshold; doc starts take their own
+    argmax; docs never bleed into each other."""
+    from bigartm_spark.model.regularizers import TopicSegmentationPtdw
+
+    # one doc: 4 positions of topic0 then 4 of topic1 (clean boundary)
+    a = np.array([[0.9, 0.1]] * 4 + [[0.1, 0.9]] * 4)
+    starts = np.array([0])
+    seg = np.zeros(8, dtype=int)
+    out = TopicSegmentationPtdw(window=2, threshold=0.3).apply_ptdw(
+        a, starts, seg
+    )
+    # every row one-hot
+    np.testing.assert_allclose(out.sum(axis=1), np.ones(8))
+    assert set(np.unique(out)) <= {0.0, 1.0}
+    # first half topic 0, second half topic 1 (switch at the boundary)
+    assert out[:4, 0].all() and out[4:, 1].all()
+
+    # high threshold: no switch, the whole doc keeps the start topic
+    out_hi = TopicSegmentationPtdw(window=2, threshold=10.0).apply_ptdw(
+        a, starts, seg
+    )
+    assert out_hi[:, 0].all()
+
+    # two docs: segmentation resets at the second doc's start
+    b = np.vstack([a, np.array([[0.2, 0.8]] * 3)])
+    starts2 = np.array([0, 8])
+    seg2 = np.array([0] * 8 + [1] * 3)
+    out2 = TopicSegmentationPtdw(window=2, threshold=0.3).apply_ptdw(
+        b, starts2, seg2
+    )
+    assert out2[8:, 1].all()  # doc 2 starts on its own argmax
+
+    # background weighting: rows are weighted by (1 - bg mass). With bg
+    # mass uniform per half the normalized windows are unchanged, so the
+    # boundary stays (reference math: weights cancel in L/Lw) ...
+    out_bg = TopicSegmentationPtdw(
+        window=2, threshold=0.3,
+        background_topic_mask=np.array([False, True]),
+    ).apply_ptdw(a, starts, seg)
+    np.testing.assert_allclose(out_bg, out)
+    # ... but positions of pure background (w == 0) can't vote: a doc
+    # whose right window is all-background never triggers a change
+    c = np.array([[0.9, 0.1]] * 3 + [[0.0, 1.0]] * 3)
+    out_c = TopicSegmentationPtdw(
+        window=3, threshold=0.05,
+        background_topic_mask=np.array([False, True]),
+    ).apply_ptdw(c, np.array([0]), np.zeros(6, dtype=int))
+    assert out_c[:3, 0].all()
+    # without the background mask the same doc switches
+    out_c2 = TopicSegmentationPtdw(window=3, threshold=0.05).apply_ptdw(
+        c, np.array([0]), np.zeros(6, dtype=int)
+    )
+    assert out_c2[3:, 1].all()
