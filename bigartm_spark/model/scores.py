@@ -171,11 +171,16 @@ def doc_perplexity(docs: DataFrame, phi: PhiMatrix) -> DataFrame:
         )
     )
     j = docs.join(pw, ["class_id", "token"])
+    log_ppl = -F.sum(F.col("weight") * F.log(F.col("_pwd"))) / F.sum("weight")
+    # doc_log_ppl rides along for oracle comparison: exp() amplifies
+    # summation-order double noise ~1e4x, so a 6-decimal rounding of
+    # doc_ppl can flip between engines on borderline values (observed
+    # once in 147k docs at sf0.1); the log-space value is O(10) with
+    # O(1e-12) noise and rounds stably
     return j.groupBy("doc_id").agg(
         F.sum("weight").alias("token_weight"),
-        F.exp(
-            -F.sum(F.col("weight") * F.log(F.col("_pwd"))) / F.sum("weight")
-        ).alias("doc_ppl"),
+        F.exp(log_ppl).alias("doc_ppl"),
+        log_ppl.alias("doc_log_ppl"),
     )
 
 

@@ -906,18 +906,23 @@ j AS (
   FROM docs d JOIN pw p ON p.token = d.token AND p.class_id = d.class_id
 )
 SELECT doc_id, ROUND(SUM(weight), 6) AS token_weight,
-       ROUND(EXP(-SUM(weight * LN(pwd)) / SUM(weight)), 6) AS doc_ppl
+       ROUND(-SUM(weight * LN(pwd)) / SUM(weight), 6) AS doc_log_ppl
 FROM j GROUP BY doc_id
 """,
 )
 def doc_ppl_quality(spark, sf_dir):
     """Model-based per-document quality: D7's perplexity disaggregated to
     one row per doc (uniform theta) — the 'drop the outliers the topic
-    model can't explain' filter of a training pipeline."""
+    model can't explain' filter of a training pipeline. Compared in LOG
+    space: exp() amplifies summation-order double noise ~ppl-fold, so a
+    6-decimal doc_ppl rounding can flip between engines on borderline
+    values (seen once at sf0.1); log-ppl is O(10) and rounds stably.
+    doc_ppl = exp(doc_log_ppl) for consumers."""
     from bigartm_spark.model.scores import doc_perplexity
 
     docs, _, phi = _spark_phi(spark, sf_dir)
-    return _r6(doc_perplexity(docs, phi), "token_weight", "doc_ppl")
+    out = doc_perplexity(docs, phi).drop("doc_ppl")
+    return _r6(out, "token_weight", "doc_log_ppl")
 
 
 # ============================== D8+D11: sparsity phi / topic mass scores
