@@ -289,6 +289,9 @@ class TopicKernelScore(BaseScore):
         self.eps = eps
 
     def collect(self, model, pass_scores):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
         rows = _scores.topic_kernel(
             model.pwt,
             threshold=self.probability_mass_threshold,
@@ -296,6 +299,25 @@ class TopicKernelScore(BaseScore):
         ).collect()
         if self.class_id is not None:
             rows = [r for r in rows if r["class_id"] == self.class_id]
+        # kernel membership (score_tracker.py TopicKernel tokens field):
+        # W_t = {w : p(t|w) > threshold}, bounded by the kernel sizes
+        long = model.pwt.to_long()
+        if self.class_id is not None:
+            long = long.filter(F.col("class_id") == self.class_id)
+        wtok = Window.partitionBy("class_id", "token")
+        members = (
+            long.withColumn(
+                "_ptw", F.col("value") / F.sum("value").over(wtok)
+            )
+            .filter(F.col("_ptw") > self.probability_mass_threshold)
+            .select("topic", "token")
+            .collect()
+        )
+        ker_tokens: dict[str, list] = {}
+        for r in members:
+            ker_tokens.setdefault(r["topic"], []).append(r["token"])
+        for v in ker_tokens.values():
+            v.sort()
         size = {r["topic"]: float(r["kernel_size"]) for r in rows}
         purity = {r["topic"]: r["purity"] for r in rows}
         contrast = {r["topic"]: r["contrast"] for r in rows}
@@ -308,6 +330,7 @@ class TopicKernelScore(BaseScore):
             "size": size,
             "purity": purity,
             "contrast": contrast,
+            "tokens": ker_tokens,
         }
         if self.dictionary is not None:
             coh = {
@@ -334,12 +357,16 @@ class ThetaSnippetScore(BaseScore):
 
     def collect(self, model, pass_scores):
         if model.theta is None:
-            return {"value": 0.0, "snippet": {}}
+            return {"value": 0.0, "snippet": {}, "document_ids": []}
         rows = _scores.theta_snippet(model.theta, self.num_items).collect()
         snip: dict[int, dict] = {}
         for r in rows:
             snip.setdefault(r["doc_id"], {})[r["topic"]] = r["value"]
-        return {"value": float(len(snip)), "snippet": snip}
+        return {
+            "value": float(len(snip)),
+            "snippet": snip,
+            "document_ids": sorted(snip),
+        }
 
 
 class ClassPrecisionScore(BaseScore):

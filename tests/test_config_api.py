@@ -406,3 +406,32 @@ def test_topic_scoped_sparsity_and_time_regularizer(spark, docs):
     t2 = m.score_tracker["half_two"].last_total_tokens
     assert t1 == t2 and t1 + t2 == m.pwt.compact.count() * 6
     assert np.isfinite(m.score_tracker["perplexity"][-1])
+
+
+def test_kernel_and_snippet_tracker_fields(spark, docs):
+    """test_artm_model.py:89-107 field surface: TopicKernelScore
+    last_tokens/last_size/last_contrast/last_purity per topic,
+    ThetaSnippetScore last_document_ids + last_snippet."""
+    sub = _sub(docs)
+    m = ARTM(
+        topic_names=list(TOPICS), num_document_passes=2, seed=21,
+        cache_theta=True, dictionary=gather_dictionary(sub),
+        scores=[
+            bs.TopicKernelScore(name="ker", probability_mass_threshold=0.5),
+            bs.ThetaSnippetScore(name="snip", num_items=7),
+        ],
+    )
+    m.fit_offline(sub, 1)
+    ker = m.score_tracker["ker"]
+    toks = ker.last_tokens
+    sizes = ker.last_size
+    assert set(toks) <= set(TOPICS)
+    for t, lst in toks.items():
+        assert len(lst) == sizes[t]
+        assert lst == sorted(lst)
+    assert all(0 <= c <= 1.0 + 1e-9 for c in ker.last_contrast.values())
+    snip = m.score_tracker["snip"]
+    ids = snip.last_document_ids
+    assert len(ids) == 7
+    assert set(snip.last_snippet) == set(ids)
+    assert set(snip.last_snippet[ids[0]]) == set(TOPICS)
