@@ -830,7 +830,10 @@ class ARTM:
         self.pwt = self.nwt = self.theta = None
 
     def info(self) -> dict:
-        """G15 MasterComponentInfo: object inventory + sizes."""
+        """G15 MasterComponentInfo: object inventory + sizes. Keys mirror
+        the reference info message's field names (master_component_info:
+        config.topic_name, score, regularizer, cache_entry) alongside the
+        engine-native inventory."""
         out = {
             "topics": list(self.topics),
             "num_topics": len(self.topics),
@@ -838,6 +841,22 @@ class ARTM:
             "regularizers": [type(r).__name__ for r in self.phi_regularizers],
             "theta_agents": [type(a).__name__ for a in self.theta_agents],
             "score_tracker_keys": sorted(self.score_tracker),
+            # reference-field aliases (test_artm_model.py:99-104 reads
+            # info.config.topic_name / info.score / info.regularizer /
+            # info.cache_entry)
+            "topic_name": list(self.topics),
+            "score": sorted(
+                set(self.score_tracker)
+                | {s.name for s in getattr(self, "scores", [])}
+            ),
+            "regularizer": [
+                r.name for r in getattr(self, "regularizers", [])
+            ],
+            "cache_entry": (
+                self.theta.select("doc_id").distinct().count()
+                if self.theta is not None
+                else 0
+            ),
         }
         if self.pwt is not None:
             out["phi_rows"] = self.pwt.compact.count()

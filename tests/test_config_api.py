@@ -435,3 +435,11 @@ def test_kernel_and_snippet_tracker_fields(spark, docs):
     assert len(ids) == 7
     assert set(snip.last_snippet) == set(ids)
     assert set(snip.last_snippet[ids[0]]) == set(TOPICS)
+
+
+def test_info_reference_fields(fitted):
+    info = fitted.info()
+    assert info["topic_name"] == TOPICS
+    assert set(info["regularizer"]) == {"ssp", "sst"}
+    assert "p" in info["score"] and "perplexity" in info["score"]
+    assert info["cache_entry"] > 0  # fitted with cache_theta=True
