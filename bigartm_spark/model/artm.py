@@ -69,6 +69,10 @@ class ARTM:
         scores: list | None = None,
         regularizers: list | None = None,
         dictionary=None,
+        num_processors: int | None = None,
+        theta_name: str | None = None,
+        parent_model: "ARTM | None" = None,
+        parent_model_weight: float | None = None,
     ):
         """phi_scores: optional {name: callable(PhiMatrix) -> float}
         evaluated on the fresh p_wt after every pass (the non-cumulative
@@ -124,6 +128,17 @@ class ARTM:
             self.scores.add(s)
         for r in regularizers or []:
             self.regularizers.add(r)
+        # num_processors is accepted for ctor-signature parity and
+        # ignored: task slots belong to the cluster manager, not the
+        # model (the num_processors property reports Spark parallelism)
+        del num_processors
+        self._theta_name = theta_name or "theta"
+        if parent_model is not None:
+            # hARTM child wiring at construction (artm_model.py:205-212)
+            self.set_parent_model(
+                parent_model,
+                1.0 if parent_model_weight is None else parent_model_weight,
+            )
         if dictionary is not None:
             # reference ctor semantics (artm_model.py:199-204): a
             # dictionary given at construction initializes the model
@@ -1007,7 +1022,7 @@ class ARTM:
 
     @property
     def theta_name(self) -> str:
-        return "theta"
+        return getattr(self, "_theta_name", "theta")
 
     @property
     def phi_(self):

@@ -205,3 +205,24 @@ def test_transform_predict_class_id_passthrough(spark, docs, fitted):
     direct = fitted.predict_class_id(sub, "@default_class")
     assert sorted(out.columns) == sorted(direct.columns)
     assert out.count() == direct.count()
+
+
+def test_ctor_parent_model_and_theta_name(spark, docs, fitted):
+    child = ARTM(
+        topic_names=["c0", "c1", "c2", "c3"], num_document_passes=1,
+        seed=2, num_processors=8, theta_name="my_theta",
+        parent_model=fitted, parent_model_weight=2.0,
+    )
+    assert child.theta_name == "my_theta"
+    assert child.parent_model_weight == 2.0
+    sub = _small(docs)
+    child.initialize(gather_dictionary(sub))
+    child.fit_offline(sub, 1)  # fits on corpus + parent pseudo-batch
+    psi = child.get_parent_psi()
+    rows = psi.collect()
+    # one distribution over 4 child topics per 3 parent topics
+    assert len(rows) == 12
+    sums = {}
+    for r in rows:
+        sums[r["parent_topic"]] = sums.get(r["parent_topic"], 0) + r["value"]
+    assert all(abs(v - 1.0) < 1e-6 for v in sums.values())
