@@ -818,8 +818,23 @@ class ARTM:
         """Drop the cached theta matrix (artm_model.py:962-967)."""
         self.theta = None
 
-    def get_score(self, score_name: str) -> float:
-        """Latest value of a tracked score (artm_model.py:968-975)."""
+    def get_score(self, score_name: str):
+        """Latest value of a tracked score (artm_model.py:968-975).
+
+        A score attached AFTER fitting (the reference's
+        scores.add(...); get_score(name) workflow, e.g. LDA's
+        get_top_tokens) has no tracked history yet: it is evaluated NOW
+        against the current matrices and its full record dict returned
+        (phi-side scores only — kernel-side partials exist only during a
+        pass)."""
+        if score_name not in self.score_tracker and score_name in getattr(
+            self, "scores", ()
+        ):
+            rec = self.scores[score_name].collect(self, {})
+            self._tracker_append(score_name, rec.pop("value", float("nan")))
+            for field, v in rec.items():
+                self._tracker_append(f"{score_name}__{field}", v)
+            return self.score_tracker[score_name][-1]
         if score_name not in self.score_tracker:
             raise KeyError(
                 f"score {score_name!r} not tracked; have "

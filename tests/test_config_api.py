@@ -443,3 +443,13 @@ def test_info_reference_fields(fitted):
     assert set(info["regularizer"]) == {"ssp", "sst"}
     assert "p" in info["score"] and "perplexity" in info["score"]
     assert info["cache_entry"] > 0  # fitted with cache_theta=True
+
+
+def test_get_score_evaluates_late_attached(fitted):
+    """artm_model.py:968-975 + lda_model.py get_top_tokens pattern: a
+    score added after fit evaluates immediately on get_score."""
+    fitted.scores.add(bs.TopTokensScore(name="late_tt", num_tokens=2))
+    val = fitted.get_score("late_tt")
+    assert val == 6.0  # 2 tokens x 3 topics
+    toks = fitted.score_tracker["late_tt"].last_tokens
+    assert all(len(v) == 2 for v in toks.values())
