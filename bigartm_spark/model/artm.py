@@ -204,6 +204,10 @@ class ARTM:
         self.cache_theta = True
         return self
 
+    def get_psi(self) -> DataFrame:
+        """Reference ARTM_Level name (hierarchy_utils.py:652-661)."""
+        return self.get_parent_psi()
+
     def get_parent_psi(self) -> DataFrame:
         """p(child_topic | parent_topic) from the pseudo-docs' theta
         (artm_model.py:1275-1286). Columns: parent_topic, topic, value."""

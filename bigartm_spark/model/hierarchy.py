@@ -85,14 +85,11 @@ class HARTM:
         )
         model.initialize(dictionary)
         if self.levels:
-            parent = self.levels[-1]
-            pseudo = phi_to_pseudo_batch(
-                parent.pwt, parent_level_weight=parent_level_weight
-            )
-            fit_docs = docs.unionByName(pseudo)
-        else:
-            fit_docs = docs
-        model.fit_offline(fit_docs, num_collection_passes)
+            # child wiring (ARTM_Level, hierarchy_utils.py:535-661):
+            # fit_offline unions the parent pseudo-batch itself, and the
+            # level answers get_psi() directly
+            model.set_parent_model(self.levels[-1], parent_level_weight)
+        model.fit_offline(docs, num_collection_passes)
         self.levels.append(model)
         self._parent_level_weights.append(float(parent_level_weight))
         return model
@@ -145,19 +142,16 @@ class HARTM:
     ) -> "HARTM":
         """Refit every level 0..last in order on the same corpus
         (hierarchy_utils.py:340-357 — the 'added a regularizer / loaded
-        from disk' workflow). Non-root levels see corpus ∪ the (freshly
-        refit) parent's pseudo-batch."""
+        from disk' workflow). Non-root levels carry the parent wiring,
+        so their fit unions the (freshly refit) parent's pseudo-batch
+        automatically."""
         for i, level in enumerate(self.levels):
-            if i == 0:
-                level.fit_offline(docs, num_collection_passes)
-            else:
-                pseudo = phi_to_pseudo_batch(
-                    self.levels[i - 1].pwt,
-                    parent_level_weight=self._parent_level_weights[i],
+            if i > 0 and getattr(level, "_parent_model", None) is None:
+                # loaded-from-disk levels: re-wire to the refit parent
+                level.set_parent_model(
+                    self.levels[i - 1], self._parent_level_weights[i]
                 )
-                level.fit_offline(
-                    docs.unionByName(pseudo), num_collection_passes
-                )
+            level.fit_offline(docs, num_collection_passes)
         return self
 
     def get_theta(self, topic_names: list[str] | None = None) -> DataFrame:

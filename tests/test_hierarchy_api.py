@@ -117,3 +117,14 @@ def test_refit_after_load(hier, tmp_path):
     # psi is recoverable after the refit (pseudo-doc thetas cached again)
     psi = h2.psi()
     assert psi.count() == 2 * 3
+
+
+def test_level_get_psi_alias(hier):
+    h, _ = hier
+    # levels are wired as children: the ARTM_Level name works per level
+    psi = h[1].get_psi()
+    assert psi.count() == 2 * 3
+    sums = {}
+    for r in psi.collect():
+        sums[r["parent_topic"]] = sums.get(r["parent_topic"], 0) + r["value"]
+    assert all(abs(v - 1.0) < 1e-6 for v in sums.values())
