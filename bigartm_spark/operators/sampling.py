@@ -166,3 +166,43 @@ def domain_mixture_resample(
         .filter(u < F.col("keep_rate"))
         .drop("keep_rate")
     )
+
+
+def corpus_stats(
+    documents: DataFrame,
+    group_col: str | None = "source",
+    text_col: str = "text",
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Token-budget report: per group (source/domain/split — or the
+    whole corpus when ``group_col`` is None), document count, total and
+    mean whitespace-token counts, char totals, and exact length
+    percentiles — the numbers that size a training run (epochs x budget)
+    and catch a domain whose length distribution drifted.
+
+    Scale: ONE groupBy over the corpus with map-side partial aggregation
+    for the counts; percentiles via percentile_approx (t-digest sketch,
+    mergeable — no sort, no collect), exact enough for budgeting at any
+    corpus size.
+    """
+    n_tokens = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
+    ).cast("long")
+    with_counts = documents.withColumn("_n_tokens", n_tokens)
+    keys = [group_col] if group_col is not None else []
+    pct = F.percentile_approx(
+        "_n_tokens", F.array(*[F.lit(p) for p in percentiles]), 10_000
+    )
+    out = with_counts.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n_tokens").alias("total_tokens"),
+        (F.sum("_n_tokens") / F.count(F.lit(1))).alias("mean_tokens"),
+        F.sum(F.length(text_col)).cast("long").alias("total_chars"),
+        pct.alias("token_percentiles"),
+    )
+    if group_col is not None:
+        tot = F.sum("total_tokens").over(Window.partitionBy())
+        out = out.withColumn(
+            "token_share", F.col("total_tokens").cast("double") / tot
+        )
+    return out

@@ -143,3 +143,43 @@ def test_hash_split_and_sample_work_on_streams(spark, tmp_path):
         for r in spark.sql("select * from split_mem").collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_corpus_stats(spark, sf_dir):
+    import duckdb
+
+    from bigartm_spark.operators.sampling import corpus_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus_stats(docs).collect()
+    assert out and all(r["n_docs"] > 0 for r in out)
+    # token share sums to 1 across groups
+    assert abs(sum(r["token_share"] for r in out) - 1.0) < 1e-9
+    # exact fields vs DuckDB on the same parquet
+    con = duckdb.connect()
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            f"""
+            SELECT source, COUNT(*) AS n,
+                   SUM(len(list_filter(string_split(text, ' '),
+                                       w -> len(w) > 0))) AS toks,
+                   SUM(len(text)) AS chars
+            FROM '{sf_dir}/documents.parquet' GROUP BY source
+            """
+        ).fetchall()
+    }
+    for r in out:
+        n, toks, chars = want[r["source"]]
+        assert r["n_docs"] == n
+        assert r["total_tokens"] == toks
+        assert r["total_chars"] == chars
+        # percentiles ordered and within the observed range
+        p = r["token_percentiles"]
+        assert p == sorted(p) and p[0] >= 0
+    # whole-corpus mode: single row, no token_share column
+    whole = corpus_stats(docs, group_col=None)
+    assert "token_share" not in whole.columns
+    rows = whole.collect()
+    assert len(rows) == 1
+    assert rows[0]["n_docs"] == sum(r["n_docs"] for r in out)
