@@ -249,3 +249,25 @@ def test_bucketed_estep_join_no_shuffle(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS t_corpus_b")
         spark.sql("DROP TABLE IF EXISTS t_phi_b")
+
+
+def test_corpus_stats_plan(spark):
+    """corpus_stats: scan pruned to (text, group), ONE corpus-wide
+    exchange (the groupBy); the token-share window runs over the K-row
+    aggregate, never the corpus."""
+    from bigartm_spark.operators.sampling import corpus_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _explain(corpus_stats(docs))
+    # column pruning reaches the parquet scan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read and "source" in read
+    assert "n_chars" not in read and "lang" not in read
+    # exactly 2 exchanges: corpus groupBy + the K-row window's single
+    # partition (bounded by the number of groups)
+    assert plan.count("Exchange") <= 2, plan
+    # the window sits ABOVE the aggregate in the plan (operates on its
+    # output), not over the scan
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert win_pos != -1 and agg_pos != -1 and win_pos < agg_pos
