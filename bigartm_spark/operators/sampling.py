@@ -173,6 +173,7 @@ def corpus_stats(
     group_col: str | None = "source",
     text_col: str = "text",
     percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    with_share: bool = True,
 ) -> DataFrame:
     """Token-budget report: per group (source/domain/split — or the
     whole corpus when ``group_col`` is None), document count, total and
@@ -200,7 +201,10 @@ def corpus_stats(
         F.sum(F.length(text_col)).cast("long").alias("total_chars"),
         pct.alias("token_percentiles"),
     )
-    if group_col is not None:
+    if group_col is not None and with_share:
+        # with_share=False for streaming complete-mode aggregation
+        # (window functions are not allowed in streaming plans; the
+        # other columns stream fine)
         tot = F.sum("total_tokens").over(Window.partitionBy())
         out = out.withColumn(
             "token_share", F.col("total_tokens").cast("double") / tot

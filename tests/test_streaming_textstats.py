@@ -96,3 +96,35 @@ def test_lang_quality_filter_stream_equals_batch(spark, tmp_path):
         for r in spark.sql("select * from lq_mem").collect()
     )
     assert got_stream == got_batch and len(got_stream) >= 2
+
+
+def test_corpus_stats_stream_equals_batch(spark, tmp_path):
+    """corpus_stats (minus the share window, which streaming plans
+    forbid) runs as a complete-mode aggregate over a file stream and
+    converges to the batch numbers."""
+    from bigartm_spark.operators.sampling import corpus_stats
+
+    rows = [(i, f"src{i % 2}", "tok " * (i + 1)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    src = str(tmp_path / "cs_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+
+    q = (
+        corpus_stats(stream, with_share=False)
+        .writeStream.format("memory")
+        .queryName("cs_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    streamed = {
+        r["source"]: (r["n_docs"], r["total_tokens"], r["total_chars"])
+        for r in spark.sql("select * from cs_mem").collect()
+    }
+    batch = {
+        r["source"]: (r["n_docs"], r["total_tokens"], r["total_chars"])
+        for r in corpus_stats(df, with_share=False).collect()
+    }
+    assert streamed == batch and len(streamed) == 2
