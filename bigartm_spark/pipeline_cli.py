@@ -121,6 +121,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pack-budget", type=int, default=None)
     p.add_argument("--pack-shards", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--stats-report",
+        default=None,
+        help="write a per-source corpus_stats token-budget report "
+        "(before + after cleaning) to this JSON file",
+    )
     return p
 
 
@@ -134,6 +140,16 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("bigartm_spark-pipeline")
     docs = spark.read.parquet(args.input)
     stats: dict[str, object] = {"input_rows": docs.count()}
+
+    def _stats_rows(rel):
+        group = "source" if "source" in rel.columns else None
+        return [
+            r.asDict()
+            for r in sampling.corpus_stats(rel, group_col=group).collect()
+        ]
+
+    if args.stats_report is not None:
+        stats_report: dict[str, object] = {"before": _stats_rows(docs)}
 
     if args.dedup == "exact":
         canon = dedup.exact_dedup(docs).select(
@@ -292,6 +308,11 @@ def main(argv: list[str] | None = None) -> int:
         r["split"]: r["n"]
         for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
     }
+    if args.stats_report is not None:
+        stats_report["after"] = _stats_rows(out)
+        with open(args.stats_report, "w") as f:
+            json.dump(stats_report, f)
+        stats["stats_report"] = args.stats_report
     print(json.dumps(stats))
     return 0
 

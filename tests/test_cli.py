@@ -552,3 +552,34 @@ def test_cli_switch_noops_and_response_file_eq(spark, tmp_path, capsys):
     err = capsys.readouterr().err
     for flag in ("--force", "--paused", "--disable-avx-opt"):
         assert f"{flag} accepted for parity" in err
+
+
+def test_pipeline_cli_stats_report(tmp_path):
+    """--stats-report writes before/after corpus_stats token budgets."""
+    import json
+    import subprocess
+    import sys
+
+    out_dir = tmp_path / "clean"
+    report = tmp_path / "report.json"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "bigartm_spark", "pipeline",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", str(out_dir),
+            "--dedup", "exact",
+            "--split", "train=0.9,val=0.1",
+            "--stats-report", str(report),
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["stats_report"] == str(report)
+    rep = json.loads(report.read_text())
+    before, after = rep["before"], rep["after"]
+    assert before and after
+    assert sum(g["n_docs"] for g in after) == stats["output_rows"]
+    assert sum(g["n_docs"] for g in before) == stats["input_rows"]
+    for g in before + after:
+        assert g["total_tokens"] > 0 and len(g["token_percentiles"]) == 3
