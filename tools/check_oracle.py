@@ -25,9 +25,18 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()
     ):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # a Spark-written table is a DIRECTORY of part files (e.g. the
+        # generated /tmp/sf1); the driver's testdata is a single file
+        for src in (f"{sf_dir}/{t}.parquet", f"{sf_dir}/{t}.parquet/*.parquet"):
+            try:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{src}'"
+                )
+                break
+            except duckdb.IOException:
+                continue
+        else:
+            raise FileNotFoundError(f"{sf_dir}/{t}.parquet")
     return con
 
 
