@@ -69,15 +69,20 @@ def _portable_round_sql(sql: str) -> str:
                 depth -= 1
             k += 1
         inner = sql[start : k - 1].rstrip()
-        if inner.endswith(", 6"):
-            expr = inner[: -len(", 6")]
-        elif inner.endswith(",6"):
-            expr = inner[: -len(",6")]
-        else:
+        scale = None
+        for dec, s in ((6, 1_000_000), (4, 10_000)):
+            for suffix in (f", {dec}", f",{dec}"):
+                if inner.endswith(suffix):
+                    expr = inner[: -len(suffix)]
+                    scale = s
+                    break
+            if scale is not None:
+                break
+        if scale is None:
             out.append(sql[j:k])
             i = k
             continue
-        out.append(f"FLOOR(({expr}) * 1000000 + 0.5) / 1000000")
+        out.append(f"FLOOR(({expr}) * {scale} + 0.5) / {scale}")
         i = k
     return "".join(out)
 
@@ -92,17 +97,31 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def _r6(df: DataFrame, *cols: str) -> DataFrame:
+def _round_cols(df: DataFrame, decimals: int, *cols: str) -> DataFrame:
     """Spark twin of the oracle's portable rounding (see above)."""
+    m = float(10**decimals)
     for c in cols:
         df = df.withColumn(
             c,
             (
-                F.floor(F.col(c).cast("double") * F.lit(1000000.0) + F.lit(0.5))
-                / F.lit(1000000.0)
+                F.floor(F.col(c).cast("double") * F.lit(m) + F.lit(0.5))
+                / F.lit(m)
             ).cast("double"),
         )
     return df
+
+
+def _r6(df: DataFrame, *cols: str) -> DataFrame:
+    return _round_cols(df, 6, *cols)
+
+
+def _r4(df: DataFrame, *cols: str) -> DataFrame:
+    """4-decimal variant for columns that SUM many float terms (n_wt):
+    the absolute summation-order noise grows with row count, so at large
+    SF a 6-decimal boundary occasionally splits between engines (seen at
+    sf1: one nwt cell, diff exactly 1e-6); two fewer digits keeps the
+    check strong and makes flips ~100x rarer."""
+    return _round_cols(df, 4, *cols)
 
 
 # ---------------------------------------------------------------- SQL CTEs
@@ -150,6 +169,12 @@ def _pyr6(x: float) -> float:
     import math
 
     return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+
+def _pyr4(x: float) -> float:
+    import math
+
+    return math.floor(x * 10000.0 + 0.5) / 10000.0
 
 
 def _seeded_row_normalized_nwt(d: DataFrame, seed: int) -> DataFrame:
@@ -243,7 +268,7 @@ WITH {DOCS_CTE}
 SELECT class_id,
        CAST(COUNT(DISTINCT token) AS BIGINT) AS unique_tokens,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS num_docs,
-       ROUND(SUM(weight), 6) AS total_weight,
+       ROUND(SUM(weight), 4) AS total_weight,
        CAST(COUNT(*) AS BIGINT) AS nnz
 FROM docs GROUP BY class_id
 """,
@@ -256,7 +281,7 @@ def d15_parse_stats(spark, sf_dir):
         F.sum("weight").alias("total_weight"),
         F.count(F.lit(1)).alias("nnz"),
     )
-    return _r6(out, "total_weight")
+    return _r4(out, "total_weight")
 
 
 # =========================================== G1+E5: init phi / sparse-init
@@ -318,7 +343,7 @@ def g1e5_initialize_and_ranking(spark, sf_dir):
 WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
 nwt AS (SELECT class_id, token, topic_idx, nwt AS value FROM rown)
 SELECT class_id, 'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
-       ROUND(SUM(GREATEST(value, 0)), 6) AS n_t
+       ROUND(SUM(GREATEST(value, 0)), 4) AS n_t
 FROM nwt GROUP BY class_id, topic_idx
 """,
 )
@@ -338,7 +363,7 @@ def d4_topic_totals(spark, sf_dir):
         F.concat(F.lit("topic_"), F.col("_i").cast("string")).alias("topic"),
         "n_t",
     )
-    return _r6(out, "n_t")
+    return _r4(out, "n_t")
 
 
 # ====================================== D6+F1: merge (same-set + outer union)
@@ -779,7 +804,7 @@ nwt1 AS (
 )
 SELECT '@default_class' AS class_id, token,
        'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
-       ROUND(v, 6) AS nwt,
+       ROUND(v, 4) AS nwt,
        ROUND(GREATEST(v, 0) / SUM(GREATEST(v, 0)) OVER (PARTITION BY topic_idx), 6)
          AS pwt
 FROM nwt1
@@ -816,7 +841,7 @@ def d2g5_estep_mstep_pass(spark, sf_dir):
     model.fit_offline(docs, num_collection_passes=1)
     pwt_long = model.get_phi().withColumnRenamed("value", "pwt")
     out = nwt_long.join(pwt_long, ["class_id", "token", "topic"])
-    return _r6(out, "nwt", "pwt")
+    return _r4(_r6(out, "pwt"), "nwt")
 
 
 # ==================================================== F3: topic reconfigure
@@ -860,9 +885,9 @@ j AS (
   GROUP BY d.doc_id, d.pos, d.weight
 )
 SELECT ROUND(EXP(-SUM(weight * LN(pwd)) / SUM(weight)), 6) AS perplexity,
-       ROUND(SUM(weight), 6) AS normalizer,
+       ROUND(SUM(weight), 4) AS normalizer,
        (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM docs) AS items,
-       (SELECT ROUND(SUM(weight), 6) FROM docs) AS token_weight
+       (SELECT ROUND(SUM(weight), 4) FROM docs) AS token_weight
 FROM j
 """,
 )
@@ -883,9 +908,9 @@ def d7i4_perplexity_and_counters(spark, sf_dir):
         [
             (
                 _pyr6(scores["perplexity"]),
-                _pyr6(scores["perplexity_normalizer"]),
+                _pyr4(scores["perplexity_normalizer"]),
                 int(scores["items_processed"]),
-                _pyr6(scores["token_weight"]),
+                _pyr4(scores["token_weight"]),
             )
         ],
         "perplexity double, normalizer double, items bigint, token_weight double",
