@@ -123,3 +123,39 @@ def test_filter_recalculate_value_sums_to_one(gathered):
     # without recalculate_value, the kept values no longer sum to 1
     raw = d.filter(min_df=cutoff, inplace=False)
     assert raw.df.agg(F.sum("value")).collect()[0][0] < 1.0 - 1e-6
+
+
+def test_gather_with_vocab_and_cooc_files(spark, docs, tmp_path):
+    """dictionary.py gather(cooc_file_path=, vocab_file_path=): vocab
+    order pins export order and drops out-of-vocab tokens; the cooc file
+    loads as the bundled relation and survives a save/load round trip."""
+    sub = docs.filter(F.col("doc_id") < 200)
+    toks = sorted(
+        r["token"] for r in sub.select("token").distinct().collect()
+    )
+    kept = toks[: len(toks) // 2]
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("".join(f"{t}\n" for t in kept))
+    cooc = tmp_path / "cooc.txt"
+    cooc.write_text(f"{kept[0]} {kept[1]} 3.5\n{kept[1]} {kept[2]} 1.25\n")
+
+    d = Dictionary(name="vc", spark=spark).gather(
+        sub,
+        vocab_file_path=str(vocab),
+        cooc_file_path=str(cooc),
+    )
+    got = {r["token"] for r in d.df.select("token").collect()}
+    assert got <= set(kept)  # out-of-vocab tokens dropped
+    assert "vocab_order" in d.df.columns
+    # vocab_order follows the file order
+    rows = {r["token"]: r["vocab_order"] for r in d.df.collect()}
+    ordered = sorted(rows, key=lambda t: rows[t])
+    assert ordered == [t for t in kept if t in rows]
+    cc = {(r["token_a"], r["token_b"]): r["value"] for r in d.cooc.collect()}
+    assert cc[(kept[0], kept[1])] == 3.5
+
+    # bundled cooc rides through the parquet store round trip
+    store = str(tmp_path / "store")
+    d.save(store)
+    d2 = Dictionary(dictionary_path=store)
+    assert d2.cooc is not None and d2.cooc.count() == 2
