@@ -90,7 +90,12 @@ class BaseScore:
 
 class PerplexityScore(BaseScore):
     """scores.py:291-352 / score/perplexity.cc. Kernel-side: reads the
-    pass's cumulative partials, no extra job."""
+    pass's cumulative partials, no extra job.
+
+    class_ids (perplexity.cc:66-80) scopes the sum to those modalities'
+    token occurrences. The kernel partials are corpus-wide, so the
+    scoped variant recomputes p(w|d) = sum_t phi_wt theta_td over the
+    fit corpus — one extra join job per update, needs cache_theta."""
 
     _auto_prefix = "perplexity"
 
@@ -102,11 +107,66 @@ class PerplexityScore(BaseScore):
         self.transaction_typenames = transaction_typenames
 
     def collect(self, model, pass_scores):
+        if self.class_ids is not None:
+            scoped = self._class_scoped(model)
+            if scoped is not None:
+                return scoped
         return {
             "value": pass_scores.get("perplexity", float("nan")),
             "raw": pass_scores.get("perplexity_raw", float("nan")),
             "normalizer": pass_scores.get("perplexity_normalizer", float("nan")),
             "zero_tokens": pass_scores.get("perplexity_zero_words", 0.0),
+        }
+
+    def _class_scoped(self, model):
+        import math
+
+        from pyspark.sql import functions as F
+
+        docs = getattr(model, "_last_fit_docs", None)
+        if docs is None or model.theta is None:
+            return None
+        sel = list(self.class_ids)
+        d = docs.filter(F.col("class_id").isin(sel)).select(
+            "doc_id", "class_id", "token", "weight"
+        )
+        phi_long = model.pwt.to_long().filter(F.col("class_id").isin(sel))
+        theta = model.theta.select(
+            "doc_id", "topic", F.col("value").alias("_th")
+        )
+        # route the join through the occurring (doc, token) pairs so the
+        # blow-up is occurrences x T (kernel-scale), never vocab x docs
+        occ = d.select("doc_id", "class_id", "token").distinct()
+        pwd = (
+            occ.join(phi_long, ["class_id", "token"])
+            .join(theta, ["doc_id", "topic"])
+            .groupBy("doc_id", "class_id", "token")
+            .agg(F.sum(F.col("value") * F.col("_th")).alias("_pwd"))
+        )
+        row = (
+            d.join(pwd, ["doc_id", "class_id", "token"])
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("_pwd") > 0,
+                        F.col("weight") * F.log("_pwd"),
+                    ).otherwise(F.lit(0.0))
+                ).alias("raw"),
+                F.sum("weight").alias("norm"),
+                F.sum(
+                    F.when(F.col("_pwd") <= 0, F.col("weight")).otherwise(
+                        F.lit(0.0)
+                    )
+                ).alias("zero"),
+            )
+            .collect()[0]
+        )
+        raw, norm = -(row["raw"] or 0.0), row["norm"] or 0.0
+        return {
+            "value": math.exp(raw / norm) if norm > 0 else float("nan"),
+            "raw": raw,
+            "normalizer": norm,
+            "zero_tokens": row["zero"] or 0.0,
         }
 
 

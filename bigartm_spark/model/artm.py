@@ -303,6 +303,9 @@ class ARTM:
 
     def _one_pass(self, docs: DataFrame, decay_weight: float = 0.0, apply_weight: float = 1.0):
         self._resolve_doc_scoped_agents(docs)
+        # class-scoped scores (PerplexityScore class_ids) recompute over
+        # the fit corpus after the update; a plain reference, no action
+        self._last_fit_docs = docs
         kernel_out = estep.process_batches(
             docs,
             self.pwt,

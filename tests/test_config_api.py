@@ -453,3 +453,53 @@ def test_get_score_evaluates_late_attached(fitted):
     assert val == 6.0  # 2 tokens x 3 topics
     toks = fitted.score_tracker["late_tt"].last_tokens
     assert all(len(v) == 2 for v in toks.values())
+
+
+def test_class_scoped_perplexity(spark, docs):
+    """perplexity.cc:66-80 class_ids scoping: on a single-modality corpus
+    the scoped score equals the kernel's corpus perplexity; scoping to a
+    modality with different fit quality gives a different value on a
+    multimodal corpus."""
+    from bigartm_spark.corpus import docs_multimodal
+
+    sub = _sub(docs)
+    m = ARTM(
+        topic_names=list(TOPICS), num_document_passes=2, seed=2,
+        cache_theta=True, dictionary=gather_dictionary(sub),
+        scores=[
+            bs.PerplexityScore(name="all"),
+            bs.PerplexityScore(name="scoped", class_ids=["@default_class"]),
+        ],
+    )
+    m.fit_offline(sub, 1)
+    a = m.score_tracker["all"].last_value
+    s = m.score_tracker["scoped"].last_value
+    # single modality: both measure the same corpus, but the kernel
+    # accumulates with the theta of each inner pass (reference
+    # cumulative semantics) while the scoped recompute evaluates the
+    # FINAL theta — so scoped is systematically lower, same ballpark
+    assert s < a
+    assert abs(a - s) / a < 0.25
+    # normalizer = the class's token mass (same corpus -> same mass)
+    assert abs(
+        m.score_tracker["scoped"].last_normalizer
+        - m.score_tracker["all"].last_normalizer
+    ) < 1e-6
+
+    mm = docs_multimodal(spark, "/root/testdata/sf0.001")
+    m2 = ARTM(
+        topic_names=list(TOPICS), num_document_passes=2, seed=2,
+        cache_theta=True, dictionary=gather_dictionary(mm),
+        class_ids={"@default_class": 1.0, "supp": 1.0},
+        scores=[
+            bs.PerplexityScore(name="pdef", class_ids=["@default_class"]),
+            bs.PerplexityScore(name="psupp", class_ids=["supp"]),
+        ],
+    )
+    m2.fit_offline(mm, 1)
+    pd_, ps_ = (
+        m2.score_tracker["pdef"].last_value,
+        m2.score_tracker["psupp"].last_value,
+    )
+    assert np.isfinite(pd_) and np.isfinite(ps_)
+    assert abs(pd_ - ps_) > 1e-6  # different modalities, different ppl
