@@ -55,6 +55,25 @@ def __getattr__(name):
         from bigartm_spark.dictionary import Dictionary
 
         return Dictionary
+    if name in ("hARTM", "HARTM"):
+        # reference exports the hierarchy facade as `hARTM`
+        # (python/artm/__init__.py:5, class hierarchy_utils.py:18)
+        from bigartm_spark.model.hierarchy import HARTM
+
+        return HARTM
+    if name == "MasterComponent":
+        from bigartm_spark.model.master_component import MasterComponent
+
+        return MasterComponent
+    if name == "messages":
+        # reference: `from .wrapper import messages_pb2 as messages`
+        from bigartm_spark.wrapper import messages_pb2
+
+        return messages_pb2
+    if name == "wrapper":
+        import bigartm_spark.wrapper as wrapper
+
+        return wrapper
     if name in _API_NAMES:
         from bigartm_spark.model import api
 

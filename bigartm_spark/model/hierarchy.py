@@ -258,3 +258,8 @@ class HARTM:
         return theta.join(F.broadcast(map_df), "doc_id").select(
             "parent_topic", "topic", "value"
         )
+
+
+# reference spelling (python/artm/__init__.py:5 exports `hARTM` from
+# hierarchy_utils; the class at hierarchy_utils.py:18 is lowercase-h)
+hARTM = HARTM

@@ -1,0 +1,771 @@
+"""MasterComponent — the reference's low-level Python wrapper surface
+(python/artm/master_component.py:237-1007) re-expressed over the Spark
+engine.
+
+The reference class marshals protobuf configs into C calls on a master
+id; every verb here runs the same operation on the package's DataFrame
+plans instead, holding named models (pwt/nwt/rwt), named dictionaries,
+score configs and regularizer configs exactly like the C++ master's
+instance store (src/artm/core/instance.h). Scripts written against the
+wrapper API (python/tests/wrapper/*) port by changing the import line —
+see tests/test_wrapper_port.py for test_01 ported verbatim.
+
+Deviations (documented):
+- matrices come back as pandas frames (token x topic), not protobuf
+  ThetaMatrix/TopicModel messages;
+- PerplexityScoreConfig's UnigramCollectionModel fallback is served by
+  the kernel's document-unigram fallback (the two differ only on
+  zero-p(w|d) tokens and converge together; perplexity.cc:159-239);
+- attach_model is a documented non-goal (G9): Spark DataFrames are
+  immutable relations, there is no in-place matrix to alias.
+"""
+
+from __future__ import annotations
+
+import math
+from types import SimpleNamespace
+
+from pyspark.sql import functions as F
+
+from bigartm_spark.model import estep, mstep
+from bigartm_spark.model.phi import PhiMatrix
+from bigartm_spark.model.regularizers import RegularizeContext, regularize
+from bigartm_spark.wrapper import messages_pb2 as messages
+
+
+def _listify(x):
+    if x is None:
+        return []
+    return list(x) if isinstance(x, (list, tuple)) else [x]
+
+
+class MasterComponent:
+    """Named-model store + the wrapper verb surface."""
+
+    def __init__(
+        self,
+        library=None,
+        topic_names=None,
+        class_ids=None,
+        transaction_typenames=None,
+        scores=None,
+        regularizers=None,
+        num_processors=None,
+        pwt_name=None,
+        nwt_name=None,
+        num_document_passes=None,
+        reuse_theta=None,
+        cache_theta=None,
+        parent_model_id=None,
+        parent_model_weight=None,
+    ):
+        from bigartm_spark.session import get_spark
+
+        self._lib = library
+        self._spark = getattr(library, "_spark", None) or get_spark()
+        self._topic_names = list(topic_names) if topic_names else None
+        self._class_ids = dict(class_ids) if class_ids else None
+        self._transaction_typenames = (
+            dict(transaction_typenames) if transaction_typenames else None
+        )
+        self._pwt_name = pwt_name or "pwt"
+        self._nwt_name = nwt_name or "nwt"
+        self._num_document_passes = num_document_passes or 10
+        self._cache_theta = bool(cache_theta)
+        self._reuse_theta = bool(reuse_theta)
+        self._models: dict[str, PhiMatrix] = {}
+        self._rwt: dict[str, object] = {}  # name -> rwt DataFrame
+        self._dictionaries: dict[str, object] = {}  # name -> Dictionary
+        self._scores: dict[str, object] = {}  # name -> config message
+        self._score_model: dict[str, str] = {}
+        self._regularizers: dict[str, object] = {}  # name -> api config
+        self._score_cache: dict[str, float] = {}  # summed raw partials
+        self._score_arrays: dict[str, list] = {}
+        self._theta = None
+        self._docs_cache: dict[str, object] = {}
+        for name, cfg in (scores or {}).items():
+            self.create_score(name, cfg)
+        for name, (cfg, tau) in (regularizers or {}).items():
+            self.create_regularizer(name, cfg, tau)
+
+    # ------------------------------------------------------------ corpus
+    def _docs_for(self, batches_folder=None, batch_filenames=None):
+        from bigartm_spark.sources.io import load_batches
+
+        key = batches_folder or "|".join(sorted(batch_filenames or []))
+        if key not in self._docs_cache:
+            if batches_folder is not None:
+                docs = load_batches(self._spark, batches_folder)
+            else:
+                parts = [
+                    load_batches(self._spark, f) for f in batch_filenames
+                ]
+                docs = parts[0]
+                for p in parts[1:]:
+                    docs = docs.unionByName(p)
+            self._docs_cache[key] = docs.cache()
+        return self._docs_cache[key]
+
+    # -------------------------------------------------------- dictionaries
+    def gather_dictionary(
+        self,
+        dictionary_target_name=None,
+        data_path=None,
+        cooc_file_path=None,
+        vocab_file_path=None,
+        symmetric_cooc_values=None,
+        batches=None,
+    ):
+        from bigartm_spark.dictionary import Dictionary
+
+        d = Dictionary(name=dictionary_target_name, spark=self._spark)
+        d.gather(
+            data_path=data_path,
+            cooc_file_path=cooc_file_path,
+            vocab_file_path=vocab_file_path,
+            symmetric_cooc_values=bool(symmetric_cooc_values),
+        )
+        self._dictionaries[d.name] = d
+        return d
+
+    def filter_dictionary(
+        self,
+        dictionary_name=None,
+        dictionary_target_name=None,
+        class_id=None,
+        min_df=None,
+        max_df=None,
+        min_df_rate=None,
+        max_df_rate=None,
+        min_tf=None,
+        max_tf=None,
+        max_dictionary_size=None,
+        recalculate_value=None,
+        inplace=None,
+    ):
+        src = self._dictionaries[dictionary_name]
+        to_new = (
+            dictionary_target_name is not None
+            and dictionary_target_name != dictionary_name
+        )
+        tgt = src.filter(
+            class_id=class_id,
+            min_df=min_df,
+            max_df=max_df,
+            min_df_rate=min_df_rate,
+            max_df_rate=max_df_rate,
+            min_tf=min_tf,
+            max_tf=max_tf,
+            max_dictionary_size=max_dictionary_size,
+            recalculate_value=bool(recalculate_value),
+            inplace=not to_new,
+        )
+        if to_new:
+            tgt._name = dictionary_target_name
+        self._dictionaries[tgt.name] = tgt
+        return tgt
+
+    def create_dictionary(self, dictionary_data, dictionary_name=None):
+        """DictionaryData message -> named dictionary (the wrapper's
+        ArtmCreateDictionary)."""
+        from bigartm_spark.dictionary import Dictionary
+
+        name = dictionary_name or dictionary_data.name
+        n = len(dictionary_data.token)
+
+        def rep(field, default):
+            vals = list(getattr(dictionary_data, field))
+            return vals if len(vals) == n else [default] * n
+
+        rows = list(
+            zip(
+                rep("class_id", "@default_class"),
+                list(dictionary_data.token),
+                rep("token_value", 0.0),
+                rep("token_tf", 0.0),
+                rep("token_df", 0.0),
+            )
+        )
+        df = self._spark.createDataFrame(
+            rows, "class_id string, token string, value double, tf double, df double"
+        )
+        d = Dictionary(name=name, df=df, spark=self._spark)
+        if dictionary_data.cooc_first_index:
+            tok = list(dictionary_data.token)
+            cooc_rows = [
+                (tok[a], tok[b], float(v))
+                for a, b, v in zip(
+                    dictionary_data.cooc_first_index,
+                    dictionary_data.cooc_second_index,
+                    dictionary_data.cooc_value,
+                )
+            ]
+            d.cooc = self._spark.createDataFrame(
+                cooc_rows, "token_a string, token_b string, value double"
+            )
+        self._dictionaries[name] = d
+        return d
+
+    def get_dictionary(self, dictionary_name):
+        """Named dictionary -> DictionaryData message."""
+        d = self._dictionaries[dictionary_name]
+        rows = d.df.select("class_id", "token", "value", "tf", "df").collect()
+        return messages.DictionaryData(
+            name=dictionary_name,
+            token=[r["token"] for r in rows],
+            class_id=[r["class_id"] for r in rows],
+            token_value=[float(r["value"] or 0.0) for r in rows],
+            token_tf=[float(r["tf"] or 0.0) for r in rows],
+            token_df=[float(r["df"] or 0.0) for r in rows],
+        )
+
+    def import_dictionary(self, filename, dictionary_name):
+        from bigartm_spark.dictionary import Dictionary
+
+        d = Dictionary(name=dictionary_name, spark=self._spark)
+        d.load(filename)
+        self._dictionaries[dictionary_name] = d
+        return d
+
+    def export_dictionary(self, filename, dictionary_name):
+        self._dictionaries[dictionary_name].save(filename)
+
+    # ------------------------------------------------------------- models
+    def initialize_model(
+        self,
+        model_name=None,
+        topic_names=None,
+        dictionary_name=None,
+        seed=None,
+    ):
+        # the wrapper surface mirrors the C++ InitializeModel, whose
+        # seeded mt19937 init the wrapper tests' goldens pin — use the
+        # bit-exact RNG replica (helpers.cc:79-135), not the portable
+        # generator the DataFrame front door defaults to
+        from bigartm_spark.model.init import initialize_phi_reference
+
+        topics = list(topic_names or self._topic_names)
+        self._topic_names = topics
+        d = self._dictionaries[dictionary_name]
+        phi = initialize_phi_reference(
+            d.df, topics, seed=seed if seed is not None else 0,
+            name=model_name or self._pwt_name,
+        )
+        self._models[model_name or self._pwt_name] = phi.checkpoint()
+        return self._models[model_name or self._pwt_name]
+
+    def merge_model(self, models, nwt, topic_names=None, dictionary_name=None):
+        """models: dict model_name -> weight (master_component.py:609)."""
+        srcs = [(self._models[m], w) for m, w in models.items()]
+        merged = mstep.merge_nwt(srcs, name=nwt)
+        if topic_names is not None:
+            raise NotImplementedError(
+                "merge_model topic_names subsetting: reshape after merge"
+            )
+        self._models[nwt] = merged
+        return merged
+
+    def attach_model(self, model):
+        raise NotImplementedError(
+            "attach_model is a documented non-goal (G9): DataFrames are "
+            "immutable; use get_phi_matrix + overwrite via initialize/import"
+        )
+
+    def export_model(self, model, filename):
+        from bigartm_spark.sources.io import export_model
+
+        export_model(self._models[model], filename)
+
+    def import_model(self, model, filename):
+        from bigartm_spark.sources.io import import_model
+
+        phi = import_model(self._spark, filename)
+        self._models[model] = PhiMatrix(model, phi.topics, phi.compact)
+        return self._models[model]
+
+    # ----------------------------------------------------- scores / regs
+    def create_score(self, name, config, model_name=None):
+        self._scores[name] = config
+        self._score_model[name] = model_name or self._pwt_name
+
+    def reconfigure_score(self, name, config, model_name=None):
+        self.create_score(name, config, model_name)
+
+    def create_regularizer(self, name, config, tau, gamma=None):
+        self._regularizers[name] = self._api_regularizer(name, config, tau, gamma)
+
+    def reconfigure_regularizer(self, name, config=None, tau=None, gamma=None):
+        if config is not None:
+            old_tau = self._regularizers[name].tau
+            self._regularizers[name] = self._api_regularizer(
+                name, config, tau if tau is not None else old_tau, gamma
+            )
+            return
+        if tau is not None:
+            self._regularizers[name].tau = tau
+        if gamma is not None:
+            self._regularizers[name].gamma = gamma
+
+    def _api_regularizer(self, name, config, tau, gamma=None):
+        """Message config -> the package's front-door regularizer class
+        (which owns the engine object)."""
+        from bigartm_spark.model import api
+
+        def names(field):
+            vals = _listify(getattr(config, field, None))
+            return vals or None
+
+        t = type(config).__name__
+        if t == "SmoothSparsePhiConfig":
+            d = (
+                self._dictionaries[config.dictionary_name]
+                if config.dictionary_name
+                else None
+            )
+            return api.SmoothSparsePhiRegularizer(
+                name=name, tau=tau, gamma=gamma,
+                topic_names=names("topic_name"),
+                class_ids=names("class_id"),
+                dictionary=d,
+            )
+        if t == "SmoothSparseThetaConfig":
+            alpha = _listify(getattr(config, "alpha_iter", None)) or None
+            return api.SmoothSparseThetaRegularizer(
+                name=name, tau=tau,
+                topic_names=names("topic_name"),
+                alpha_iter=alpha,
+            )
+        if t == "DecorrelatorPhiConfig":
+            return api.DecorrelatorPhiRegularizer(
+                name=name, tau=tau, gamma=gamma,
+                topic_names=names("topic_name"),
+                class_ids=names("class_id"),
+            )
+        if t == "LabelRegularizationPhiConfig":
+            return api.LabelRegularizationPhiRegularizer(
+                name=name, tau=tau,
+                topic_names=names("topic_name"),
+                class_ids=names("class_id"),
+                dictionary=(
+                    self._dictionaries[config.dictionary_name]
+                    if config.dictionary_name
+                    else None
+                ),
+            )
+        if t == "ImproveCoherencePhiConfig":
+            return api.ImproveCoherencePhiRegularizer(
+                name=name, tau=tau,
+                topic_names=names("topic_name"),
+                class_ids=names("class_id"),
+                # the engine wants the cooc relation of the named dictionary
+                dictionary=(
+                    self._dictionaries[config.dictionary_name].cooc
+                    if config.dictionary_name
+                    else None
+                ),
+            )
+        if t == "TopicSelectionThetaConfig":
+            return api.TopicSelectionThetaRegularizer(
+                name=name, tau=tau, topic_names=names("topic_name")
+            )
+        if t == "SmoothPtdwConfig":
+            return api.SmoothPtdwRegularizer(name=name, tau=tau)
+        raise ValueError(f"unsupported regularizer config {t}")
+
+    # ------------------------------------------------------------ E-step
+    def clear_score_cache(self):
+        self._score_cache = {}
+
+    def clear_score_array_cache(self):
+        self._score_arrays = {}
+
+    def clear_theta_cache(self):
+        self._theta = None
+
+    def process_batches(
+        self,
+        pwt,
+        nwt=None,
+        num_document_passes=None,
+        batches_folder=None,
+        batch_filenames=None,
+        batch_weights=None,
+        reset_scores=None,
+        regularizer_name=None,
+        regularizer_tau=None,
+        class_ids=None,
+        class_weights=None,
+        find_theta=False,
+        transaction_typenames=None,
+        reuse_theta=False,
+        find_ptdw=False,
+        predict_class_id=None,
+        cache_theta=False,
+        theta_matrix_type=None,
+    ):
+        """One E-step over the batch store: nwt out of pwt, cumulative
+        scores summed (master_component.py:478-567 / ProcessBatches)."""
+        docs = self._docs_for(batches_folder, batch_filenames)
+        if reset_scores:
+            self.clear_score_cache()
+        cw = None
+        if class_ids is not None and class_weights is not None:
+            cw = dict(zip(class_ids, class_weights))
+        elif self._class_ids:
+            cw = self._class_ids
+        theta_agents = []
+        for cfg in self._regularizers.values():
+            if getattr(cfg, "_kind", None) == "theta":
+                if hasattr(cfg, "_resolve"):
+                    cfg._resolve(self._models[pwt].topics)
+                theta_agents.append(cfg._engine)
+        want_theta = bool(
+            find_theta
+            or cache_theta
+            or self._cache_theta
+            or theta_matrix_type in ("dense_theta", 1, 2, 3)
+            or any(
+                type(c).__name__ == "ThetaSnippetScoreConfig"
+                for c in self._scores.values()
+            )
+        )
+        phi = self._models[pwt]
+        kernel = estep.process_batches(
+            docs,
+            phi,
+            num_document_passes=(
+                num_document_passes
+                if num_document_passes is not None
+                else self._num_document_passes
+            ),
+            class_weights=cw,
+            theta_agents=theta_agents or None,
+            emit_nwt=nwt is not None,
+            emit_theta=want_theta,
+            compute_scores=True,
+        )
+        if want_theta:
+            kernel = kernel.cache()
+        if nwt is not None:
+            nwt_df = estep.aggregate_nwt(kernel, len(phi.topics))
+            self._models[nwt] = PhiMatrix(
+                nwt, list(phi.topics), nwt_df.localCheckpoint(eager=True)
+            )
+            scores = estep.extract_scores(kernel)
+        else:
+            scores = estep.extract_scores(kernel)
+        if want_theta:
+            self._theta = estep.extract_theta(
+                kernel, phi.topics
+            ).localCheckpoint(eager=True)
+            kernel.unpersist()
+        # accumulate RAW partials (reference score cache semantics: sums
+        # across ProcessBatches calls until clear_score_cache)
+        for k in estep.STANDARD_SCORE_KEYS:
+            if k in scores:
+                self._score_cache[k] = self._score_cache.get(k, 0.0) + scores[k]
+        finalized = self._finalized_scores()
+        for name in self._scores:
+            self._score_arrays.setdefault(name, []).append(
+                self.get_score(name)
+            )
+        return finalized
+
+    def _finalized_scores(self):
+        out = dict(self._score_cache)
+        raw, norm = out.get("perplexity_raw"), out.get("perplexity_normalizer")
+        if raw is not None and norm:
+            out["perplexity"] = math.exp(-raw / norm)
+        if out.get("sparsity_theta_total"):
+            out["sparsity_theta"] = (
+                out["sparsity_theta_zero"] / out["sparsity_theta_total"]
+            )
+        return out
+
+    # ------------------------------------------------------------ M-step
+    def regularize_model(
+        self, pwt, nwt, rwt, regularizer_name, regularizer_tau,
+        regularizer_gamma=None,
+    ):
+        names = _listify(regularizer_name)
+        taus = _listify(regularizer_tau)
+        gammas = _listify(regularizer_gamma) or [None] * len(names)
+        engines = []
+        need_totals = False
+        for n, tau, gamma in zip(names, taus, gammas):
+            cfg = self._regularizers[n]
+            cfg.tau = tau
+            if gamma is not None:
+                cfg.gamma = gamma
+                need_totals = True
+            if getattr(cfg, "_kind", "phi") == "phi":
+                engines.append(cfg._engine)
+        dic = next(iter(self._dictionaries.values())).df if self._dictionaries else None
+        ctx = RegularizeContext(
+            dictionary=dic,
+            topic_totals=(
+                mstep.topic_totals(self._models[nwt]) if need_totals else None
+            ),
+        )
+        self._rwt[rwt] = regularize(
+            self._models[pwt], self._models[nwt], engines, ctx
+        )
+        return self._rwt[rwt]
+
+    def normalize_model(self, pwt, nwt, rwt=None):
+        rwt_df = self._rwt.get(rwt) if rwt is not None else None
+        new_pwt = mstep.normalize(self._models[nwt], rwt_df, name=pwt)
+        old = self._models.get(pwt)
+        self._models[pwt] = new_pwt.checkpoint()
+        if old is not None:
+            try:
+                old.compact.unpersist()
+            except Exception:
+                pass
+        return self._models[pwt]
+
+    # --------------------------------------------------------- fit loops
+    def fit_offline(
+        self, batch_filenames=None, batch_weights=None,
+        num_collection_passes=None, batches_folder=None,
+    ):
+        for _ in range(num_collection_passes or 1):
+            self.clear_score_cache()
+            self.process_batches(
+                self._pwt_name, self._nwt_name,
+                self._num_document_passes,
+                batches_folder=batches_folder,
+                batch_filenames=batch_filenames,
+            )
+            reg_names = [
+                n for n, c in self._regularizers.items()
+                if getattr(c, "_kind", "phi") == "phi"
+            ]
+            rwt = None
+            if reg_names:
+                rwt = "rwt"
+                self.regularize_model(
+                    self._pwt_name, self._nwt_name, rwt, reg_names,
+                    [self._regularizers[n].tau for n in reg_names],
+                )
+            self.normalize_model(self._pwt_name, self._nwt_name, rwt)
+
+    def fit_online(
+        self, batch_filenames=None, batch_weights=None, update_after=None,
+        apply_weight=None, decay_weight=None, asynchronous=False,
+        batches_folder=None, async_=None,
+    ):
+        """Online EM with explicit update points and decay/apply weights
+        (master_component.py:880-932)."""
+        files = list(batch_filenames or [])
+        update_after = list(update_after or [len(files)])
+        apply_weight = list(apply_weight or [1.0] * len(update_after))
+        decay_weight = list(decay_weight or [0.0] * len(update_after))
+        start = 0
+        for upto, aw, dw in zip(update_after, apply_weight, decay_weight):
+            group = files[start:upto]
+            start = upto
+            if not group:
+                continue
+            self.process_batches(
+                self._pwt_name, "_nwt_hat", self._num_document_passes,
+                batch_filenames=group,
+            )
+            hat = self._models.pop("_nwt_hat")
+            cur = self._models.get(self._nwt_name)
+            if cur is not None and dw != 0.0:
+                merged = mstep.merge_nwt(
+                    [(cur, dw), (hat, aw)], name=self._nwt_name
+                )
+            else:
+                merged = mstep.merge_nwt([(hat, aw)], name=self._nwt_name)
+            self._models[self._nwt_name] = PhiMatrix(
+                self._nwt_name, merged.topics,
+                merged.compact.localCheckpoint(eager=True),
+            )
+            self.normalize_model(self._pwt_name, self._nwt_name)
+
+    def transform(
+        self, batches=None, batch_filenames=None, theta_matrix_type=None,
+        batches_folder=None,
+    ):
+        self.process_batches(
+            self._pwt_name, None, self._num_document_passes,
+            batches_folder=batches_folder, batch_filenames=batch_filenames,
+            find_theta=True,
+        )
+        return self.get_theta_matrix()
+
+    # ----------------------------------------------------------- readout
+    def get_score(self, score_name):
+        cfg = self._scores[score_name]
+        t = type(cfg).__name__
+        s = self._finalized_scores()
+        if t == "PerplexityScoreConfig":
+            return SimpleNamespace(
+                value=s.get("perplexity", float("nan")),
+                raw=s.get("perplexity_raw", float("nan")),
+                normalizer=s.get("perplexity_normalizer", float("nan")),
+                zero_words=int(s.get("perplexity_zero_words", 0)),
+            )
+        if t == "SparsityThetaScoreConfig":
+            return SimpleNamespace(
+                value=s.get("sparsity_theta", float("nan")),
+                zero_topics=int(s.get("sparsity_theta_zero", 0)),
+                total_topics=int(s.get("sparsity_theta_total", 0)),
+            )
+        if t == "ItemsProcessedScoreConfig":
+            return SimpleNamespace(value=int(s.get("items_processed", 0)))
+        model = self._models.get(self._score_model[score_name])
+        if t == "SparsityPhiScoreConfig":
+            from bigartm_spark.model.scores import sparsity_phi
+
+            rows = sparsity_phi(
+                model, eps=cfg.eps, class_id=cfg.class_id
+            ).collect()
+            zero = sum(r["zero_count"] for r in rows)
+            total = sum(r["total_count"] for r in rows)
+            return SimpleNamespace(
+                value=(zero / total) if total else float("nan"),
+                zero_tokens=int(zero),
+                total_tokens=int(total),
+            )
+        if t == "TopTokensScoreConfig":
+            from bigartm_spark.operators.topk import top_tokens
+
+            long = model.to_long()
+            if cfg.class_id:
+                long = long.filter(F.col("class_id") == cfg.class_id)
+            rows = (
+                top_tokens(long, k=cfg.num_tokens)
+                .orderBy("topic", "rank")
+                .collect()
+            )
+            order = {t_: i for i, t_ in enumerate(model.topics)}
+            rows.sort(key=lambda r: (order.get(r["topic"], 1 << 30), r["rank"]))
+            return SimpleNamespace(
+                num_entries=len(rows),
+                topic_index=[order[r["topic"]] for r in rows],
+                topic_name=[r["topic"] for r in rows],
+                token=[r["token"] for r in rows],
+                weight=[float(r["value"]) for r in rows],
+            )
+        if t == "ThetaSnippetScoreConfig":
+            from bigartm_spark.model.scores import theta_snippet
+
+            if self._theta is None:
+                raise ValueError(
+                    "ThetaSnippet needs a theta: run process_batches first"
+                )
+            rows = theta_snippet(self._theta, num_items=cfg.num_items).collect()
+            order = {t_: i for i, t_ in enumerate(self._topic_names or [])}
+            per_doc: dict[int, list] = {}
+            for r in rows:
+                per_doc.setdefault(int(r["doc_id"]), []).append(
+                    (order.get(r["topic"], 1 << 30), float(r["value"]))
+                )
+            ids = sorted(per_doc)
+            return SimpleNamespace(
+                item_id=ids,
+                values=[
+                    [v for _, v in sorted(per_doc[i])] for i in ids
+                ],
+            )
+        if t == "TopicMassPhiScoreConfig":
+            from bigartm_spark.model.scores import topic_mass_phi
+
+            rows = topic_mass_phi(model).orderBy("topic").collect()
+            order = {t_: i for i, t_ in enumerate(model.topics)}
+            rows.sort(key=lambda r: order.get(r["topic"], 1 << 30))
+            masses = [float(r["topic_mass"]) for r in rows]
+            return SimpleNamespace(
+                value=float(sum(masses)),
+                topic_name=[r["topic"] for r in rows],
+                topic_mass=masses,
+                topic_ratio=[float(r["topic_ratio"]) for r in rows],
+            )
+        if t == "BackgroundTokensRatioScoreConfig":
+            from bigartm_spark.model.scores import background_tokens_ratio
+
+            rows = background_tokens_ratio(
+                model,
+                delta_threshold=cfg.delta_threshold,
+                direct_kl=cfg.direct_kl,
+            ).collect()
+            bg = [r["token"] for r in rows if r["is_background"]]
+            return SimpleNamespace(
+                value=(len(bg) / len(rows)) if rows else float("nan"),
+                tokens=bg if cfg.save_tokens else [],
+            )
+        raise ValueError(f"unsupported score config {t}")
+
+    def get_score_array(self, score_name):
+        return list(self._score_arrays.get(score_name, []))
+
+    def get_phi_info(self, model):
+        m = self._models[model]
+        rows = m.compact.select("class_id", "token").collect()
+        return SimpleNamespace(
+            token=[r["token"] for r in rows],
+            class_id=[r["class_id"] for r in rows],
+            topic_name=list(m.topics),
+        )
+
+    def get_phi_matrix(
+        self, model, topic_names=None, class_ids=None, use_sparse_format=None
+    ):
+        """pandas (token-index) x topic — the documented deviation from
+        the protobuf TopicModel return."""
+        import pandas as pd
+
+        m = self._models[model]
+        long = m.to_long()
+        if topic_names is not None:
+            long = long.filter(F.col("topic").isin(list(topic_names)))
+        if class_ids is not None:
+            long = long.filter(F.col("class_id").isin(list(class_ids)))
+        pdf = long.toPandas()
+        wide = pdf.pivot_table(
+            index="token", columns="topic", values="value", fill_value=0.0
+        )
+        cols = [t for t in m.topics if t in wide.columns]
+        return wide[cols]
+
+    def get_theta_info(self):
+        if self._theta is None:
+            return SimpleNamespace(item_id=[], topic_name=[])
+        ids = [
+            r["doc_id"]
+            for r in self._theta.select("doc_id").distinct().collect()
+        ]
+        return SimpleNamespace(
+            item_id=sorted(ids), topic_name=list(self._topic_names or [])
+        )
+
+    def get_theta_matrix(self, topic_names=None):
+        import pandas as pd
+
+        if self._theta is None:
+            raise ValueError("no cached theta: run process_batches first")
+        pdf = self._theta.toPandas()
+        wide = pdf.pivot_table(
+            index="doc_id", columns="topic", values="value", fill_value=0.0
+        )
+        if topic_names is not None:
+            wide = wide[[t for t in topic_names if t in wide.columns]]
+        elif self._topic_names:
+            wide = wide[[t for t in self._topic_names if t in wide.columns]]
+        return wide
+
+    def get_info(self):
+        return SimpleNamespace(
+            model=[
+                SimpleNamespace(name=n, num_topics=len(m.topics))
+                for n, m in self._models.items()
+            ],
+            dictionary=[
+                SimpleNamespace(name=n) for n in self._dictionaries
+            ],
+            score=[SimpleNamespace(name=n) for n in self._scores],
+            regularizer=[SimpleNamespace(name=n) for n in self._regularizers],
+        )

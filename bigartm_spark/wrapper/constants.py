@@ -1,0 +1,57 @@
+"""Enum value names of the reference's python/artm/wrapper/constants.py
+(themselves the proto2 enum values of src/artm/messages.proto). Scripts
+ported from the wrapper API reference these by name."""
+
+RegularizerType_SmoothSparseTheta = 0
+RegularizerType_SmoothSparsePhi = 1
+RegularizerType_DecorrelatorPhi = 2
+RegularizerType_MultiLanguagePhi = 3
+RegularizerType_LabelRegularizationPhi = 4
+RegularizerType_SpecifiedSparsePhi = 5
+RegularizerType_ImproveCoherencePhi = 6
+RegularizerType_SmoothPtdw = 7
+RegularizerType_TopicSelectionTheta = 8
+RegularizerType_BitermsPhi = 9
+RegularizerType_HierarchySparsingTheta = 10
+RegularizerType_TopicSegmentationPtdw = 11
+RegularizerType_SmoothTimeInTopicsPhi = 12
+RegularizerType_NetPlsaPhi = 13
+RegularizerType_Unknown = 9999
+
+ScoreType_Perplexity = 0
+ScoreType_SparsityTheta = 1
+ScoreType_SparsityPhi = 2
+ScoreType_ItemsProcessed = 3
+ScoreType_TopTokens = 4
+ScoreType_ThetaSnippet = 5
+ScoreType_TopicKernel = 6
+ScoreType_TopicMassPhi = 7
+ScoreType_ClassPrecision = 8
+ScoreType_PeakMemory = 9
+ScoreType_BackgroundTokensRatio = 10
+ScoreType_Unknown = 9999
+
+PerplexityScoreConfig_Type_UnigramDocumentModel = 0
+PerplexityScoreConfig_Type_UnigramCollectionModel = 1
+
+CollectionParserConfig_CollectionFormat_BagOfWordsUci = 0
+CollectionParserConfig_CollectionFormat_MatrixMarket = 1
+CollectionParserConfig_CollectionFormat_VowpalWabbit = 2
+
+CollectionParserConfig_NameType_Guid = 0
+CollectionParserConfig_NameType_Code = 1
+
+SpecifiedSparsePhiConfig_SparseMode_SparseTopics = 0
+SpecifiedSparsePhiConfig_SparseMode_SparseTokens = 1
+
+ProcessBatchesArgs_ThetaMatrixType_None = 0
+ProcessBatchesArgs_ThetaMatrixType_Dense = 1
+ProcessBatchesArgs_ThetaMatrixType_Sparse = 2
+ProcessBatchesArgs_ThetaMatrixType_Cache = 3
+ProcessBatchesArgs_ThetaMatrixType_DensePtdw = 4
+
+GetTopicModelArgs_RequestType_Pwt = 0
+GetTopicModelArgs_RequestType_Nwt = 1
+
+MatrixLayout_Dense = 0
+MatrixLayout_Sparse = 1

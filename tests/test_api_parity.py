@@ -226,3 +226,53 @@ def test_ctor_parent_model_and_theta_name(spark, docs, fitted):
     for r in rows:
         sums[r["parent_topic"]] = sums.get(r["parent_topic"], 0) + r["value"]
     assert all(abs(v - 1.0) < 1e-6 for v in sums.values())
+
+
+def test_reference_export_list_resolves():
+    """Every name the reference exports from `import artm`
+    (python/artm/__init__.py: artm_model/lda_model/hierarchy_utils/
+    dictionary/regularizers/scores/batches_utils __all__ +
+    MasterComponent + messages) resolves from bigartm_spark — the
+    drop-in-import guarantee."""
+    import bigartm_spark as artm
+
+    names = [
+        # from .artm_model / .lda_model / .hierarchy_utils
+        "ARTM", "version", "load_artm_model", "LDA", "hARTM",
+        # from .dictionary / .batches_utils
+        "Dictionary", "BatchVectorizer",
+        # from .regularizers import *
+        "KlFunctionInfo",
+        "SmoothSparsePhiRegularizer", "SmoothSparseThetaRegularizer",
+        "DecorrelatorPhiRegularizer", "LabelRegularizationPhiRegularizer",
+        "SpecifiedSparsePhiRegularizer", "ImproveCoherencePhiRegularizer",
+        "SmoothPtdwRegularizer", "TopicSelectionThetaRegularizer",
+        "BitermsPhiRegularizer", "HierarchySparsingThetaRegularizer",
+        "TopicSegmentationPtdwRegularizer", "SmoothTimeInTopicsPhiRegularizer",
+        "NetPlsaPhiRegularizer",
+        # from .scores import *
+        "PerplexityScore", "SparsityThetaScore", "SparsityPhiScore",
+        "ItemsProcessedScore", "TopTokensScore", "ThetaSnippetScore",
+        "TopicKernelScore", "TopicMassPhiScore", "ClassPrecisionScore",
+        "BackgroundTokensRatioScore",
+        # low-level wrapper surface
+        "MasterComponent", "messages",
+    ]
+    missing = [n for n in names if getattr(artm, n, None) is None]
+    assert not missing, f"reference exports missing: {missing}"
+    # the reference spelling and the classname spelling are the same class
+    assert artm.hARTM is artm.HARTM
+    # messages is the wrapper message module (Batch with repeated fields)
+    b = artm.messages.Batch()
+    b.token.append("t0")
+    it = b.item.add()
+    it.token_id.append(0)
+    assert list(b.token) == ["t0"] and len(b.item) == 1
+
+
+def test_hartm_reference_spelling_constructs(spark):
+    """`artm.hARTM(...)` — the exact line a reference script writes."""
+    import bigartm_spark as artm
+
+    h = artm.hARTM()
+    assert h.num_levels == 0 or hasattr(h, "levels")
