@@ -226,8 +226,12 @@ class ARTM:
         )
 
     # -- G5 ---------------------------------------------------------------
-    def fit_offline(self, docs, num_collection_passes: int = 1) -> "ARTM":
-        docs = _as_docs(docs)
+    def fit_offline(
+        self, docs=None, num_collection_passes: int = 1, batch_vectorizer=None
+    ) -> "ARTM":
+        # batch_vectorizer= is the reference kwarg spelling
+        # (artm_model.py:570: fit_offline(batch_vectorizer=...))
+        docs = _as_docs(docs if docs is not None else batch_vectorizer)
         if self.pwt is None:
             raise RuntimeError("call initialize(dictionary) first")
         parent = getattr(self, "_parent_model", None)
@@ -343,10 +347,11 @@ class ARTM:
     # -- G6 ---------------------------------------------------------------
     def fit_online(
         self,
-        doc_groups,
+        doc_groups=None,
         tau0: float = 1024.0,
         kappa: float = 0.7,
         update_every: int = 1,
+        batch_vectorizer=None,
     ) -> "ARTM":
         """Online EM: after each batch group, n_wt <- decay*n_wt + apply*n̂;
         rho = (tau0 + t)^-kappa (python/artm/artm_model.py:652-659).
@@ -355,6 +360,8 @@ class ARTM:
         DataFrame / BatchVectorizer — then groups are cut by batch_id
         with update_every batches per group (the reference signature
         fit_online(batch_vectorizer, update_every=...))."""
+        if doc_groups is None:
+            doc_groups = batch_vectorizer  # reference kwarg spelling
         if not isinstance(doc_groups, list):
             from bigartm_spark.streaming.online import split_batch_groups
 
@@ -595,9 +602,10 @@ class ARTM:
     # -- G4 ---------------------------------------------------------------
     def transform(
         self,
-        docs,
+        docs=None,
         theta_matrix_type: str = "dense_theta",
         predict_class_id: str | None = None,
+        batch_vectorizer=None,
     ) -> DataFrame | None:
         """theta for new docs without touching nwt (pure E-step).
         Accepts a docs DataFrame or a BatchVectorizer.
@@ -607,6 +615,8 @@ class ARTM:
         relation (doc_id, pos, topic, value), one row per token position
         in input order; 'cache' — populate self.theta and return it;
         None — run the pass for its side effects only."""
+        if docs is None:
+            docs = batch_vectorizer  # reference kwarg spelling
         if predict_class_id is not None:
             # artm_model.py:982-987: p(c|d) over the target modality's
             # labels instead of theta

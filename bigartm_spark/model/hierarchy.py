@@ -54,22 +54,67 @@ class HARTM:
     fit_offline / get_theta / get_phi / transform / save / load /
     clone / dispose."""
 
-    def __init__(self):
+    def __init__(
+        self,
+        dictionary=None,
+        num_document_passes: int | None = None,
+        cache_theta: bool = True,
+        theta_columns_naming: str = "id",
+        seed: int = 0,
+        tmp_files_path: str | None = None,
+        num_processors: int | None = None,
+        class_ids: dict[str, float] | None = None,
+        reuse_theta: bool | None = None,
+        **_artm_common,
+    ):
+        """Reference ctor kwargs (hierarchy_utils.py:18-60) become the
+        common model args applied to every level created by the
+        deferred add_level style. tmp_files_path is accepted and
+        ignored: parent pseudo-batches are DataFrame unions here, no
+        temp batch files exist."""
         self.levels: list[ARTM] = []
         self._parent_level_weights: list[float] = []
+        self._dictionary = dictionary
+        self._seed = seed
+        self._common = dict(_artm_common)
+        if num_document_passes is not None:
+            self._common["num_document_passes"] = num_document_passes
+        if class_ids is not None:
+            self._common["class_ids"] = class_ids
+        if reuse_theta is not None:
+            self._common["reuse_theta"] = reuse_theta
+        self._common["cache_theta"] = cache_theta
+        self._common["theta_columns_naming"] = theta_columns_naming
 
     def add_level(
         self,
-        docs: DataFrame,
-        dictionary: DataFrame,
-        num_topics: int,
+        docs: DataFrame | None = None,
+        dictionary: DataFrame | None = None,
+        num_topics: int | None = None,
+        topic_names: list[str] | None = None,
         num_collection_passes: int = 1,
         parent_level_weight: float = 1.0,
-        seed: int = 0,
+        seed: int | None = None,
         **artm_kwargs,
     ) -> ARTM:
+        """Two styles, one verb (hierarchy_utils.py:236-292):
+
+        - reference style (``docs`` omitted): create the level and
+          return it UNFITTED — the caller runs ``level.initialize(...)``
+          and ``level.fit_offline(batch_vectorizer=...)``, as reference
+          scripts do;
+        - immediate style (``docs`` given): initialize + parent-wire +
+          fit in one call (this package's original surface).
+        """
         import warnings
 
+        if topic_names is None:
+            if num_topics is None:
+                raise ValueError("give num_topics or topic_names")
+            topic_names = [
+                f"level{len(self.levels)}_topic_{i}" for i in range(num_topics)
+            ]
+        num_topics = len(topic_names)
         if self.levels and num_topics <= self.levels[-1].num_topics:
             # hierarchy_utils.py:262-265: child levels are expected to
             # refine the parent with MORE topics
@@ -77,19 +122,24 @@ class HARTM:
                 f"adding level with num_topics={num_topics} <= parent "
                 f"level's {self.levels[-1].num_topics}"
             )
-        topic_names = [
-            f"level{len(self.levels)}_topic_{i}" for i in range(num_topics)
-        ]
+        kwargs = {**self._common, **artm_kwargs}
+        kwargs.setdefault("cache_theta", True)
         model = ARTM(
-            topic_names=topic_names, seed=seed, cache_theta=True, **artm_kwargs
+            topic_names=topic_names,
+            seed=self._seed if seed is None else seed,
+            **kwargs,
         )
-        model.initialize(dictionary)
-        if self.levels:
+        if self.levels and self.levels[-1].pwt is not None:
             # child wiring (ARTM_Level, hierarchy_utils.py:535-661):
             # fit_offline unions the parent pseudo-batch itself, and the
-            # level answers get_psi() directly
+            # level answers get_psi() directly. A not-yet-fitted parent
+            # defers wiring to HARTM.fit_offline's rewire pass.
             model.set_parent_model(self.levels[-1], parent_level_weight)
-        model.fit_offline(docs, num_collection_passes)
+        if docs is not None:
+            model.initialize(
+                dictionary if dictionary is not None else self._dictionary
+            )
+            model.fit_offline(docs, num_collection_passes)
         self.levels.append(model)
         self._parent_level_weights.append(float(parent_level_weight))
         return model

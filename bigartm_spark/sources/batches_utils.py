@@ -37,7 +37,7 @@ class BatchVectorizer:
 
     def __init__(
         self,
-        spark: SparkSession,
+        spark: SparkSession | None = None,
         data_path: str | list[str] = "",
         data_format: str = "batches",
         collection_name: str | None = None,
@@ -49,6 +49,12 @@ class BatchVectorizer:
         gather_dictionary: bool = True,
         class_ids: list[str] | None = None,
     ):
+        if spark is None:
+            # reference ctor has no session argument
+            # (batches_utils.py:46); default to the package session
+            from bigartm_spark.session import get_spark
+
+            spark = get_spark()
         self.spark = spark
         self.data_path = data_path
         self.batch_size = batch_size
@@ -88,6 +94,11 @@ class BatchVectorizer:
 
             save_batches(docs, target_folder)
             docs = spark.read.parquet(target_folder)
+        if data_format != "batches" and target_folder is not None:
+            # reference batches_utils.py:128: after a non-batch parse,
+            # data_path points at the written batch store (scripts then
+            # call Dictionary.gather(data_path=bv.data_path))
+            self.data_path = target_folder
 
         self.docs = docs
         self._dictionary = None
