@@ -4,10 +4,15 @@ pipelines.
 Media are opaque `binary` columns + typed metadata, processed with
 Arrow-batched mapInPandas (the only sane shape for per-asset Python work
 at scale: batch-size-bounded memory, no driver collect, partition-level
-parallelism). The container has no image/audio libs, so the actual decode
-is STUBBED behind `decode_fn` — a deterministic fake by default,
-`NotImplementedError` if strict — while everything Spark-side (schema,
-batching, partitioning, UDF signatures) is real and tested.
+parallelism). Decode is injected via `decode_fn`:
+
+- `operators/codecs.py` decode_media/resize_media — REAL pure-Python
+  decoders for the uncompressed formats (PPM, 24-bit BMP, WAV-PCM),
+  end-to-end testable in this container;
+- `fake_decode` (default) — deterministic digest-derived stand-in for
+  arbitrary bytes;
+- compressed codecs (JPEG/PNG/MP3/...) raise NotImplementedError until
+  a PIL/ffmpeg-backed decode_fn is injected (no such libs here).
 """
 
 from __future__ import annotations
@@ -52,10 +57,11 @@ def fake_decode(content: bytes, media_type: str, dim: int = 8) -> np.ndarray:
 
 
 def strict_decode(content: bytes, media_type: str, dim: int = 8) -> np.ndarray:
-    raise NotImplementedError(
-        "media decode requires image/audio libraries not present in this "
-        "container; inject a real decode_fn"
-    )
+    """Real decode for in-container codecs (PPM/BMP/WAV-PCM via
+    operators/codecs.py); NotImplementedError for compressed formats."""
+    from bigartm_spark.operators.codecs import decode_media
+
+    return decode_media(content, media_type, dim)
 
 
 def docs_as_media(documents: DataFrame) -> DataFrame:

@@ -44,16 +44,101 @@ sig AS (
 # ------------------------------------------------------------- dedup
 @register(
     "dedup_exact",
-    """
-SELECT md5(text) AS text_md5,
-       CAST(COUNT(*) AS BIGINT) AS n_dups,
-       MIN(doc_id) AS canonical_doc_id
-FROM documents GROUP BY md5(text)
+    f"""
+WITH doc_part AS (
+  SELECT 'doc' AS part, md5(text) AS key,
+         CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS m
+  FROM documents GROUP BY md5(text)
+),
+parts AS (SELECT doc_id, string_split(text, ' ') AS ps FROM documents),
+lines AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, ps[i] AS line
+  FROM parts, UNNEST(range(1, len(ps) + 1)) AS t(i)
+),
+first AS (SELECT line, MIN(ROW(doc_id, pos)) AS f FROM lines GROUP BY line),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line FROM lines l JOIN first fi ON l.line = fi.line
+  WHERE ROW(l.doc_id, l.pos) = fi.f
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id),
+line_part AS (
+  SELECT 'line' AS part,
+         CAST(t.doc_id AS VARCHAR) || ':' || md5(COALESCE(r.text, '')) AS key,
+         CAST(t.n_lines AS BIGINT) AS n,
+         CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS m
+  FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+),
+w AS (SELECT doc_id, {WORDS_SQL} AS ws FROM documents),
+spans AS (
+  SELECT doc_id, CAST(i AS INT) AS start_pos,
+         array_to_string(ws[i:i+2], ' ') AS span
+  FROM w, UNNEST(range(1, GREATEST(len(ws) - 1, 1))) AS t(i)
+),
+per AS (SELECT span, COUNT(DISTINCT doc_id) AS n_docs FROM spans GROUP BY span),
+dup AS (
+  SELECT s.doc_id, s.span FROM spans s JOIN per p ON s.span = p.span
+  WHERE p.n_docs > 1
+),
+span_part AS (
+  SELECT 'span' AS part, CAST(doc_id AS VARCHAR) AS key,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT span) AS BIGINT) AS m
+  FROM dup GROUP BY doc_id
+)
+SELECT * FROM doc_part
+UNION ALL SELECT * FROM line_part
+UNION ALL SELECT * FROM span_part
 """,
 )
 def dedup_exact(spark, sf_dir):
+    """Tagged-union composite over the exact-dedup family — the driver
+    registry sits at its 50-row cap, so the three operators share one
+    row (VERDICT r4 next-round #3):
+
+    - part 'doc'  — whole-document exact dedup (md5 groupBy);
+    - part 'line' — C4-style global first-occurrence line dedup with
+      text reassembly (operators/dedup.py line_dedup; sep=' ' because
+      the synthetic documents are single-line — every word plays the
+      role of a line, exercising the same explode -> min-struct ->
+      join-back plan);
+    - part 'span' — cross-document duplicate token spans (rolling-hash
+      approximation of suffix-array substring dedup), aggregated per
+      doc: n = dup-span occurrences, m = distinct dup spans. Spark
+      counts distinct xxhash64 span hashes, the oracle distinct span
+      texts — equal outside hash collisions.
+    """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.exact_dedup(docs)
+    doc_part = dedup.exact_dedup(docs).select(
+        F.lit("doc").alias("part"),
+        F.col("text_md5").alias("key"),
+        F.col("n_dups").cast("long").alias("n"),
+        F.col("canonical_doc_id").cast("long").alias("m"),
+    )
+    ld = dedup.line_dedup(docs, sep=" ")
+    line_part = ld.select(
+        F.lit("line").alias("part"),
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.md5("text")
+        ).alias("key"),
+        F.col("n_lines").cast("long").alias("n"),
+        F.col("n_kept").cast("long").alias("m"),
+    )
+    spans = dedup.duplicate_spans(docs, span_tokens=3, stride=1)
+    span_part = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("span_hash").cast("long").alias("m"),
+    ).select(
+        F.lit("span").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        "n",
+        "m",
+    )
+    return doc_part.unionByName(line_part).unionByName(span_part)
 
 
 @register(
