@@ -29,6 +29,11 @@ def gather_dictionary(docs: DataFrame, vocab: DataFrame | None = None) -> DataFr
     # two-stage agg instead of countDistinct(doc_id): the Expand that
     # implements a mixed count-distinct doubles the shuffled rows; the
     # per-(token, doc) pre-agg gets map-side combine on occurrence rows
+    from bigartm_spark.session import coalesce_if_small
+
+    # tiny corpus -> 2-partition scan: measured 0.52s -> 0.25s at sf0.1
+    # (task-scheduling floor, SCALE.md); estimate-gated, no count action
+    docs = coalesce_if_small(docs, target=2)
     per_doc = docs.groupBy("class_id", "token", "doc_id").agg(
         F.sum("weight").alias("_w")
     )

@@ -94,3 +94,37 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# ------------------------------------------------------- small-input path
+# A sub-second query on a tiny input pays the full 32-task scheduling +
+# shuffle machinery for nothing: coalescing the scan to 1-2 partitions
+# turns the aggregation into a (near-)single-stage plan (a groupBy over
+# a SinglePartition child needs NO exchange at all). The gate is the
+# Catalyst size ESTIMATE (file footer sizes for scans, accurate bytes
+# for cached relations) — never a count action, so the gate itself is
+# free and the scale path is untouched above the threshold.
+SMALL_INPUT_MAX_BYTES = 64 << 20  # tiny even for one executor
+
+
+def estimated_plan_bytes(df) -> int | None:
+    """Catalyst's sizeInBytes estimate for the plan (driver-side, no
+    job). None when the estimate is unavailable or unparseable."""
+    try:
+        sz = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+    # Catalyst returns Long.MaxValue-ish sentinels for "unknown"
+    return sz if 0 <= sz < (1 << 60) else None
+
+
+def coalesce_if_small(
+    df, target: int = 2, max_bytes: int = SMALL_INPUT_MAX_BYTES
+):
+    """Small-input fast path: coalesce to ``target`` partitions when the
+    plan's size estimate is under ``max_bytes``; unchanged otherwise
+    (including when no estimate exists — unknown means assume big)."""
+    sz = estimated_plan_bytes(df)
+    if sz is not None and sz <= max_bytes:
+        return df.coalesce(target)
+    return df

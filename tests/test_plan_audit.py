@@ -271,3 +271,36 @@ def test_corpus_stats_plan(spark):
     agg_pos = plan.find("HashAggregate")
     win_pos = plan.find("Window")
     assert win_pos != -1 and agg_pos != -1 and win_pos < agg_pos
+
+
+def test_small_input_fast_path_plans(spark):
+    """Estimate-gated small-input path (session.coalesce_if_small):
+    tiny exact_dedup compiles to a NO-exchange single-stage plan; a
+    big-estimate input keeps the parallel one-shuffle plan. The gate is
+    plan statistics — asserting here that it never runs a job."""
+    import re
+
+    from bigartm_spark.operators.dedup import exact_dedup
+    from bigartm_spark.session import coalesce_if_small, estimated_plan_bytes
+
+    import tempfile
+
+    src = tempfile.mkdtemp() + "/docs"
+    spark.createDataFrame(
+        [(i, f"text {i % 3}") for i in range(50)], "doc_id long, text string"
+    ).write.parquet(src)
+    docs = spark.read.parquet(src)  # scan stats = file sizes, no job
+    sz = estimated_plan_bytes(docs)
+    assert sz is not None and 0 < sz < 1 << 20
+    # a driver-local relation has NO stats -> gate must say "assume big"
+    local = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    assert estimated_plan_bytes(local) is None
+    assert coalesce_if_small(local) is local
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    plan = exact_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert len(after) == len(before), "size gate must not run a job"
+    assert not re.search(r"Exchange (hash|range|SinglePartition)", plan), plan
+    # big estimate (forced low threshold) -> untouched plan
+    big = coalesce_if_small(docs, target=1, max_bytes=1)
+    assert big is docs
