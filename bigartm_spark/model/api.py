@@ -111,6 +111,22 @@ class PerplexityScore(BaseScore):
             scoped = self._class_scoped(model)
             if scoped is not None:
                 return scoped
+        if (
+            self.dictionary is not None
+            and "perplexity@coll" in pass_scores
+        ):
+            # UnigramCollectionModel: the kernel emitted the
+            # dictionary-fallback variant alongside the document model
+            return {
+                "value": pass_scores["perplexity@coll"],
+                "raw": pass_scores.get("perplexity_raw@coll", float("nan")),
+                "normalizer": pass_scores.get(
+                    "perplexity_normalizer@coll", float("nan")
+                ),
+                "zero_tokens": pass_scores.get(
+                    "perplexity_zero_words@coll", 0.0
+                ),
+            }
         return {
             "value": pass_scores.get("perplexity", float("nan")),
             "raw": pass_scores.get("perplexity_raw", float("nan")),

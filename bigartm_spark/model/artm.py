@@ -257,6 +257,24 @@ class ARTM:
         estep.release_phi_broadcasts()  # nothing in flight after the loop
         return self
 
+    def _collection_probs(self) -> DataFrame | None:
+        """Dictionary global token frequencies for any attached
+        UnigramCollectionModel perplexity (PerplexityScore(dictionary=...)):
+        (class_id, token, cp) with cp = the gathered token value
+        (tf / class-total tf — the reference's collection model,
+        perplexity.cc:159-239)."""
+        from pyspark.sql import functions as F
+
+        for cfg in getattr(self, "scores", []):
+            d = getattr(cfg, "dictionary", None)
+            if d is not None and type(cfg).__name__ == "PerplexityScore":
+                from bigartm_spark.dictionary import unwrap_dictionary
+
+                return unwrap_dictionary(d).select(
+                    "class_id", "token", F.col("value").alias("cp")
+                )
+        return None
+
     def _resolve_doc_scoped_agents(self, docs: DataFrame) -> None:
         """Resolve doc_titles on attached SmoothSparseTheta configs to
         kernel doc ids against THIS corpus (the kernel rows carry ids,
@@ -319,6 +337,7 @@ class ARTM:
             emit_nwt=True,
             emit_theta=self.cache_theta,
             compute_scores=True,
+            collection_probs=self._collection_probs(),
             broadcast_phi=getattr(self, "_broadcast_phi", True),
             num_buckets=self.num_buckets,
             ptdw_agents=self.ptdw_agents or None,

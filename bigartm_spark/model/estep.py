@@ -288,6 +288,27 @@ def _doc_kernel_factory(
                 "items_processed": float(n_docs),
                 "token_weight": float(w.sum()),
             }
+            if "cp" in pdf.columns:
+                # UnigramCollectionModel variant (perplexity.cc:159-239):
+                # zero-p(w|d) fallback = the dictionary's global token
+                # frequency (the joined cp column); tokens missing from
+                # the dictionary degrade to the document model so the
+                # sum stays finite (the reference skips them via its
+                # zero-words accounting)
+                cp = pd.to_numeric(
+                    pdf["cp"], errors="coerce"
+                ).to_numpy(dtype=np.float64)
+                pzc = z.copy()
+                if zero_mask.any():
+                    fb = np.where(
+                        np.isfinite(cp) & (cp > 0), cp, w / n_d[seg]
+                    )
+                    pzc[zero_mask] = fb[zero_mask]
+                scores["perplexity_raw@coll"] = float(
+                    np.sum(w * np.log(np.maximum(pzc, 1e-300)))
+                )
+                scores["perplexity_normalizer@coll"] = float(w.sum())
+                scores["perplexity_zero_words@coll"] = float(zero_mask.sum())
             for k, v in scores.items():
                 out_kind.append("score")
                 out_key.append(k)
@@ -351,6 +372,7 @@ def process_batches(
     transaction_weights: dict[str, float] | None = None,
     theta_cache: DataFrame | None = None,
     phi_local: tuple | None = None,
+    collection_probs: DataFrame | None = None,
 ) -> DataFrame:
     """One E-step pass over the corpus. Returns the kernel output relation
     (kind, key, class_id, doc_id, pos, values) — callers aggregate it.
@@ -371,6 +393,16 @@ def process_batches(
     docs = apply_class_weights(docs, class_weights)
     need_pos = bool(ptdw_agents) or emit_ptdw
     cols = ["doc_id", "class_id", "token", "weight"]
+    if collection_probs is not None and not transaction_mode:
+        # D7 UnigramCollectionModel: ride the dictionary's global token
+        # frequency through the kernel as a `cp` column (dictionary-sized
+        # broadcast join, left so out-of-dictionary tokens stay scored)
+        docs = docs.join(
+            F.broadcast(collection_probs.select("class_id", "token", "cp")),
+            ["class_id", "token"],
+            "left",
+        )
+        cols.append("cp")
     if need_pos or transaction_mode:
         cols.append("pos")
     if transaction_mode:
@@ -717,6 +749,11 @@ STANDARD_SCORE_KEYS = [
     "sparsity_theta_total",
     "items_processed",
     "token_weight",
+    # emitted only when a collection-model perplexity rides the pass
+    # (null-safe: the Observation drops absent keys)
+    "perplexity_raw@coll",
+    "perplexity_normalizer@coll",
+    "perplexity_zero_words@coll",
 ]
 
 

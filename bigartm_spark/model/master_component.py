@@ -13,16 +13,17 @@ see tests/test_wrapper_port.py for test_01 ported verbatim.
 Deviations (documented):
 - matrices come back as pandas frames (token x topic), not protobuf
   ThetaMatrix/TopicModel messages;
-- PerplexityScoreConfig's UnigramCollectionModel fallback is served by
-  the kernel's document-unigram fallback (the two differ only on
-  zero-p(w|d) tokens and converge together; perplexity.cc:159-239);
+- PerplexityScoreConfig supports both model types: the default
+  document-unigram fallback and (model_type=1 + dictionary_name) the
+  UnigramCollectionModel dictionary fallback, computed in the same
+  kernel pass via a `cp` column (perplexity.cc:159-239); tokens missing
+  from the dictionary degrade to the document model;
 - attach_model is a documented non-goal (G9): Spark DataFrames are
   immutable relations, there is no in-place matrix to alias.
 """
 
 from __future__ import annotations
 
-import math
 from types import SimpleNamespace
 
 from pyspark.sql import functions as F
@@ -443,6 +444,7 @@ class MasterComponent:
             emit_nwt=nwt is not None,
             emit_theta=want_theta,
             compute_scores=True,
+            collection_probs=self._collection_probs(),
         )
         if want_theta:
             kernel = kernel.cache()
@@ -471,16 +473,27 @@ class MasterComponent:
             )
         return finalized
 
+    def _collection_probs(self):
+        """(class_id, token, cp) when any attached PerplexityScoreConfig
+        asks for the UnigramCollectionModel fallback (model_type=1 +
+        dictionary_name)."""
+        for cfg in self._scores.values():
+            if (
+                type(cfg).__name__ == "PerplexityScoreConfig"
+                and getattr(cfg, "model_type", 0) == 1
+                and getattr(cfg, "dictionary_name", None)
+            ):
+                d = self._dictionaries.get(cfg.dictionary_name)
+                if d is not None and d.df is not None:
+                    return d.df.select(
+                        "class_id", "token", F.col("value").alias("cp")
+                    )
+        return None
+
     def _finalized_scores(self):
-        out = dict(self._score_cache)
-        raw, norm = out.get("perplexity_raw"), out.get("perplexity_normalizer")
-        if raw is not None and norm:
-            out["perplexity"] = math.exp(-raw / norm)
-        if out.get("sparsity_theta_total"):
-            out["sparsity_theta"] = (
-                out["sparsity_theta_zero"] / out["sparsity_theta_total"]
-            )
-        return out
+        # same final transforms as the pass scores (handles the @coll
+        # collection-model suffix keys too)
+        return estep._finalize_scores(dict(self._score_cache))
 
     # ------------------------------------------------------------ M-step
     def regularize_model(
@@ -602,11 +615,19 @@ class MasterComponent:
         t = type(cfg).__name__
         s = self._finalized_scores()
         if t == "PerplexityScoreConfig":
+            # model_type=1 (UnigramCollectionModel) reads the kernel's
+            # dictionary-fallback variant when it rode the pass
+            suf = (
+                "@coll"
+                if getattr(cfg, "model_type", 0) == 1
+                and "perplexity@coll" in s
+                else ""
+            )
             return SimpleNamespace(
-                value=s.get("perplexity", float("nan")),
-                raw=s.get("perplexity_raw", float("nan")),
-                normalizer=s.get("perplexity_normalizer", float("nan")),
-                zero_words=int(s.get("perplexity_zero_words", 0)),
+                value=s.get(f"perplexity{suf}", float("nan")),
+                raw=s.get(f"perplexity_raw{suf}", float("nan")),
+                normalizer=s.get(f"perplexity_normalizer{suf}", float("nan")),
+                zero_words=int(s.get(f"perplexity_zero_words{suf}", 0)),
             )
         if t == "SparsityThetaScoreConfig":
             return SimpleNamespace(

@@ -34,6 +34,12 @@ class LibArtm:
 
         self._spark = get_spark()
 
+    def version(self) -> str:
+        """MAJOR.MINOR.PATCH, like ArtmGetVersion (test_12_version.py)."""
+        import bigartm_spark
+
+        return bigartm_spark.__version__
+
     # -- parsing / batches ------------------------------------------------
     def ArtmParseCollection(self, config: dict):
         """CollectionParser dispatch (collection_parser.cc:808-826):

@@ -135,3 +135,85 @@ def test_synthetic_collection_port():
                 assert abs(weight - expected_top_tokens_weight) < top_tokens_tol
     finally:
         shutil.rmtree(batches_folder)
+
+
+def test_version_port():
+    """Reference test_12_version.py with only the import changed."""
+    import bigartm_spark.wrapper as wrapper
+
+    lib = wrapper.LibArtm()
+    versions = lib.version().split(".")
+    assert len(versions) == 3
+    for version in versions:
+        assert version.isdigit()
+
+
+def test_initialize_and_get_phi_port(tmp_path):
+    """Reference test_07_initialize_and_get_phi.py: parse UCI ->
+    gather with vocab file -> df-filter -> initialize -> read phi.
+    PORT edits: synthetic UCI stand-in for the kos download (same
+    blocker as test_hartm_port); get_phi_matrix returns the documented
+    pandas frame instead of an (info, ndarray) pair.
+
+    Corpus df structure is engineered: topical tokens (id < 40) hit
+    exactly 10 docs, background tokens (id >= 40) hit all 100 — so
+    min_df=20/max_df=500 must keep exactly the 20 background tokens."""
+    import os
+
+    import numpy
+    import bigartm_spark.model.master_component as mc
+    import bigartm_spark.wrapper as wrapper
+    import bigartm_spark.wrapper.constants as constants
+
+    data_path = str(tmp_path)
+    num_topics = 10
+    with open(os.path.join(data_path, "docword.syn.txt"), "w") as f:
+        triples = []
+        for item_id in range(100):
+            for token_id in range(60):
+                w = (
+                    10 if token_id < 40 and token_id % 10 == item_id % 10
+                    else ((item_id + token_id) % 5 + 1 if token_id >= 40 else 0)
+                )
+                if w:
+                    triples.append((item_id + 1, token_id + 1, w))
+        f.write(f"100\n60\n{len(triples)}\n")
+        for d, t, w in triples:
+            f.write(f"{d} {t} {w}\n")
+    with open(os.path.join(data_path, "vocab.syn.txt"), "w") as f:
+        for token_id in range(60):
+            f.write(f"token_{token_id}\n")
+
+    batches_folder = str(tmp_path / "batches")
+    lib = wrapper.LibArtm()
+    lib.ArtmParseCollection(
+        {
+            "format": constants.CollectionParserConfig_CollectionFormat_BagOfWordsUci,
+            "docword_file_path": os.path.join(data_path, "docword.syn.txt"),
+            "vocab_file_path": os.path.join(data_path, "vocab.syn.txt"),
+            "target_folder": batches_folder,
+        }
+    )
+
+    master = mc.MasterComponent(lib)
+    master.gather_dictionary(
+        dictionary_target_name="dictionary",
+        data_path=batches_folder,
+        vocab_file_path=os.path.join(data_path, "vocab.syn.txt"),
+    )
+    master.filter_dictionary(
+        dictionary_name="dictionary",
+        dictionary_target_name="dictionary__",
+        max_df=500,
+        min_df=20,
+    )
+    master.initialize_model(
+        model_name="pwt",
+        topic_names=[f"topic_{i}" for i in range(num_topics)],
+        dictionary_name="dictionary__",
+    )
+    info = master.get_phi_info(model="pwt")
+    matrix = master.get_phi_matrix(model="pwt").to_numpy()  # PORT: pandas
+    assert len(info.token) == 20  # the background tokens survive the df gate
+    assert matrix.shape == (20, num_topics)
+    assert numpy.count_nonzero(matrix) == matrix.size
