@@ -1,0 +1,178 @@
+"""MasterComponent shim unit coverage beyond the ported wrapper tests:
+dictionary message round trips, regularized M-step, merge, model
+export/import, fit loops, theta readout, score arrays."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import bigartm_spark.model.master_component as mc
+import bigartm_spark.wrapper.messages_pb2 as messages
+
+
+@pytest.fixture()
+def corpus_folder(spark, tmp_path):
+    from bigartm_spark.sources.io import save_batches
+
+    rows = []
+    for d in range(40):
+        for t in range(12):
+            w = (d + t) % 4 + (3 if t % 4 == d % 4 else 0)
+            if w:
+                rows.append(
+                    (d, str(d), str(d % 3), "@default_class", f"tok{t}",
+                     float(w), t, t, "@default_transaction")
+                )
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, title string, batch_id string, class_id string, "
+        "token string, weight double, pos int, transaction_id int, "
+        "transaction_typename string",
+    )
+    folder = str(tmp_path / "batches")
+    save_batches(docs, folder)
+    return folder
+
+
+def _master(corpus_folder, **kw):
+    scores = kw.pop("scores", {"Ppl": messages.PerplexityScoreConfig()})
+    m = mc.MasterComponent(scores=scores, **kw)
+    m.gather_dictionary(dictionary_target_name="dict", data_path=corpus_folder)
+    m.initialize_model(
+        model_name="pwt", topic_names=["a", "b", "c"], dictionary_name="dict"
+    )
+    return m
+
+
+def test_create_and_get_dictionary_roundtrip(spark):
+    m = mc.MasterComponent()
+    dd = messages.DictionaryData(
+        name="d0",
+        token=["x", "y"],
+        class_id=["@default_class"] * 2,
+        token_value=[0.25, 0.75],
+        token_tf=[1.0, 3.0],
+        token_df=[1.0, 2.0],
+        cooc_first_index=[0],
+        cooc_second_index=[1],
+        cooc_value=[0.5],
+    )
+    m.create_dictionary(dd)
+    out = m.get_dictionary("d0")
+    got = dict(zip(out.token, out.token_value))
+    assert got == {"x": 0.25, "y": 0.75}
+    assert m._dictionaries["d0"].cooc.count() == 1
+
+
+def test_regularize_model_changes_pwt(spark, corpus_folder):
+    m = _master(corpus_folder)
+    m.create_regularizer(
+        "smsp", messages.SmoothSparsePhiConfig(), tau=0.0
+    )
+    m.process_batches("pwt", "nwt", 3, corpus_folder)
+    # tau=0 -> rwt contributes nothing
+    m.regularize_model("pwt", "nwt", "rwt", "smsp", 0.0)
+    base = m.normalize_model("pwt", "nwt", "rwt").compact.collect()
+    # strong smoothing pulls rows toward uniform
+    m.regularize_model("pwt", "nwt", "rwt", "smsp", 50.0)
+    smoothed = m.normalize_model("pwt", "nwt", "rwt").compact.collect()
+    v0 = {(r["token"]): r["values"] for r in base}
+    v1 = {(r["token"]): r["values"] for r in smoothed}
+    assert any(
+        abs(a - b) > 1e-9 for k in v0 for a, b in zip(v0[k], v1[k])
+    )
+    spread0 = np.mean([np.std(v) for v in v0.values()])
+    spread1 = np.mean([np.std(v) for v in v1.values()])
+    assert spread1 < spread0  # smoothing flattens the rows
+
+
+def test_merge_model_weights(spark, corpus_folder):
+    m = _master(corpus_folder)
+    m.process_batches("pwt", "nwt", 2, corpus_folder)
+    m.merge_model({"nwt": 2.0}, nwt="nwt2")
+    a = {r["token"]: r["values"] for r in m._models["nwt"].compact.collect()}
+    b = {r["token"]: r["values"] for r in m._models["nwt2"].compact.collect()}
+    for k in a:
+        np.testing.assert_allclose(np.array(b[k]), 2 * np.array(a[k]), rtol=1e-12)
+
+
+def test_export_import_model_roundtrip(spark, corpus_folder, tmp_path):
+    m = _master(corpus_folder)
+    path = str(tmp_path / "pwt.model")
+    m.export_model("pwt", path)
+    m.import_model("pwt2", path)
+    a = {r["token"]: r["values"] for r in m._models["pwt"].compact.collect()}
+    b = {r["token"]: r["values"] for r in m._models["pwt2"].compact.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], atol=1e-6)  # float32 file
+
+
+def test_fit_offline_decreases_perplexity(spark, corpus_folder):
+    m = _master(corpus_folder)
+    m.fit_offline(batches_folder=corpus_folder, num_collection_passes=4)
+    arr = m.get_score_array("Ppl")
+    assert len(arr) == 4
+    vals = [s.value for s in arr]
+    assert all(np.isfinite(vals))
+    assert vals[-1] <= vals[0]
+
+
+def test_fit_online_update_points(spark, corpus_folder, tmp_path):
+    import os
+    import shutil
+
+    # split the batch store into two folders = two "batch files"
+    m0 = _master(corpus_folder)
+    f1 = str(tmp_path / "g1")
+    f2 = str(tmp_path / "g2")
+    from bigartm_spark.sources.io import load_batches, save_batches
+
+    docs = load_batches(m0._spark, corpus_folder)
+    save_batches(docs.filter("doc_id < 20"), f1)
+    save_batches(docs.filter("doc_id >= 20"), f2)
+
+    m = _master(corpus_folder)
+    m.fit_online(
+        batch_filenames=[f1, f2],
+        update_after=[1, 2],
+        apply_weight=[1.0, 0.5],
+        decay_weight=[0.0, 0.5],
+    )
+    assert "pwt" in m._models and "nwt" in m._models
+    vals = np.array(
+        [v for r in m._models["pwt"].compact.collect() for v in r["values"]]
+    )
+    assert np.isfinite(vals).all() and (vals >= 0).all()
+
+
+def test_transform_and_theta_matrix(spark, corpus_folder):
+    m = _master(corpus_folder)
+    m.fit_offline(batches_folder=corpus_folder, num_collection_passes=1)
+    theta = m.transform(batches_folder=corpus_folder)
+    assert theta.shape == (40, 3)
+    np.testing.assert_allclose(theta.sum(axis=1).to_numpy(), 1.0, atol=1e-9)
+    info = m.get_theta_info()
+    assert len(info.item_id) == 40
+
+
+def test_reconfigure_regularizer_tau(spark, corpus_folder):
+    m = _master(corpus_folder)
+    m.create_regularizer("smsp", messages.SmoothSparsePhiConfig(), tau=1.0)
+    m.reconfigure_regularizer("smsp", tau=-5.0)
+    assert m._regularizers["smsp"].tau == -5.0
+
+
+def test_attach_model_documented_non_goal(spark, corpus_folder):
+    m = _master(corpus_folder)
+    with pytest.raises(NotImplementedError):
+        m.attach_model("pwt")
+
+
+def test_get_info_inventory(spark, corpus_folder):
+    m = _master(corpus_folder)
+    info = m.get_info()
+    assert [x.name for x in info.model] == ["pwt"]
+    assert [x.name for x in info.dictionary] == ["dict"]
+    assert [x.name for x in info.score] == ["Ppl"]
