@@ -256,8 +256,15 @@ class MasterComponent:
         return self._models[model_name or self._pwt_name]
 
     def merge_model(self, models, nwt, topic_names=None, dictionary_name=None):
-        """models: dict model_name -> weight (master_component.py:609)."""
-        srcs = [(self._models[m], w) for m, w in models.items()]
+        """models: dict model_name -> weight (master_component.py:609).
+        Missing source models contribute nothing (the reference's online
+        loop merges a not-yet-created nwt on the first update)."""
+        srcs = [
+            (self._models[m], w) for m, w in models.items()
+            if m in self._models
+        ]
+        if not srcs:
+            raise ValueError(f"merge_model: none of {list(models)} exist")
         merged = mstep.merge_nwt(srcs, name=nwt)
         if topic_names is not None:
             raise NotImplementedError(
@@ -403,9 +410,14 @@ class MasterComponent:
         predict_class_id=None,
         cache_theta=False,
         theta_matrix_type=None,
+        batches=None,
     ):
         """One E-step over the batch store: nwt out of pwt, cumulative
-        scores summed (master_component.py:478-567 / ProcessBatches)."""
+        scores summed (master_component.py:478-567 / ProcessBatches).
+        ``batches`` is the reference's list-of-.batch-file-paths kwarg
+        (an alias of batch_filenames here)."""
+        if batch_filenames is None and batches is not None:
+            batch_filenames = list(batches)
         docs = self._docs_for(batches_folder, batch_filenames)
         if reset_scores:
             self.clear_score_cache()

@@ -45,7 +45,6 @@ class LibArtm:
         """CollectionParser dispatch (collection_parser.cc:808-826):
         UCI / MatrixMarket / VW file -> batch folder on disk."""
         from bigartm_spark.sources import uci, vw
-        from bigartm_spark.sources.io import save_batches
 
         fmt = config.get("format", constants.CollectionParserConfig_CollectionFormat_BagOfWordsUci)
         target = config["target_folder"]
@@ -67,8 +66,26 @@ class LibArtm:
             )
         else:
             raise ValueError(f"unknown collection format {fmt!r}")
-        num_batches = config.get("num_batches")
-        save_batches(docs, target, num_batches=num_batches)
+        nipb = config.get("num_items_per_batch")
+        if nipb:
+            # reference parser semantics: batches of <= nipb items
+            # (collection_parser.cc num_items_per_batch); our long rows
+            # re-key batch_id so the .batch writer groups accordingly
+            from pyspark.sql import functions as Fn
+
+            docs = docs.withColumn(
+                "batch_id",
+                (Fn.col("doc_id") / Fn.lit(int(nipb)))
+                .cast("long")
+                .cast("string"),
+            )
+        # the C++ parser writes one protobuf .batch file per batch —
+        # emit the same layout (write_batch_folder), so ported scripts
+        # that os.listdir() for '*.batch' see what they expect;
+        # load_batches() sniffs the format on read
+        from bigartm_spark.sources.batch_pb import write_batch_folder
+
+        write_batch_folder(docs, target)
         return target
 
     def ArtmSaveBatch(self, disk_path: str, batch) -> None:

