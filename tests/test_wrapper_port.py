@@ -330,3 +330,129 @@ def test_online_algorithm_port(tmp_path):
     top_tokens_score = master.get_score("TopTokens")
     assert top_tokens_score.num_entries > 0
     assert all(0.0 <= w_ <= 1.0 for w_ in top_tokens_score.weight)
+
+
+def test_master_model_api_port(tmp_path):
+    """Reference test_11_master_model_api.py: regularized fit_offline
+    iterations with live score reads + score arrays, then an online
+    update. PORT edits: synthetic UCI corpus (kos download blocked);
+    the kos-pinned score tables become structural assertions — strong
+    decorrelation + sparsifying taus must push phi/theta sparsity UP
+    monotonically-ish while perplexity stays finite and improves."""
+    import glob
+    import os
+
+    import numpy as np
+    import bigartm_spark.model.master_component as mc
+    import bigartm_spark.wrapper as wrapper
+    import bigartm_spark.wrapper.constants as constants
+    import bigartm_spark.wrapper.messages_pb2 as messages
+
+    data_path = str(tmp_path)
+    dictionary_name = "dictionary"
+    pwt, nwt = "pwt", "nwt"
+    smsp_phi_tau = -0.2
+    smsp_theta_tau = -0.1
+    decor_phi_tau = 50  # PORT: kos's 1e6 collapses this tiny corpus to all-zero phi
+    num_topics = 5
+    num_document_passes = 5
+    num_outer_iterations = 4
+
+    with open(os.path.join(data_path, "docword.syn.txt"), "w") as f:
+        triples = []
+        for item_id in range(80):
+            for token_id in range(30):
+                w = (
+                    6 if token_id < 20 and token_id % 5 == item_id % 5
+                    else ((item_id + token_id) % 3 if token_id >= 20 else 0)
+                )
+                if w:
+                    triples.append((item_id + 1, token_id + 1, w))
+        f.write(f"80\n30\n{len(triples)}\n")
+        for d, t, w in triples:
+            f.write(f"{d} {t} {w}\n")
+    with open(os.path.join(data_path, "vocab.syn.txt"), "w") as f:
+        for token_id in range(30):
+            f.write(f"token_{token_id}\n")
+
+    batches_folder = str(tmp_path / "batches")
+    lib = wrapper.LibArtm()
+    lib.ArtmParseCollection(
+        {
+            "format": constants.CollectionParserConfig_CollectionFormat_BagOfWordsUci,
+            "docword_file_path": os.path.join(data_path, "docword.syn.txt"),
+            "vocab_file_path": os.path.join(data_path, "vocab.syn.txt"),
+            "target_folder": batches_folder,
+            "num_items_per_batch": 20,
+        }
+    )
+
+    scores = {
+        "Perplexity": messages.PerplexityScoreConfig(),
+        "SparsityPhi": messages.SparsityPhiScoreConfig(),
+    }
+    master = mc.MasterComponent(
+        lib, scores=scores, num_document_passes=num_document_passes
+    )
+    master.create_score("SparsityTheta", messages.SparsityThetaScoreConfig())
+    master.create_score("TopTokens", messages.TopTokensScoreConfig())
+
+    master.gather_dictionary(
+        dictionary_target_name=dictionary_name,
+        data_path=batches_folder,
+        vocab_file_path=os.path.join(data_path, "vocab.syn.txt"),
+    )
+
+    master.create_regularizer(
+        name="SmoothSparsePhi", config=messages.SmoothSparsePhiConfig(), tau=0.0
+    )
+    master.create_regularizer(
+        name="SmoothSparseTheta",
+        config=messages.SmoothSparseThetaConfig(),
+        tau=0.0,
+    )
+    master.create_regularizer(
+        name="DecorrelatorPhi",
+        config=messages.DecorrelatorPhiConfig(),
+        tau=decor_phi_tau,
+    )
+    master.reconfigure_regularizer(name="SmoothSparsePhi", tau=smsp_phi_tau)
+    master.reconfigure_regularizer(name="SmoothSparseTheta", tau=smsp_theta_tau)
+
+    master.initialize_model(
+        model_name=pwt,
+        topic_names=[f"topic_{i}" for i in range(num_topics)],
+        dictionary_name=dictionary_name,
+    )
+
+    ppl, sp_phi, sp_theta = [], [], []
+    for it in range(num_outer_iterations):
+        master.fit_offline(
+            batches_folder=batches_folder, num_collection_passes=1
+        )
+        ppl.append(master.get_score("Perplexity").value)
+        sp_phi.append(master.get_score("SparsityPhi").value)
+        sp_theta.append(master.get_score("SparsityTheta").value)
+        assert len(master.get_score_array("Perplexity")) == it + 1
+
+    assert all(np.isfinite(ppl))
+    assert ppl[-1] < ppl[0]
+    # sparsifying taus + heavy decorrelation -> sparsity grows
+    assert sp_phi[-1] > sp_phi[0]
+    assert 0.0 <= sp_phi[-1] <= 1.0 and 0.0 <= sp_theta[-1] <= 1.0
+
+    # one online iteration over explicit batch files
+    batch_filenames = glob.glob(os.path.join(batches_folder, "*.batch"))
+    master.fit_online(
+        batch_filenames=batch_filenames,
+        update_after=[len(batch_filenames)],
+        apply_weight=[0.5],
+        decay_weight=[0.5],
+    )
+    assert np.isfinite(master.get_score("Perplexity").value)
+
+    top_tokens_score = master.get_score("TopTokens")
+    assert top_tokens_score.num_entries > 0
+
+    master.clear_score_array_cache()
+    assert master.get_score_array("Perplexity") == []
