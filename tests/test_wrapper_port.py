@@ -456,3 +456,88 @@ def test_master_model_api_port(tmp_path):
 
     master.clear_score_array_cache()
     assert master.get_score_array("Perplexity") == []
+
+
+def test_get_theta_port(tmp_path):
+    """Reference test_06_get_theta.py: ThetaSnippet score, full cached
+    theta readout, and the per-batch theta-with-clear pattern. PORT
+    edits: synthetic corpus; snippet rows are plain float lists (the
+    reference wraps them in FloatArray messages with .value)."""
+    import os
+
+    import numpy
+    import bigartm_spark.model.master_component as mc
+    import bigartm_spark.wrapper as wrapper
+    import bigartm_spark.wrapper.constants as constants
+    import bigartm_spark.wrapper.messages_pb2 as messages
+
+    data_path = str(tmp_path)
+    num_topics = 4
+    total_num_items = 60
+
+    with open(os.path.join(data_path, "docword.syn.txt"), "w") as f:
+        triples = [
+            (d + 1, t + 1, (d + t) % 3 + 1)
+            for d in range(total_num_items)
+            for t in range(15)
+        ]
+        f.write(f"{total_num_items}\n15\n{len(triples)}\n")
+        for d, t, w in triples:
+            f.write(f"{d} {t} {w}\n")
+    with open(os.path.join(data_path, "vocab.syn.txt"), "w") as f:
+        for t in range(15):
+            f.write(f"token_{t}\n")
+
+    batches_folder = str(tmp_path / "batches")
+    lib = wrapper.LibArtm()
+    lib.ArtmParseCollection(
+        {
+            "format": constants.CollectionParserConfig_CollectionFormat_BagOfWordsUci,
+            "docword_file_path": os.path.join(data_path, "docword.syn.txt"),
+            "vocab_file_path": os.path.join(data_path, "vocab.syn.txt"),
+            "target_folder": batches_folder,
+            "num_items_per_batch": 20,
+        }
+    )
+
+    scores = {"ThetaSnippetScore": messages.ThetaSnippetScoreConfig()}
+    master = mc.MasterComponent(lib, scores=scores, cache_theta=True)
+    master.gather_dictionary(
+        dictionary_target_name="dictionary", data_path=batches_folder
+    )
+    master.initialize_model(
+        model_name="pwt",
+        topic_names=[f"topic_{i}" for i in range(num_topics)],
+        dictionary_name="dictionary",
+    )
+    for _ in range(2):
+        master.clear_score_cache()
+        master.process_batches("pwt", "nwt", 1, batches_folder)
+        master.normalize_model("pwt", "nwt")
+
+    # Option 1: snippet of theta for first documents
+    snippet = master.get_score("ThetaSnippetScore")
+    assert len(snippet.item_id) == 10
+    for values in snippet.values:  # PORT: plain lists, not FloatArray
+        assert len(values) == num_topics
+        assert abs(sum(values) - 1.0) < 1e-9
+
+    # Option 2: full cached theta
+    theta_matrix_info = master.get_theta_info()
+    theta_numpy_matrix = master.get_theta_matrix().to_numpy()  # PORT: pandas
+    master.clear_theta_cache()
+    assert numpy.count_nonzero(theta_numpy_matrix) == theta_numpy_matrix.size
+    assert len(theta_matrix_info.item_id) == total_num_items
+
+    # Option 3: theta per batch with a cache clear between batches
+    batches = [
+        os.path.join(batches_folder, n)
+        for n in os.listdir(batches_folder)
+        if os.path.splitext(n)[1] == ".batch"
+    ]
+    seen = 0
+    for batch_filename in batches:
+        master.clear_theta_cache()
+        master.process_batches("pwt", None, 1, batches=[batch_filename])
+        seen += master.get_theta_matrix().shape[0]
+    assert seen == total_num_items
