@@ -128,3 +128,33 @@ def test_level_get_psi_alias(hier):
     for r in psi.collect():
         sums[r["parent_topic"]] = sums.get(r["parent_topic"], 0) + r["value"]
     assert all(abs(v - 1.0) < 1e-6 for v in sums.values())
+
+
+def test_deferred_levels_wire_parent_at_hierarchy_fit(spark, docs):
+    """Reference-style deferred construction: both levels created
+    unfitted (parent not yet fitted when the child is added), then the
+    whole-hierarchy fit_offline wires the parent pseudo-batch at the
+    child's turn (hierarchy_utils.py:340-357 rewire pass)."""
+    from pyspark.sql import functions as F
+
+    from bigartm_spark.model.hierarchy import HARTM
+    from bigartm_spark.operators.dictionary import gather_dictionary
+
+    sub = docs.filter(F.col("doc_id") < 40)
+    d = gather_dictionary(sub)
+    h = HARTM(num_document_passes=2, seed=3)
+    l0 = h.add_level(num_topics=2)
+    l1 = h.add_level(num_topics=3)  # parent unfitted -> wiring deferred
+    assert getattr(l1, "_parent_model", None) is None
+    l0.initialize(d)
+    l1.initialize(d)
+    h.fit_offline(sub, num_collection_passes=1)
+    assert l1._parent_model is l0  # rewired during the hierarchy fit
+    psi = h.psi()
+    rows = psi.collect()
+    assert {r["parent_topic"] for r in rows} == set(l0.topics)
+    sums = (
+        psi.groupBy("parent_topic").agg(F.sum("value").alias("s")).collect()
+    )
+    for r in sums:
+        assert abs(r["s"] - 1.0) < 1e-6
