@@ -736,12 +736,18 @@ class MasterComponent:
         return list(self._score_arrays.get(score_name, []))
 
     def get_phi_info(self, model):
+        """Token/topic inventory of a named matrix. Rows come back
+        sorted by (class_id, token) — a deterministic order where the
+        reference returns its in-memory row order."""
         m = self._models[model]
-        rows = m.compact.select("class_id", "token").collect()
+        rows = m.compact.select("class_id", "token").orderBy(
+            "class_id", "token"
+        ).collect()
         return SimpleNamespace(
             token=[r["token"] for r in rows],
             class_id=[r["class_id"] for r in rows],
             topic_name=list(m.topics),
+            num_topics=len(m.topics),
         )
 
     def get_phi_matrix(

@@ -541,3 +541,63 @@ def test_get_theta_port(tmp_path):
         master.process_batches("pwt", None, 1, batches=[batch_filename])
         seen += master.get_theta_matrix().shape[0]
     assert seen == total_num_items
+
+
+def test_import_export_model_port(tmp_path):
+    """Reference test_08_import_export_model.py with only the imports
+    changed (plus the synthetic-corpus PORT substitution): initialize,
+    export, import into a FRESH master, compare token inventories."""
+    import os
+    import uuid
+
+    import bigartm_spark.master_component as mc  # reference module path
+    import bigartm_spark.wrapper as wrapper
+    import bigartm_spark.wrapper.constants as constants
+
+    data_path = str(tmp_path)
+    num_topics = 6
+    with open(os.path.join(data_path, "docword.syn.txt"), "w") as f:
+        triples = [
+            (d + 1, t + 1, (d * t) % 5 + 1)
+            for d in range(30)
+            for t in range(20)
+        ]
+        f.write(f"30\n20\n{len(triples)}\n")
+        for d, t, w in triples:
+            f.write(f"{d} {t} {w}\n")
+    with open(os.path.join(data_path, "vocab.syn.txt"), "w") as f:
+        for t in range(20):
+            f.write(f"token_{t}\n")
+
+    batches_folder = str(tmp_path / "batches")
+    model_filename = os.path.join(str(tmp_path), str(uuid.uuid1()))
+    lib = wrapper.LibArtm()
+    lib.ArtmParseCollection(
+        {
+            "format": constants.CollectionParserConfig_CollectionFormat_BagOfWordsUci,
+            "docword_file_path": os.path.join(data_path, "docword.syn.txt"),
+            "vocab_file_path": os.path.join(data_path, "vocab.syn.txt"),
+            "target_folder": batches_folder,
+        }
+    )
+
+    master = mc.MasterComponent(lib)
+    master.gather_dictionary(
+        dictionary_target_name="dictionary",
+        data_path=batches_folder,
+        vocab_file_path=os.path.join(data_path, "vocab.syn.txt"),
+    )
+    master.initialize_model(
+        model_name="pwt",
+        topic_names=[f"topic_{i}" for i in range(num_topics)],
+        dictionary_name="dictionary",
+    )
+    phi_matrix_info = master.get_phi_info(model="pwt")
+
+    master.export_model("pwt", model_filename)
+
+    master_new = mc.MasterComponent(lib)
+    master_new.import_model("pwt", model_filename)
+    phi_matrix_info_new = master_new.get_phi_info(model="pwt")
+    assert phi_matrix_info.token == phi_matrix_info_new.token
+    assert phi_matrix_info_new.num_topics == num_topics
