@@ -796,6 +796,24 @@ class MasterComponent:
             wide = wide[[t for t in self._topic_names if t in wide.columns]]
         return wide
 
+    def dispose(self):
+        """Release cached corpus relations and named matrices (the G14
+        lifecycle verb; ARTM.dispose parity for the wrapper surface)."""
+        for df in self._docs_cache.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        for m in self._models.values():
+            try:
+                m.compact.unpersist()
+            except Exception:
+                pass
+        self._docs_cache = {}
+        self._models = {}
+        self._rwt = {}
+        self._theta = None
+
     def get_info(self):
         return SimpleNamespace(
             model=[

@@ -176,3 +176,11 @@ def test_get_info_inventory(spark, corpus_folder):
     assert [x.name for x in info.model] == ["pwt"]
     assert [x.name for x in info.dictionary] == ["dict"]
     assert [x.name for x in info.score] == ["Ppl"]
+
+
+def test_dispose_releases_state(spark, corpus_folder):
+    m = _master(corpus_folder)
+    m.process_batches("pwt", "nwt", 1, corpus_folder)
+    assert m._models and m._docs_cache
+    m.dispose()
+    assert m._models == {} and m._docs_cache == {}
