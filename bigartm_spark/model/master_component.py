@@ -89,6 +89,13 @@ class MasterComponent:
         for name, (cfg, tau) in (regularizers or {}).items():
             self.create_regularizer(name, cfg, tau)
 
+    @property
+    def master_id(self):
+        """The reference's C-side handle is an int; scripts pass it back
+        into lib verbs (`lib.ArtmCreateDictionary(master.master_id, ...)`).
+        Here the master IS the handle, so those lines work unchanged."""
+        return self
+
     # ------------------------------------------------------------ corpus
     def _docs_for(self, batches_folder=None, batch_filenames=None):
         from bigartm_spark.sources.io import load_batches
