@@ -601,3 +601,85 @@ def test_import_export_model_port(tmp_path):
     phi_matrix_info_new = master_new.get_phi_info(model="pwt")
     assert phi_matrix_info.token == phi_matrix_info_new.token
     assert phi_matrix_info_new.num_topics == num_topics
+
+
+def test_concurrency_port(tmp_path):
+    """Reference test_03_concurrency.py: the same fit must produce the
+    same perplexity trajectory regardless of the parallelism knob. PORT
+    edits: synthetic corpus (kos pins are download-blocked); the
+    parallelism axis here is the E-step bucket count (the Spark analog
+    of the reference's processor-thread count), and equality is pinned
+    tightly — results may not depend on partitioning."""
+    import os
+
+    import numpy as np
+    import bigartm_spark.master_component as mc
+    import bigartm_spark.wrapper as wrapper
+    import bigartm_spark.wrapper.constants as constants
+    import bigartm_spark.wrapper.messages_pb2 as messages
+
+    data_path = str(tmp_path)
+    with open(os.path.join(data_path, "docword.syn.txt"), "w") as f:
+        triples = [
+            (d + 1, t + 1, (d * 7 + t * 3) % 5 + 1)
+            for d in range(60)
+            for t in range(25)
+        ]
+        f.write(f"60\n25\n{len(triples)}\n")
+        for d, t, w in triples:
+            f.write(f"{d} {t} {w}\n")
+    with open(os.path.join(data_path, "vocab.syn.txt"), "w") as f:
+        for t in range(25):
+            f.write(f"token_{t}\n")
+
+    batches_folder = str(tmp_path / "batches")
+    lib = wrapper.LibArtm()
+    lib.ArtmParseCollection(
+        {
+            "format": constants.CollectionParserConfig_CollectionFormat_BagOfWordsUci,
+            "docword_file_path": os.path.join(data_path, "docword.syn.txt"),
+            "vocab_file_path": os.path.join(data_path, "vocab.syn.txt"),
+            "target_folder": batches_folder,
+            "num_items_per_batch": 15,
+        }
+    )
+
+    trajectories = []
+    for num_buckets in (2, 8):  # the parallelism axis
+        scores = {"PerplexityScore": messages.PerplexityScoreConfig()}
+        master = mc.MasterComponent(lib, scores=scores)
+        master.gather_dictionary(
+            dictionary_target_name="dictionary", data_path=batches_folder
+        )
+        master.initialize_model(
+            model_name="pwt",
+            topic_names=[f"topic_{i}" for i in range(4)],
+            dictionary_name="dictionary",
+        )
+        traj = []
+        for _ in range(3):
+            master.clear_score_cache()
+            # PORT: num_buckets threads through the kernel grouping
+            from bigartm_spark.model import estep as _estep
+
+            docs = master._docs_for(batches_folder)
+            kernel = _estep.process_batches(
+                docs, master._models["pwt"], num_document_passes=5,
+                compute_scores=True, num_buckets=num_buckets,
+            )
+            from bigartm_spark.model.phi import PhiMatrix
+
+            nwt_df = _estep.aggregate_nwt(kernel, 4)
+            master._models["nwt"] = PhiMatrix(
+                "nwt", list(master._models["pwt"].topics),
+                nwt_df.localCheckpoint(eager=True),
+            )
+            s = _estep.extract_scores(kernel)
+            traj.append(s["perplexity"])
+            master.normalize_model("pwt", "nwt")
+        trajectories.append(traj)
+
+    a, b = trajectories
+    assert all(np.isfinite(a)) and a[-1] < a[0]
+    # identical to float-summation noise across partitionings
+    np.testing.assert_allclose(a, b, rtol=1e-9)
