@@ -433,8 +433,22 @@ class MasterComponent:
             cw = dict(zip(class_ids, class_weights))
         elif self._class_ids:
             cw = self._class_ids
+        # theta-kind regularizers run inside the E-step; an explicit
+        # regularizer_name/tau list (ProcessBatchesArgs) selects and
+        # retunes just those, otherwise every registered theta
+        # regularizer applies at its stored tau
+        if regularizer_name is not None:
+            selected = []
+            for nm, tau in zip(
+                _listify(regularizer_name), _listify(regularizer_tau)
+            ):
+                cfg = self._regularizers[nm]
+                cfg.tau = tau
+                selected.append(cfg)
+        else:
+            selected = list(self._regularizers.values())
         theta_agents = []
-        for cfg in self._regularizers.values():
+        for cfg in selected:
             if getattr(cfg, "_kind", None) == "theta":
                 if hasattr(cfg, "_resolve"):
                     cfg._resolve(self._models[pwt].topics)

@@ -683,3 +683,123 @@ def test_concurrency_port(tmp_path):
     assert all(np.isfinite(a)) and a[-1] < a[0]
     # identical to float-summation noise across partitionings
     np.testing.assert_allclose(a, b, rtol=1e-9)
+
+
+def test_dictionary_port(tmp_path):
+    """Reference test_04_dictionary.py: both perplexity model types side
+    by side (document-unigram + dictionary-fallback collection model),
+    theta regularizer selected per ProcessBatches call, phi regularizer
+    via regularize_model. PORT edits: synthetic corpus; kos trajectory
+    pins become the structural invariants the two models must satisfy."""
+    import os
+
+    import numpy as np
+    import bigartm_spark.master_component as mc
+    import bigartm_spark.wrapper as wrapper
+    import bigartm_spark.wrapper.constants as constants
+    import bigartm_spark.wrapper.messages_pb2 as messages
+
+    data_path = str(tmp_path)
+    dictionary_name = "dictionary"
+    pwt, nwt, rwt = "pwt", "nwt", "rwt"
+    num_topics = 5
+    num_document_passes = 5
+    num_outer_iterations = 4
+    smsp_phi_tau = -0.5
+    smsp_theta_tau = -0.3
+
+    with open(os.path.join(data_path, "docword.syn.txt"), "w") as f:
+        triples = []
+        for item_id in range(60):
+            for token_id in range(25):
+                w = (
+                    5 if token_id < 15 and token_id % 5 == item_id % 5
+                    else ((item_id + token_id) % 3 if token_id >= 15 else 0)
+                )
+                if w:
+                    triples.append((item_id + 1, token_id + 1, w))
+        f.write(f"60\n25\n{len(triples)}\n")
+        for d, t, w in triples:
+            f.write(f"{d} {t} {w}\n")
+    with open(os.path.join(data_path, "vocab.syn.txt"), "w") as f:
+        for token_id in range(25):
+            f.write(f"token_{token_id}\n")
+
+    batches_folder = str(tmp_path / "batches")
+    lib = wrapper.LibArtm()
+    lib.ArtmParseCollection(
+        {
+            "format": constants.CollectionParserConfig_CollectionFormat_BagOfWordsUci,
+            "docword_file_path": os.path.join(data_path, "docword.syn.txt"),
+            "vocab_file_path": os.path.join(data_path, "vocab.syn.txt"),
+            "target_folder": batches_folder,
+        }
+    )
+
+    perplexity_config = messages.PerplexityScoreConfig()
+    perplexity_config.model_type = (
+        constants.PerplexityScoreConfig_Type_UnigramCollectionModel
+    )
+    perplexity_config.dictionary_name = dictionary_name
+
+    scores = {
+        "PerplexityDoc": messages.PerplexityScoreConfig(),
+        "PerplexityCol": perplexity_config,
+    }
+    master = mc.MasterComponent(lib, scores=scores)
+
+    master.gather_dictionary(
+        dictionary_target_name=dictionary_name,
+        data_path=batches_folder,
+        vocab_file_path=os.path.join(data_path, "vocab.syn.txt"),
+    )
+
+    master.create_regularizer(
+        name="SmoothSparsePhi",
+        config=messages.SmoothSparsePhiConfig(dictionary_name=dictionary_name),
+        tau=0.0,
+    )
+    master.create_regularizer(
+        name="SmoothSparseTheta",
+        config=messages.SmoothSparseThetaConfig(),
+        tau=0.0,
+    )
+
+    master.initialize_model(
+        model_name=pwt,
+        topic_names=[f"topic_{i}" for i in range(num_topics)],
+        dictionary_name=dictionary_name,
+    )
+
+    doc_vals, col_vals, zero_words = [], [], []
+    for _it in range(num_outer_iterations):
+        master.clear_score_cache()
+        master.process_batches(
+            pwt=pwt,
+            nwt=nwt,
+            num_document_passes=num_document_passes,
+            batches_folder=batches_folder,
+            regularizer_name=["SmoothSparseTheta"],
+            regularizer_tau=[smsp_theta_tau],
+        )
+        master.regularize_model(pwt, nwt, rwt, ["SmoothSparsePhi"], [smsp_phi_tau])
+        master.normalize_model(pwt, nwt, rwt)
+
+        perplexity_doc_score = master.get_score("PerplexityDoc")
+        perplexity_col_score = master.get_score("PerplexityCol")
+        doc_vals.append(perplexity_doc_score.value)
+        col_vals.append(perplexity_col_score.value)
+        zero_words.append(perplexity_doc_score.zero_words)
+
+    assert all(np.isfinite(doc_vals)) and all(np.isfinite(col_vals))
+    assert doc_vals[-1] < doc_vals[0] and col_vals[-1] < col_vals[0]
+    # PORT invariant: the two model types share everything except the
+    # zero-p(w|d) fallback — equal when no zero words, different otherwise
+    for d, c, z in zip(doc_vals, col_vals, zero_words):
+        if z == 0:
+            assert abs(d - c) < 1e-9
+    assert all(z >= 0 for z in zero_words)
+    # normalizers agree (same pass, same token mass)
+    assert perplexity_doc_score.normalizer == pytest.approx(
+        perplexity_col_score.normalizer
+    )
