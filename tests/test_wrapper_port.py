@@ -803,3 +803,114 @@ def test_dictionary_port(tmp_path):
     assert perplexity_doc_score.normalizer == pytest.approx(
         perplexity_col_score.normalizer
     )
+
+
+def test_regularizers_port(tmp_path):
+    """Reference test_02_regularizers.py: multi-regularizer fit through
+    the explicit process/regularize/normalize verbs — SmoothSparseTheta
+    inside the E-step, SmoothSparsePhi + DecorrelatorPhi in the M-step.
+    PORT edits: synthetic corpus; kos pins become sparsity-direction and
+    improvement invariants."""
+    import os
+
+    import numpy as np
+    import bigartm_spark.master_component as mc
+    import bigartm_spark.wrapper as wrapper
+    import bigartm_spark.wrapper.constants as constants
+    import bigartm_spark.wrapper.messages_pb2 as messages
+
+    data_path = str(tmp_path)
+    dictionary_name = "dictionary"
+    pwt, nwt, rwt = "pwt", "nwt", "rwt"
+    num_topics = 5
+    num_document_passes = 5
+    num_outer_iterations = 4
+
+    with open(os.path.join(data_path, "docword.syn.txt"), "w") as f:
+        triples = []
+        for item_id in range(60):
+            for token_id in range(25):
+                w = (
+                    5 if token_id < 15 and token_id % 5 == item_id % 5
+                    else ((item_id * 3 + token_id) % 3 if token_id >= 15 else 0)
+                )
+                if w:
+                    triples.append((item_id + 1, token_id + 1, w))
+        f.write(f"60\n25\n{len(triples)}\n")
+        for d, t, w in triples:
+            f.write(f"{d} {t} {w}\n")
+    with open(os.path.join(data_path, "vocab.syn.txt"), "w") as f:
+        for token_id in range(25):
+            f.write(f"token_{token_id}\n")
+
+    batches_folder = str(tmp_path / "batches")
+    lib = wrapper.LibArtm()
+    lib.ArtmParseCollection(
+        {
+            "format": constants.CollectionParserConfig_CollectionFormat_BagOfWordsUci,
+            "docword_file_path": os.path.join(data_path, "docword.syn.txt"),
+            "vocab_file_path": os.path.join(data_path, "vocab.syn.txt"),
+            "target_folder": batches_folder,
+        }
+    )
+
+    scores = {
+        "Perplexity": messages.PerplexityScoreConfig(),
+        "SparsityPhi": messages.SparsityPhiScoreConfig(),
+    }
+    master = mc.MasterComponent(lib, scores=scores)
+    master.create_score("SparsityTheta", messages.SparsityThetaScoreConfig())
+    master.create_score("TopTokens", messages.TopTokensScoreConfig())
+
+    master.gather_dictionary(
+        dictionary_target_name=dictionary_name,
+        data_path=batches_folder,
+        vocab_file_path=os.path.join(data_path, "vocab.syn.txt"),
+    )
+    master.create_regularizer(
+        name="SmoothSparsePhi",
+        config=messages.SmoothSparsePhiConfig(dictionary_name=dictionary_name),
+        tau=0.0,
+    )
+    master.create_regularizer(
+        name="SmoothSparseTheta",
+        config=messages.SmoothSparseThetaConfig(),
+        tau=0.0,
+    )
+    master.create_regularizer(
+        name="DecorrelatorPhi", config=messages.DecorrelatorPhiConfig(), tau=0.0
+    )
+    master.initialize_model(
+        model_name=pwt,
+        topic_names=[f"topic_{i}" for i in range(num_topics)],
+        dictionary_name=dictionary_name,
+    )
+
+    ppl, sp_phi, sp_theta = [], [], []
+    for _it in range(num_outer_iterations):
+        master.clear_score_cache()
+        master.process_batches(
+            pwt=pwt,
+            nwt=nwt,
+            num_document_passes=num_document_passes,
+            batches_folder=batches_folder,
+            regularizer_name=["SmoothSparseTheta"],
+            regularizer_tau=[-0.3],
+        )
+        master.regularize_model(
+            pwt, nwt, rwt,
+            ["SmoothSparsePhi", "DecorrelatorPhi"],
+            [-0.5, 25.0],
+        )
+        master.normalize_model(pwt, nwt, rwt)
+        ppl.append(master.get_score("Perplexity").value)
+        sp_phi.append(master.get_score("SparsityPhi").value)
+        sp_theta.append(master.get_score("SparsityTheta").value)
+
+    assert all(np.isfinite(ppl)) and ppl[-1] < ppl[0]
+    # sparsifying phi tau + decorrelation push phi sparsity up
+    assert sp_phi[-1] > sp_phi[0]
+    assert 0.0 <= sp_theta[-1] <= 1.0
+
+    top = master.get_score("TopTokens")
+    assert top.num_entries > 0 and len(top.token) == len(top.weight)
