@@ -396,9 +396,15 @@ def process_batches(
     if collection_probs is not None and not transaction_mode:
         # D7 UnigramCollectionModel: ride the dictionary's global token
         # frequency through the kernel as a `cp` column (dictionary-sized
-        # broadcast join, left so out-of-dictionary tokens stay scored)
+        # broadcast join, left so out-of-dictionary tokens stay scored).
+        # dropDuplicates guards the training stream: a dictionary with
+        # repeated (class_id, token) rows must not fan out corpus rows —
+        # attaching a score can never be allowed to alter n_wt/theta.
         docs = docs.join(
-            F.broadcast(collection_probs.select("class_id", "token", "cp")),
+            F.broadcast(
+                collection_probs.select("class_id", "token", "cp")
+                .dropDuplicates(["class_id", "token"])
+            ),
             ["class_id", "token"],
             "left",
         )

@@ -83,6 +83,7 @@ class MasterComponent:
         self._score_cache: dict[str, float] = {}  # summed raw partials
         self._score_arrays: dict[str, list] = {}
         self._theta = None
+        self._ptdw = None
         self._docs_cache: dict[str, object] = {}
         for name, cfg in (scores or {}).items():
             self.create_score(name, cfg)
@@ -396,6 +397,7 @@ class MasterComponent:
 
     def clear_theta_cache(self):
         self._theta = None
+        self._ptdw = None
 
     def process_batches(
         self,
@@ -418,6 +420,7 @@ class MasterComponent:
         cache_theta=False,
         theta_matrix_type=None,
         batches=None,
+        _apply_registered_theta=False,
     ):
         """One E-step over the batch store: nwt out of pwt, cumulative
         scores summed (master_component.py:478-567 / ProcessBatches).
@@ -435,18 +438,27 @@ class MasterComponent:
             cw = self._class_ids
         # theta-kind regularizers run inside the E-step; an explicit
         # regularizer_name/tau list (ProcessBatchesArgs) selects and
-        # retunes just those, otherwise every registered theta
-        # regularizer applies at its stored tau
+        # retunes just those FOR THIS CALL — the reference's
+        # ProcessBatchesArgs taus are per-call and leave master state
+        # untouched, so the stored tau is restored afterwards. A bare
+        # process_batches applies none (the reference's raw
+        # ProcessBatches runs only explicitly-named theta regularizers);
+        # the fit loops opt back into the registered set via
+        # _apply_registered_theta.
+        restore_taus = []
         if regularizer_name is not None:
             selected = []
             for nm, tau in zip(
                 _listify(regularizer_name), _listify(regularizer_tau)
             ):
                 cfg = self._regularizers[nm]
+                restore_taus.append((cfg, cfg.tau))
                 cfg.tau = tau
                 selected.append(cfg)
-        else:
+        elif _apply_registered_theta:
             selected = list(self._regularizers.values())
+        else:
+            selected = []
         theta_agents = []
         for cfg in selected:
             if getattr(cfg, "_kind", None) == "theta":
@@ -463,37 +475,51 @@ class MasterComponent:
                 for c in self._scores.values()
             )
         )
+        # ThetaMatrixType_DensePtdw (=4) / find_ptdw: emit the flat
+        # p(t|d,w) matrix alongside, cached for get_ptdw_matrix()
+        want_ptdw = bool(find_ptdw) or theta_matrix_type in ("dense_ptdw", 4)
         phi = self._models[pwt]
-        kernel = estep.process_batches(
-            docs,
-            phi,
-            num_document_passes=(
-                num_document_passes
-                if num_document_passes is not None
-                else self._num_document_passes
-            ),
-            class_weights=cw,
-            theta_agents=theta_agents or None,
-            emit_nwt=nwt is not None,
-            emit_theta=want_theta,
-            compute_scores=True,
-            collection_probs=self._collection_probs(),
-        )
-        if want_theta:
-            kernel = kernel.cache()
-        if nwt is not None:
-            nwt_df = estep.aggregate_nwt(kernel, len(phi.topics))
-            self._models[nwt] = PhiMatrix(
-                nwt, list(phi.topics), nwt_df.localCheckpoint(eager=True)
+        try:
+            kernel = estep.process_batches(
+                docs,
+                phi,
+                num_document_passes=(
+                    num_document_passes
+                    if num_document_passes is not None
+                    else self._num_document_passes
+                ),
+                class_weights=cw,
+                theta_agents=theta_agents or None,
+                emit_nwt=nwt is not None,
+                emit_theta=want_theta,
+                emit_ptdw=want_ptdw,
+                compute_scores=True,
+                collection_probs=self._collection_probs(),
             )
-            scores = estep.extract_scores(kernel)
-        else:
-            scores = estep.extract_scores(kernel)
-        if want_theta:
-            self._theta = estep.extract_theta(
-                kernel, phi.topics
-            ).localCheckpoint(eager=True)
-            kernel.unpersist()
+            if want_theta or want_ptdw:
+                kernel = kernel.cache()
+            if nwt is not None:
+                nwt_df = estep.aggregate_nwt(kernel, len(phi.topics))
+                self._models[nwt] = PhiMatrix(
+                    nwt, list(phi.topics), nwt_df.localCheckpoint(eager=True)
+                )
+                scores = estep.extract_scores(kernel)
+            else:
+                scores = estep.extract_scores(kernel)
+            if want_theta:
+                self._theta = estep.extract_theta(
+                    kernel, phi.topics
+                ).localCheckpoint(eager=True)
+            if want_ptdw:
+                self._ptdw = estep.extract_ptdw(
+                    kernel, phi.topics
+                ).localCheckpoint(eager=True)
+            if want_theta or want_ptdw:
+                kernel.unpersist()
+        finally:
+            # per-call ProcessBatchesArgs taus never stick
+            for cfg, stored_tau in restore_taus:
+                cfg.tau = stored_tau
         # accumulate RAW partials (reference score cache semantics: sums
         # across ProcessBatches calls until clear_score_cache)
         for k in estep.STANDARD_SCORE_KEYS:
@@ -538,24 +564,39 @@ class MasterComponent:
         gammas = _listify(regularizer_gamma) or [None] * len(names)
         engines = []
         need_totals = False
+        # RegularizeModelArgs taus/gammas are per-call: apply them for
+        # plan construction (the delta columns bake the literals in
+        # immediately), then restore the registered configs — an
+        # explicit regularize_model call never mutates master state.
+        restore = []
         for n, tau, gamma in zip(names, taus, gammas):
             cfg = self._regularizers[n]
+            restore.append((cfg, cfg.tau, getattr(cfg, "gamma", None)))
             cfg.tau = tau
             if gamma is not None:
                 cfg.gamma = gamma
                 need_totals = True
             if getattr(cfg, "_kind", "phi") == "phi":
                 engines.append(cfg._engine)
-        dic = next(iter(self._dictionaries.values())).df if self._dictionaries else None
-        ctx = RegularizeContext(
-            dictionary=dic,
-            topic_totals=(
-                mstep.topic_totals(self._models[nwt]) if need_totals else None
-            ),
-        )
-        self._rwt[rwt] = regularize(
-            self._models[pwt], self._models[nwt], engines, ctx
-        )
+        try:
+            dic = next(iter(self._dictionaries.values())).df if self._dictionaries else None
+            ctx = RegularizeContext(
+                dictionary=dic,
+                topic_totals=(
+                    mstep.topic_totals(self._models[nwt]) if need_totals else None
+                ),
+            )
+            self._rwt[rwt] = regularize(
+                self._models[pwt], self._models[nwt], engines, ctx
+            )
+        finally:
+            for cfg, stored_tau, stored_gamma in restore:
+                cfg.tau = stored_tau
+                if stored_gamma is not None or getattr(cfg, "gamma", None) is not None:
+                    try:
+                        cfg.gamma = stored_gamma
+                    except Exception:
+                        pass
         return self._rwt[rwt]
 
     def normalize_model(self, pwt, nwt, rwt=None):
@@ -582,6 +623,7 @@ class MasterComponent:
                 self._num_document_passes,
                 batches_folder=batches_folder,
                 batch_filenames=batch_filenames,
+                _apply_registered_theta=True,
             )
             reg_names = [
                 n for n, c in self._regularizers.items()
@@ -616,6 +658,7 @@ class MasterComponent:
             self.process_batches(
                 self._pwt_name, "_nwt_hat", self._num_document_passes,
                 batch_filenames=group,
+                _apply_registered_theta=True,
             )
             hat = self._models.pop("_nwt_hat")
             cur = self._models.get(self._nwt_name)
@@ -775,7 +818,11 @@ class MasterComponent:
         self, model, topic_names=None, class_ids=None, use_sparse_format=None
     ):
         """pandas (token-index) x topic — the documented deviation from
-        the protobuf TopicModel return."""
+        the protobuf TopicModel return. One row per (class_id, token),
+        matching the reference's paired token/class_id arrays
+        (master_component.py:796-826): the same token string in two
+        modalities stays two distinct rows. Single-modality models keep
+        the plain token index for drop-in ports."""
         import pandas as pd
 
         m = self._models[model]
@@ -786,8 +833,14 @@ class MasterComponent:
             long = long.filter(F.col("class_id").isin(list(class_ids)))
         pdf = long.toPandas()
         wide = pdf.pivot_table(
-            index="token", columns="topic", values="value", fill_value=0.0
+            index=["class_id", "token"],
+            columns="topic",
+            values="value",
+            aggfunc="first",
+            fill_value=0.0,
         )
+        if len(wide) and wide.index.get_level_values("class_id").nunique() == 1:
+            wide = wide.droplevel("class_id")
         cols = [t for t in m.topics if t in wide.columns]
         return wide[cols]
 
@@ -817,6 +870,26 @@ class MasterComponent:
             wide = wide[[t for t in self._topic_names if t in wide.columns]]
         return wide
 
+    def get_ptdw_matrix(self, topic_names=None):
+        """Flat p(t|d,w) from the last process_batches(find_ptdw=True)
+        call (ThetaMatrixType_DensePtdw=4; Ptdw matrix
+        messages.proto:651-658): pandas wide frame indexed by
+        (doc_id, pos) with one column per topic."""
+        if self._ptdw is None:
+            raise ValueError(
+                "no cached ptdw: run process_batches(find_ptdw=True) "
+                "or theta_matrix_type='dense_ptdw' first"
+            )
+        pdf = self._ptdw.toPandas()
+        wide = pdf.pivot_table(
+            index=["doc_id", "pos"], columns="topic", values="value",
+            aggfunc="first", fill_value=0.0,
+        )
+        want = topic_names or self._topic_names
+        if want:
+            wide = wide[[t for t in want if t in wide.columns]]
+        return wide
+
     def dispose(self):
         """Release cached corpus relations and named matrices (the G14
         lifecycle verb; ARTM.dispose parity for the wrapper surface)."""
@@ -834,6 +907,7 @@ class MasterComponent:
         self._models = {}
         self._rwt = {}
         self._theta = None
+        self._ptdw = None
 
     def get_info(self):
         return SimpleNamespace(

@@ -55,10 +55,15 @@ lines AS (
   SELECT doc_id, CAST(i - 1 AS INT) AS pos, ps[i] AS line
   FROM parts, UNNEST(range(1, len(ps) + 1)) AS t(i)
 ),
-first AS (SELECT line, MIN(ROW(doc_id, pos)) AS f FROM lines GROUP BY line),
+first AS (
+  SELECT line, MIN(ROW(doc_id, pos)) AS f FROM lines
+  WHERE length(line) >= 1 GROUP BY line
+),
 kept AS (
   SELECT l.doc_id, l.pos, l.line FROM lines l JOIN first fi ON l.line = fi.line
   WHERE ROW(l.doc_id, l.pos) = fi.f
+  UNION ALL
+  SELECT doc_id, pos, line FROM lines WHERE length(line) = 0
 ),
 rebuilt AS (
   SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text,

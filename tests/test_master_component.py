@@ -184,3 +184,117 @@ def test_dispose_releases_state(spark, corpus_folder):
     assert m._models and m._docs_cache
     m.dispose()
     assert m._models == {} and m._docs_cache == {}
+
+
+def test_per_call_tau_leaves_registered_config(spark, corpus_folder):
+    """ProcessBatchesArgs / RegularizeModelArgs taus are per-call in the
+    reference (master_component.py:478-567) — an explicit tau on the
+    call must not overwrite the registered config's stored tau."""
+    m = _master(corpus_folder)
+    m.create_regularizer("ssp", messages.SmoothSparsePhiConfig(), tau=1.5)
+    m.create_regularizer("sst", messages.SmoothSparseThetaConfig(), tau=0.25)
+    m.process_batches(
+        "pwt", "nwt", 2, corpus_folder,
+        regularizer_name="sst", regularizer_tau=-9.0,
+    )
+    assert m._regularizers["sst"].tau == 0.25
+    m.regularize_model("pwt", "nwt", "rwt", "ssp", 42.0)
+    assert m._regularizers["ssp"].tau == 1.5
+
+
+def test_bare_process_batches_skips_registered_theta(spark, corpus_folder):
+    """The reference's raw ProcessBatches applies only explicitly-named
+    theta regularizers; registered ones ride along only through the fit
+    loops. A registered strong sparsifier must not change a bare
+    process_batches E-step."""
+    plain = _master(corpus_folder)
+    plain.process_batches("pwt", "nwt", 2, corpus_folder, find_theta=True)
+    base = plain.get_theta_matrix().to_numpy()
+
+    reg = _master(corpus_folder)
+    reg.create_regularizer("sst", messages.SmoothSparseThetaConfig(), tau=-40.0)
+    reg.process_batches("pwt", "nwt", 2, corpus_folder, find_theta=True)
+    np.testing.assert_allclose(reg.get_theta_matrix().to_numpy(), base, atol=1e-12)
+
+    # explicitly named on the call -> it applies
+    reg.process_batches(
+        "pwt", "nwt", 2, corpus_folder, find_theta=True,
+        regularizer_name="sst", regularizer_tau=-40.0,
+    )
+    assert np.abs(reg.get_theta_matrix().to_numpy() - base).max() > 1e-6
+
+
+def test_find_ptdw_returns_ptdw_matrix(spark, corpus_folder):
+    m = _master(corpus_folder)
+    m.process_batches("pwt", None, 2, corpus_folder, find_ptdw=True)
+    ptdw = m.get_ptdw_matrix()
+    assert ptdw.shape[1] == 3
+    # each (doc, pos) row is a distribution over topics
+    np.testing.assert_allclose(ptdw.sum(axis=1).to_numpy(), 1.0, atol=1e-9)
+    # ThetaMatrixType_DensePtdw (=4) routes the same way
+    m2 = _master(corpus_folder)
+    m2.process_batches("pwt", None, 2, corpus_folder, theta_matrix_type=4)
+    assert m2._ptdw is not None
+
+
+def test_get_phi_matrix_keeps_modalities_separate(spark):
+    """The same token string in two modalities is two rows in the
+    reference's TopicModel return (one (class_id, token) pair each) —
+    the pandas pivot must not average them together."""
+    m = mc.MasterComponent()
+    dd = messages.DictionaryData(
+        name="d0",
+        token=["shared", "shared", "only_a"],
+        class_id=["@class_a", "@class_b", "@class_a"],
+        token_value=[0.3, 0.4, 0.3],
+        token_tf=[3.0, 4.0, 3.0],
+        token_df=[2.0, 2.0, 1.0],
+    )
+    m.create_dictionary(dd)
+    m.initialize_model(
+        model_name="pwt", topic_names=["a", "b"], dictionary_name="d0"
+    )
+    phi = m.get_phi_matrix("pwt")
+    assert len(phi) == 3  # one row per (class_id, token), not 2 merged
+    assert ("@class_a", "shared") in phi.index
+    assert ("@class_b", "shared") in phi.index
+
+
+def test_duplicate_dictionary_rows_cannot_alter_training(spark, corpus_folder):
+    """ADVICE r5 (medium): a UnigramCollectionModel perplexity score whose
+    dictionary carries duplicate (class_id, token) rows must not fan out
+    corpus rows through the cp broadcast join — attaching a score can
+    never change n_wt."""
+    clean = _master(corpus_folder)
+    clean.process_batches("pwt", "nwt", 2, corpus_folder)
+    base = {
+        r["token"]: r["values"]
+        for r in clean._models["nwt"].compact.collect()
+    }
+
+    dup = messages.DictionaryData(
+        name="dupdict",
+        token=[f"tok{t}" for t in range(12)] * 2,  # every row twice
+        class_id=["@default_class"] * 24,
+        token_value=[1.0 / 12] * 24,
+        token_tf=[5.0] * 24,
+        token_df=[5.0] * 24,
+    )
+    scored = _master(
+        corpus_folder,
+        scores={
+            "Ppl": messages.PerplexityScoreConfig(
+                model_type=1, dictionary_name="dupdict"
+            )
+        },
+    )
+    scored.create_dictionary(dup)
+    scored.process_batches("pwt", "nwt", 2, corpus_folder)
+    got = {
+        r["token"]: r["values"]
+        for r in scored._models["nwt"].compact.collect()
+    }
+    assert base.keys() == got.keys()
+    for k in base:
+        np.testing.assert_allclose(got[k], base[k], rtol=1e-9)
+    assert np.isfinite(scored.get_score("Ppl").value)

@@ -16,6 +16,11 @@ DOCS = [
     (2, "shared line two\nshared line one\nepsilon"),
     (3, "shared line one"),  # whole doc is a later duplicate -> empty
     (4, "x\ny\nx"),  # within-doc repeat: second x is a duplicate too
+    # consecutive + trailing separators: zero-length lines are below
+    # min_line_chars=1 and must be kept verbatim, never deduped —
+    # in BOTH engines (ADVICE r5: the oracle previously deduped them)
+    (5, "alpha beta\n\nshared line one\n"),
+    (6, "\n\nzeta"),
 ]
 
 
@@ -44,11 +49,14 @@ lines AS (
   FROM parts, UNNEST(range(1, len(ps) + 1)) AS t(i)
 ),
 first AS (
-  SELECT line, MIN(ROW(doc_id, pos)) AS f FROM lines GROUP BY line
+  SELECT line, MIN(ROW(doc_id, pos)) AS f FROM lines
+  WHERE length(line) >= 1 GROUP BY line
 ),
 kept AS (
   SELECT l.doc_id, l.pos, l.line FROM lines l JOIN first fi ON l.line = fi.line
   WHERE ROW(l.doc_id, l.pos) = fi.f
+  UNION ALL
+  SELECT doc_id, pos, line FROM lines WHERE length(line) = 0
 ),
 rebuilt AS (
   SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
@@ -68,6 +76,10 @@ FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
     assert got[3][0] == ""
     assert got[4][0] == "x\ny"
     assert got[0][0] == DOCS[0][1]  # first occurrences all kept
+    # zero-length lines survive verbatim even when repeated across docs;
+    # the non-empty lines of doc 5 are all later duplicates
+    assert got[5] == ("\n", 4, 2)
+    assert got[6] == ("\n\nzeta", 3, 3)
 
 
 def test_line_dedup_min_line_chars_passthrough(spark, docs_df):
