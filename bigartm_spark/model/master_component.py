@@ -18,14 +18,19 @@ Deviations (documented):
   UnigramCollectionModel dictionary fallback, computed in the same
   kernel pass via a `cp` column (perplexity.cc:159-239); tokens missing
   from the dictionary degrade to the document model;
-- attach_model is a documented non-goal (G9): Spark DataFrames are
-  immutable relations, there is no in-place matrix to alias.
+- attach_model (G9) returns a live driver-side numpy matrix instead of
+  a shared-memory mapping: caller edits are folded into the distributed
+  phi relation before the next read, and master-side writes refresh the
+  same array in place — observably the reference contract, with the
+  same vocab x topics driver footprint the reference's dense mapping
+  implies.
 """
 
 from __future__ import annotations
 
 from types import SimpleNamespace
 
+import numpy as np
 from pyspark.sql import functions as F
 
 from bigartm_spark.model import estep, mstep
@@ -84,6 +89,7 @@ class MasterComponent:
         self._score_arrays: dict[str, list] = {}
         self._theta = None
         self._ptdw = None
+        self._attached: dict[str, dict] = {}  # model -> live numpy view
         self._docs_cache: dict[str, object] = {}
         for name, cfg in (scores or {}).items():
             self.create_score(name, cfg)
@@ -261,6 +267,7 @@ class MasterComponent:
             name=model_name or self._pwt_name,
         )
         self._models[model_name or self._pwt_name] = phi.checkpoint()
+        self._model_written(model_name or self._pwt_name)
         return self._models[model_name or self._pwt_name]
 
     def merge_model(self, models, nwt, topic_names=None, dictionary_name=None):
@@ -268,7 +275,7 @@ class MasterComponent:
         Missing source models contribute nothing (the reference's online
         loop merges a not-yet-created nwt on the first update)."""
         srcs = [
-            (self._models[m], w) for m, w in models.items()
+            (self._model_read(m), w) for m, w in models.items()
             if m in self._models
         ]
         if not srcs:
@@ -279,24 +286,100 @@ class MasterComponent:
                 "merge_model topic_names subsetting: reshape after merge"
             )
         self._models[nwt] = merged
+        self._model_written(nwt)
         return merged
 
     def attach_model(self, model):
-        raise NotImplementedError(
-            "attach_model is a documented non-goal (G9): DataFrames are "
-            "immutable; use get_phi_matrix + overwrite via initialize/import"
+        """Reference AttachModel (G9; master_component.py:639-676 /
+        ArtmAttachModel): returns (info, numpy_matrix) where the matrix
+        is a LIVE dense view of the model — caller edits through the
+        array are folded into the distributed phi relation before the
+        next operation that reads the model, and master-side updates
+        (normalize_model, merge_model, import_model) refresh the same
+        array object in place, mirroring the reference's shared-memory
+        mapping. Scale note: the dense vocab x topics matrix lives on
+        the driver — exactly the footprint the reference's attached
+        mapping implies, so the contract is inherently driver-bounded;
+        everything else in the shim stays distributed."""
+        m = self._model_read(model)
+        pdf = m.compact.toPandas()
+        n_topics = len(m.topics)
+        mat = (
+            np.stack(pdf["values"].to_numpy())
+            if len(pdf)
+            else np.zeros((0, n_topics))
+        ).astype(np.float64)
+        info = SimpleNamespace(
+            name=model,
+            token=list(pdf["token"]),
+            class_id=list(pdf["class_id"]),
+            topic_name=list(m.topics),
+            num_topics=n_topics,
+            num_tokens=len(pdf),
         )
+        self._attached[model] = {
+            "class_id": pdf["class_id"].to_numpy(),
+            "token": pdf["token"].to_numpy(),
+            "mat": mat,
+            "synced": mat.copy(),
+        }
+        return info, mat
+
+    def _model_read(self, name):
+        """Resolve a named model for reading, first folding any pending
+        edits made through an attached numpy view into the phi
+        relation (one driver->cluster ship of the vocab-sized matrix,
+        only when the array actually changed)."""
+        m = self._models[name]
+        st = self._attached.get(name)
+        if st is not None and not np.array_equal(st["mat"], st["synced"]):
+            rows = [
+                (str(c), str(t), [float(x) for x in row])
+                for c, t, row in zip(st["class_id"], st["token"], st["mat"])
+            ]
+            df = self._spark.createDataFrame(
+                rows, "class_id string, token string, values array<double>"
+            )
+            m = PhiMatrix(name, list(m.topics), df.localCheckpoint(eager=True))
+            self._models[name] = m
+            st["synced"] = st["mat"].copy()
+        return m
+
+    def _model_written(self, name):
+        """After master-side writes, refresh an attached numpy view in
+        place (same array object the caller holds) so it keeps tracking
+        the model like the reference's shared mapping. If the model's
+        row set changed shape (re-initialize over a different
+        dictionary), the old view cannot track it — detach."""
+        st = self._attached.get(name)
+        if st is None:
+            return
+        m = self._models[name]
+        pdf = m.compact.toPandas()
+        if len(pdf) != len(st["mat"]):
+            del self._attached[name]
+            return
+        idx = {
+            (c, t): i
+            for i, (c, t) in enumerate(zip(st["class_id"], st["token"]))
+        }
+        for c, t, row in zip(pdf["class_id"], pdf["token"], pdf["values"]):
+            i = idx.get((c, t))
+            if i is not None:
+                st["mat"][i, :] = row
+        st["synced"] = st["mat"].copy()
 
     def export_model(self, model, filename):
         from bigartm_spark.sources.io import export_model
 
-        export_model(self._models[model], filename)
+        export_model(self._model_read(model), filename)
 
     def import_model(self, model, filename):
         from bigartm_spark.sources.io import import_model
 
         phi = import_model(self._spark, filename)
         self._models[model] = PhiMatrix(model, phi.topics, phi.compact)
+        self._model_written(model)
         return self._models[model]
 
     # ----------------------------------------------------- scores / regs
@@ -478,7 +561,7 @@ class MasterComponent:
         # ThetaMatrixType_DensePtdw (=4) / find_ptdw: emit the flat
         # p(t|d,w) matrix alongside, cached for get_ptdw_matrix()
         want_ptdw = bool(find_ptdw) or theta_matrix_type in ("dense_ptdw", 4)
-        phi = self._models[pwt]
+        phi = self._model_read(pwt)
         try:
             kernel = estep.process_batches(
                 docs,
@@ -503,6 +586,7 @@ class MasterComponent:
                 self._models[nwt] = PhiMatrix(
                     nwt, list(phi.topics), nwt_df.localCheckpoint(eager=True)
                 )
+                self._model_written(nwt)
                 scores = estep.extract_scores(kernel)
             else:
                 scores = estep.extract_scores(kernel)
@@ -583,11 +667,11 @@ class MasterComponent:
             ctx = RegularizeContext(
                 dictionary=dic,
                 topic_totals=(
-                    mstep.topic_totals(self._models[nwt]) if need_totals else None
+                    mstep.topic_totals(self._model_read(nwt)) if need_totals else None
                 ),
             )
             self._rwt[rwt] = regularize(
-                self._models[pwt], self._models[nwt], engines, ctx
+                self._model_read(pwt), self._model_read(nwt), engines, ctx
             )
         finally:
             for cfg, stored_tau, stored_gamma in restore:
@@ -601,9 +685,10 @@ class MasterComponent:
 
     def normalize_model(self, pwt, nwt, rwt=None):
         rwt_df = self._rwt.get(rwt) if rwt is not None else None
-        new_pwt = mstep.normalize(self._models[nwt], rwt_df, name=pwt)
+        new_pwt = mstep.normalize(self._model_read(nwt), rwt_df, name=pwt)
         old = self._models.get(pwt)
         self._models[pwt] = new_pwt.checkpoint()
+        self._model_written(pwt)
         if old is not None:
             try:
                 old.compact.unpersist()
@@ -803,7 +888,7 @@ class MasterComponent:
         """Token/topic inventory of a named matrix. Rows come back
         sorted by (class_id, token) — a deterministic order where the
         reference returns its in-memory row order."""
-        m = self._models[model]
+        m = self._model_read(model)
         rows = m.compact.select("class_id", "token").orderBy(
             "class_id", "token"
         ).collect()
@@ -825,7 +910,7 @@ class MasterComponent:
         the plain token index for drop-in ports."""
         import pandas as pd
 
-        m = self._models[model]
+        m = self._model_read(model)
         long = m.to_long()
         if topic_names is not None:
             long = long.filter(F.col("topic").isin(list(topic_names)))
@@ -908,6 +993,7 @@ class MasterComponent:
         self._rwt = {}
         self._theta = None
         self._ptdw = None
+        self._attached = {}
 
     def get_info(self):
         return SimpleNamespace(

@@ -164,10 +164,19 @@ def test_reconfigure_regularizer_tau(spark, corpus_folder):
     assert m._regularizers["smsp"].tau == -5.0
 
 
-def test_attach_model_documented_non_goal(spark, corpus_folder):
+def test_attach_model_live_view(spark, corpus_folder):
+    """G9 AttachModel: edits through the attached numpy array are seen
+    by the next E-step, and master-side writes refresh the same array."""
     m = _master(corpus_folder)
-    with pytest.raises(NotImplementedError):
-        m.attach_model("pwt")
+    info, mat = m.attach_model("pwt")
+    assert mat.shape == (12, 3) and info.num_topics == 3
+    mat[:, 1] = 0.0  # kill topic b through the attached view
+    m.process_batches("pwt", "nwt", 2, corpus_folder, find_theta=True)
+    m.normalize_model("pwt", "nwt")
+    theta = m.get_theta_matrix()
+    assert theta["b"].max() == 0.0
+    # the caller's array object tracked the normalize write
+    assert mat[:, 1].max() == 0.0 and mat.sum() > 0
 
 
 def test_get_info_inventory(spark, corpus_folder):

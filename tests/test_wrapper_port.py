@@ -914,3 +914,93 @@ def test_regularizers_port(tmp_path):
 
     top = master.get_score("TopTokens")
     assert top.num_entries > 0 and len(top.token) == len(top.weight)
+
+
+def test_attach_model_port(tmp_path):
+    """Reference test_10_attach_model.py: attach the pwt matrix, zero
+    one topic's column through the attached numpy array, run EM — the
+    zeroed topic must stay dead in every theta row. PORT edits:
+    synthetic corpus for the kos download; attach_model returns a live
+    driver-side numpy matrix that is re-synced into the distributed phi
+    (the reference hands back a shared-memory mapping); snippet rows
+    are plain float lists."""
+    import os
+
+    import bigartm_spark.model.master_component as mc
+    import bigartm_spark.wrapper as wrapper
+    import bigartm_spark.wrapper.constants as constants
+    import bigartm_spark.wrapper.messages_pb2 as messages
+
+    data_path = str(tmp_path)
+    num_topics = 10
+    num_document_passes = 1
+    num_outer_iterations = 5
+    index_to_zero = 4
+    zero_tol = 1e-37
+
+    with open(os.path.join(data_path, "docword.syn.txt"), "w") as f:
+        triples = [
+            (d + 1, t + 1, (d + t) % 4 + 1)
+            for d in range(50)
+            for t in range(30)
+            if (d + t) % 3
+        ]
+        f.write(f"50\n30\n{len(triples)}\n")
+        for d, t, w in triples:
+            f.write(f"{d} {t} {w}\n")
+    with open(os.path.join(data_path, "vocab.syn.txt"), "w") as f:
+        for t in range(30):
+            f.write(f"token_{t}\n")
+
+    batches_folder = str(tmp_path / "batches")
+    lib = wrapper.LibArtm()
+    lib.ArtmParseCollection(
+        {
+            "format": constants.CollectionParserConfig_CollectionFormat_BagOfWordsUci,
+            "docword_file_path": os.path.join(data_path, "docword.syn.txt"),
+            "vocab_file_path": os.path.join(data_path, "vocab.syn.txt"),
+            "target_folder": batches_folder,
+        }
+    )
+
+    scores = {"ThetaSnippet": messages.ThetaSnippetScoreConfig()}
+    master = mc.MasterComponent(lib, scores=scores)
+    master.gather_dictionary(
+        dictionary_target_name="dictionary",
+        data_path=batches_folder,
+        vocab_file_path=os.path.join(data_path, "vocab.syn.txt"),
+    )
+    master.initialize_model(
+        model_name="pwt",
+        topic_names=[f"topic_{i}" for i in range(num_topics)],
+        dictionary_name="dictionary",
+    )
+
+    # Attach Pwt matrix
+    topic_model, numpy_matrix = master.attach_model("pwt")
+    assert numpy_matrix.shape == (30, num_topics)
+    numpy_matrix[:, index_to_zero] = 0
+
+    # Perform iterations
+    for _it in range(num_outer_iterations):
+        master.clear_score_cache()
+        master.process_batches("pwt", "nwt", num_document_passes, batches_folder)
+        master.normalize_model("pwt", "nwt")
+
+    theta_snippet_score = master.get_score("ThetaSnippet")
+    snippet_tuples = zip(theta_snippet_score.values, theta_snippet_score.item_id)
+    for values, item_id in snippet_tuples:
+        for index, value in enumerate(values):  # PORT: plain lists
+            if index == index_to_zero:
+                assert value < zero_tol
+
+    # PORT extension pinning the live-view contract both ways:
+    # master-side normalize refreshed the SAME array object in place...
+    assert numpy_matrix[:, index_to_zero].max() < zero_tol
+    assert (numpy_matrix.sum(axis=1) > 0).all()  # ...with the new pwt
+    got = master.get_phi_matrix("pwt").to_numpy()
+    import numpy as np
+
+    np.testing.assert_allclose(
+        np.sort(got.sum(axis=1)), np.sort(numpy_matrix.sum(axis=1)), atol=1e-12
+    )
