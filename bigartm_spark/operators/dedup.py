@@ -132,6 +132,41 @@ def _perm_hash(i: int, hash_fn: str) -> F.Column:
     raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
+# xxhash64('') under Spark's fixed seed 42 — an algorithmic constant
+# (the algorithm and seed are part of Spark's stable function contract);
+# pinned against the engine by test_dedup_variants.
+EMPTY_WORD_HASH_XX64 = -7444071767201028348
+
+
+def hashed_words_col(text=None) -> F.Column:
+    """Per-word xxhash64 longs, empty words dropped by removing the
+    empty-string hash (a 2^-64 collision with a real word is below any
+    sketch's error floor) — the numeric-tokenization front end shared by
+    the batch and streaming xxhash64 minhash paths."""
+    if text is None:
+        text = F.col("text")
+    return F.array_remove(
+        F.transform(F.split(text, " "), lambda w: F.xxhash64(w)),
+        EMPTY_WORD_HASH_XX64,
+    )
+
+
+def hashed_shingles_col(hs: F.Column, n: int = 3) -> F.Column:
+    """Shingle hashes as longs: xxhash64 over each run of n consecutive
+    word hashes (no shingle strings ever built). ``hs`` must be a
+    PRE-PROJECTED word-hash array column (``hashed_words_col`` behind a
+    select) — inlining the array expression here would make Catalyst
+    re-evaluate it n times per row (measured 2x slower at sf0.1)."""
+    k = F.size(hs) - (n - 1)
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.xxhash64(*[F.element_at(hs, i + j) for j in range(n)]),
+    )
+
+
 def _minhash_wide(
     documents: DataFrame, n: int = 3, hash_fn: str = "xxhash64"
 ) -> DataFrame:
@@ -141,7 +176,31 @@ def _minhash_wide(
     WITHOUT a distinct: map-side partial aggregation collapses every
     partition to ≤k values per doc before the single shuffle — the
     distinct would itself be a full shuffle of the exploded relation
-    and buys nothing (r1 bench: 12.2s -> this shape)."""
+    and buys nothing (r1 bench: 12.2s -> this shape).
+
+    The xxhash64 production path never materializes shingle STRINGS:
+    words are hashed once to longs (empty words dropped by removing the
+    empty-string hash — a 2^-64 collision with a real word is below the
+    sketch's own error floor), a shingle hash is xxhash64 over the n
+    consecutive word hashes, and permutation i re-hashes that single
+    long — O(|words|) string hashes instead of O(|words| x k) string
+    hashes over n-times-longer concatenations (2.4x end-to-end at
+    sf0.1: 0.85s -> 0.36s). The md5 path keeps string shingles: its hex
+    minima are replayed verbatim by the DuckDB oracle."""
+    if hash_fn == "xxhash64":
+        sh = (
+            _spread(documents)
+            .select("doc_id", hashed_words_col().alias("_hw"))
+            .select(
+                "doc_id",
+                F.explode(hashed_shingles_col(F.col("_hw"), n)).alias("h"),
+            )
+        )
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"_m{i}")
+            for i in range(MINHASH_K)
+        ]
+        return sh.groupBy("doc_id").agg(*aggs)
     sh = doc_shingles(documents, n, distinct=False)
     aggs = [
         F.min(_perm_hash(i, hash_fn)).alias(f"_m{i}") for i in range(MINHASH_K)

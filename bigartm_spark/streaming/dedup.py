@@ -61,12 +61,36 @@ def _row_perm_hash(i: int, shingle: F.Column, hash_fn: str) -> F.Column:
     raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
-def row_minhash_cols(n: int = 3, hash_fn: str = "xxhash64") -> list[F.Column]:
+def row_minhash_cols(
+    n: int = 3, hash_fn: str = "xxhash64", shingle_hashes=None
+) -> list[F.Column]:
     """k per-document minhash columns computed row-locally (no explode,
     no groupBy): min over the doc's shingles of the permutation hash.
-    Value-identical to the batch ``_minhash_wide`` columns; array_min on
-    md5 hex strings is the same lexicographic minimum the batch agg
-    takes."""
+    Value-identical to the batch ``_minhash_wide`` columns.
+
+    md5: string shingles, array_min on hex strings — the same
+    lexicographic minimum the batch agg takes. xxhash64: the batch
+    path's numeric shingles (word-hash runs re-hashed per permutation);
+    pass ``shingle_hashes`` as a PRE-PROJECTED ``hashed_shingles_col``
+    column — referencing the expression inline here would make Catalyst
+    re-evaluate the whole word-hash pipeline k times per row."""
+    if hash_fn == "xxhash64":
+        from bigartm_spark.operators.dedup import (
+            hashed_shingles_col,
+            hashed_words_col,
+        )
+
+        sh = (
+            shingle_hashes
+            if shingle_hashes is not None
+            else hashed_shingles_col(hashed_words_col(), n)
+        )
+        return [
+            F.array_min(
+                F.transform(sh, (lambda i: lambda h: F.xxhash64(F.lit(i), h))(i))
+            ).alias(f"_m{i}")
+            for i in range(MINHASH_K)
+        ]
     sh = shingles_col(n)
 
     def perm(i):
@@ -89,9 +113,32 @@ def band_rows(
     shingle produce no rows (same as batch, where they vanish at the
     explode)."""
     n_bands = MINHASH_K // LSH_BAND_SIZE
-    wide = documents.filter(F.size(shingles_col(n)) >= 1).select(
-        "doc_id", *row_minhash_cols(n, hash_fn)
-    )
+    if hash_fn == "xxhash64":
+        from bigartm_spark.operators.dedup import (
+            hashed_shingles_col,
+            hashed_words_col,
+        )
+
+        # project the numeric shingle hashes ONCE, then take the k
+        # row-local minima over the named column (see row_minhash_cols)
+        wide = (
+            documents.select(
+                "doc_id", hashed_words_col().alias("_hw")
+            )
+            .select(
+                "doc_id",
+                hashed_shingles_col(F.col("_hw"), n).alias("_sh"),
+            )
+            .filter(F.size("_sh") >= 1)
+            .select(
+                "doc_id",
+                *row_minhash_cols(n, hash_fn, shingle_hashes=F.col("_sh")),
+            )
+        )
+    else:
+        wide = documents.filter(F.size(shingles_col(n)) >= 1).select(
+            "doc_id", *row_minhash_cols(n, hash_fn)
+        )
     band_structs = [
         F.struct(
             F.lit(band).alias("band"),

@@ -109,3 +109,31 @@ def test_deduplicate_corpus(spark):
         if r["doc_id"] != r["canonical"]
     }
     assert survivors == exact_canon - dropped
+
+
+def test_empty_word_hash_constant_matches_engine(spark):
+    """EMPTY_WORD_HASH_XX64 is hardcoded (streaming column builders have
+    no session to query) — pin it against the engine so a Spark-side
+    seed/algorithm change can never silently pass empty words into the
+    minhash shingle stream."""
+    from bigartm_spark.operators.dedup import EMPTY_WORD_HASH_XX64
+
+    assert spark.sql("SELECT xxhash64('')").first()[0] == EMPTY_WORD_HASH_XX64
+
+
+def test_minhash_xxhash64_ignores_extra_whitespace(spark):
+    """The numeric-shingle path must tokenize exactly like words_col:
+    runs of spaces produce empty split cells whose hashes are removed,
+    so signatures are invariant to extra/trailing whitespace."""
+    from bigartm_spark.operators.dedup import minhash_signatures
+
+    a = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(0, "  alpha  beta gamma  delta epsilon ")],
+        "doc_id long, text string",
+    )
+    sa = sorted((r.sig_idx, r.minhash) for r in minhash_signatures(a).collect())
+    sb = sorted((r.sig_idx, r.minhash) for r in minhash_signatures(b).collect())
+    assert sa == sb and len(sa) == 8
