@@ -30,7 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
     model = ARTM(num_topics=5, num_document_passes=5, seed=42)
     model.initialize(gather_dictionary(docs))
     model.fit_offline(docs, num_collection_passes=2)
-    return top_tokens(model.get_phi(), k=10)
+    return top_tokens(model.get_phi_long(), k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -62,7 +62,7 @@ def build_parser() -> argparse.ArgumentParser:
         type=float,
         default=0.6,
         help="accepted for parity (srcmain.cc:1852); storage here is "
-        "columnar parquet — sparse retrieval is get_phi(eps=...)",
+        "columnar parquet — sparse retrieval is get_phi_long(eps=...)",
     )
     p.add_argument("--dictionary-min-df", type=float, default=None)
     p.add_argument("--dictionary-max-df", type=float, default=None)

@@ -710,9 +710,15 @@ class BitermsPhiRegularizer(BaseRegularizer):
                  dictionary=None):
         if dictionary is None:
             raise ValueError("BitermsPhiRegularizer needs the cooc dictionary")
+        # reference scripts pass the Dictionary facade
+        # (test_regularizer_biterms.py:97-103); the engine wants its
+        # bundled cooc relation. A raw cooc DataFrame still works.
+        cooc = getattr(dictionary, "cooc", None)
+        if cooc is None:
+            cooc = dictionary
         cls = (class_ids[0] if class_ids else "@default_class")
         eng = _engine.BitermsPhi(
-            tau=tau, cooc=dictionary, class_id=cls, topic_names=topic_names
+            tau=tau, cooc=cooc, class_id=cls, topic_names=topic_names
         )
         super().__init__(name, eng)
 

@@ -73,6 +73,7 @@ class ARTM:
         theta_name: str | None = None,
         parent_model: "ARTM | None" = None,
         parent_model_weight: float | None = None,
+        init_method: str = "reference",
     ):
         """phi_scores: optional {name: callable(PhiMatrix) -> float}
         evaluated on the fresh p_wt after every pass (the non-cumulative
@@ -90,6 +91,13 @@ class ARTM:
         self.topics = topic_names
         self.num_document_passes = num_document_passes
         self.seed = seed
+        # 'reference' = bit-exact replica of the reference's token-hash
+        # mt19937 init (helpers.cc:79-135) — the default, so a ported
+        # reference script reproduces the reference's numbers verbatim
+        # (its default seed=-1 mixes nothing into the hash, same as our
+        # seed=0). 'portable' = the hash-uniform generator the DuckDB
+        # oracle can replay in SQL (used by the oracle-paired plans).
+        self.init_method = init_method
         if class_weights is not None and class_ids is not None:
             raise ValueError("give class_weights or class_ids, not both")
         # class_ids is the reference ctor name (artm_model.py:383-385)
@@ -173,13 +181,28 @@ class ARTM:
 
         dictionary = unwrap_dictionary(dictionary)
         self.dictionary = dictionary.cache()
-        self.pwt = initialize_phi(
-            self.dictionary,
-            self.topics,
-            seed=self.seed,
-            dense_init_rate=dense_init_rate,
-            guaranteed_zeros_rate=guaranteed_zeros_rate,
-        ).cache()
+        use_reference = (
+            getattr(self, "init_method", "reference") == "reference"
+            and dense_init_rate >= 1.0
+            and guaranteed_zeros_rate <= 0.0
+        )
+        if use_reference:
+            # bit-parity with the reference default init (see ctor);
+            # the sparse-init knobs are srcmain CLI flags the portable
+            # generator implements, so they keep that path
+            from bigartm_spark.model.init import initialize_phi_reference
+
+            self.pwt = initialize_phi_reference(
+                self.dictionary, self.topics, seed=self.seed
+            ).cache()
+        else:
+            self.pwt = initialize_phi(
+                self.dictionary,
+                self.topics,
+                seed=self.seed,
+                dense_init_rate=dense_init_rate,
+                guaranteed_zeros_rate=guaranteed_zeros_rate,
+            ).cache()
         # C1 join strategy: broadcast phi while |vocab| x T x 8B fits a
         # generous executor budget; beyond that fall back to a shuffle
         # join on (class_id, token) (AQE handles skew).
@@ -931,15 +954,19 @@ class ARTM:
         return out
 
     # -- retrieval (B6) ----------------------------------------------------
-    def get_phi(
+    def get_phi_long(
         self,
         eps: float | None = None,
         topic_names: list[str] | None = None,
         class_ids: list[str] | None = None,
         tokens: list[str] | None = None,
     ) -> DataFrame:
-        """GetTopicModelArgs filters (phi_matrix_operations.cc:93-190):
-        select by topic / class / token; eps>0 = sparse COO layout."""
+        """The Spark-first phi readout (our extension): the DISTRIBUTED
+        long COO relation (class_id, token, topic, value) with
+        GetTopicModelArgs filters (phi_matrix_operations.cc:93-190) —
+        select by topic / class / token; eps>0 drops near-zeros. Use
+        this for vocabulary-scale pipelines; ``get_phi()`` is the
+        reference-faithful pandas frame and collects to the driver."""
         from pyspark.sql import functions as F
 
         out = self.pwt.to_long(eps=eps)
@@ -950,6 +977,28 @@ class ARTM:
         if tokens is not None:
             out = out.filter(F.col("token").isin(list(tokens)))
         return out
+
+    def get_phi(
+        self,
+        topic_names: list[str] | None = None,
+        class_ids: list[str] | None = None,
+        model_name: str | None = None,
+    ):
+        """Reference get_phi (artm_model.py:787-813): pandas frame with
+        one row per (class_id, token) tuple and one column per topic.
+        Collects the dense matrix to the driver — the reference
+        contract; distributed callers use ``get_phi_long()``."""
+        import pandas as pd
+
+        if isinstance(topic_names, str):
+            topic_names = [topic_names]
+        if isinstance(class_ids, str):
+            class_ids = [class_ids]
+        nd_array, tokens, cols = self.get_phi_dense(
+            topic_names=topic_names, class_ids=class_ids,
+            model_name=model_name,
+        )
+        return pd.DataFrame(data=nd_array, columns=cols, index=tokens)
 
     def get_theta(
         self,
@@ -1080,8 +1129,8 @@ class ARTM:
         """Dense pandas phi, topics as columns (artm_model.py:435-440).
         Collects to the driver — valid for models that fit there (the
         same budget as the broadcast fast path); at larger vocab use
-        get_phi(), which stays distributed."""
-        return self.get_phi_dense()
+        get_phi_long(), which stays distributed."""
+        return self.get_phi()
 
     def get_phi_dense(
         self,
@@ -1089,10 +1138,12 @@ class ARTM:
         class_ids: list[str] | None = None,
         model_name: str | None = None,
     ):
-        """(pandas wide matrix, tokens index, topics columns) —
-        artm_model.py:749-786. Driver-side by contract (reference returns
-        an in-process matrix); distributed callers use get_phi()."""
-        import pandas as pd
+        """Reference get_phi_dense (artm_model.py:749-786): 3-tuple of
+        (nd_array, tokens, topic_names) — data as numpy, rows as
+        (class_id, token) tuples, columns as topic names. Driver-side
+        by contract (the reference returns an in-process matrix);
+        distributed callers use get_phi_long()."""
+        import numpy as np
 
         mat = self._named_matrix(model_name or "p_wt")
         df = mat.compact
@@ -1101,20 +1152,40 @@ class ARTM:
 
             df = df.filter(F.col("class_id").isin(list(class_ids)))
         pdf = df.toPandas()
-        import numpy as np
-
+        # reference row order = the model's internal token order, which
+        # is the dictionary's order at initialize. When the dictionary
+        # was gathered against a vocab file the vocab_order column pins
+        # it (dictionary_operations.cc:336-396) — reference scripts that
+        # index phi positionally (test_regularizer_biterms.py:66-109)
+        # rely on this; without a vocab file the order is arbitrary in
+        # both engines.
+        if (
+            self.dictionary is not None
+            and "vocab_order" in self.dictionary.columns
+        ):
+            order_pdf = self.dictionary.select(
+                "class_id", "token", "vocab_order"
+            ).toPandas()
+            pdf = pdf.merge(order_pdf, on=["class_id", "token"], how="left")
+            pdf = pdf.sort_values(
+                ["vocab_order", "class_id", "token"],
+                na_position="last",
+                kind="mergesort",
+            ).reset_index(drop=True)
         vals = (
             np.stack(pdf["values"].to_numpy())
             if len(pdf)
             else np.zeros((0, len(self.topics)))
         )
-        out = pd.DataFrame(vals, columns=list(self.topics))
-        out.index = pd.MultiIndex.from_arrays(
-            [pdf["class_id"], pdf["token"]], names=["class_id", "token"]
-        )
+        tokens = list(zip(pdf["class_id"], pdf["token"]))
+        cols = list(self.topics)
         if topic_names is not None:
-            out = out[list(topic_names)]
-        return out
+            if isinstance(topic_names, str):
+                topic_names = [topic_names]
+            keep = [i for i, t in enumerate(cols) if t in set(topic_names)]
+            vals = vals[:, keep]
+            cols = [cols[i] for i in keep]
+        return vals, tokens, cols
 
     def get_phi_sparse(
         self,

@@ -75,7 +75,12 @@ class HARTM:
         self.levels: list[ARTM] = []
         self._parent_level_weights: list[float] = []
         self._dictionary = dictionary
-        self._seed = seed
+        # hierarchy_utils.py:78-81: non-positive seed falls back to 321,
+        # and each level gets a DISTINCT derived seed (see _get_seed) —
+        # with the token-hash reference init a child level seeded like
+        # its parent would start with the parent's exact topics, the
+        # degenerate case the reference docs warn about
+        self._seed = seed if seed and seed > 0 else 321
         self._common = dict(_artm_common)
         if num_document_passes is not None:
             self._common["num_document_passes"] = num_document_passes
@@ -124,9 +129,10 @@ class HARTM:
             )
         kwargs = {**self._common, **artm_kwargs}
         kwargs.setdefault("cache_theta", True)
+        # (see _get_seed below for the per-level derivation)
         model = ARTM(
             topic_names=topic_names,
-            seed=self._seed if seed is None else seed,
+            seed=self._get_seed(len(self.levels)) if seed is None else seed,
             **kwargs,
         )
         if self.levels and self.levels[-1].pwt is not None:
@@ -148,6 +154,15 @@ class HARTM:
     @property
     def num_levels(self) -> int:
         return len(self.levels)
+
+    def _get_seed(self, level_idx: int) -> int:
+        """Per-level seed, the reference's exact derivation
+        (hierarchy_utils.py:233-235): numpy seeded with the hierarchy
+        seed, level i takes the i-th draw of randint(10000)."""
+        import numpy as np
+
+        rs = np.random.RandomState(self._seed)
+        return int(rs.randint(10000, size=level_idx + 1)[-1])
 
     def get_level(self, level_idx: int) -> ARTM:
         return self.levels[level_idx]
@@ -230,14 +245,13 @@ class HARTM:
             [m.transform(docs) for m in self.levels],
         )
 
-    def get_phi(
+    def get_phi_long(
         self,
         class_ids: list[str] | None = None,
         model_name: str | None = None,
     ) -> DataFrame:
-        """Level-wise stacked phi, long COO layout with a level column
-        (hierarchy_utils.py:496-521 stacks horizontally in pandas; the
-        long union is the distributed equivalent)."""
+        """Level-wise stacked phi, long COO layout with a level column —
+        the distributed variant of get_phi (our extension)."""
         from functools import reduce
 
         outs = []
@@ -247,6 +261,30 @@ class HARTM:
                 long = long.filter(F.col("class_id").isin(list(class_ids)))
             outs.append(long.withColumn("level", F.lit(idx)))
         return reduce(lambda a, b: a.unionByName(b), outs)
+
+    def get_phi(
+        self,
+        class_ids: list[str] | None = None,
+        model_name: str | None = None,
+    ):
+        """Reference hARTM.get_phi (hierarchy_utils.py:496-521): pandas
+        horizontal concat of every level's phi, columns renamed
+        level<X>_<topic>."""
+        import pandas as pd
+
+        frames = [
+            m.get_phi(class_ids=class_ids, model_name=model_name)
+            for m in self.levels
+        ]
+        phi = pd.concat(frames, axis=1)
+        phi.columns = pd.Series(
+            [
+                f"level{idx}"
+                for idx, m in enumerate(self.levels)
+                for _ in range(len(m.topics))
+            ]
+        ).str.cat(phi.columns, sep="_")
+        return phi
 
     def save(self, path: str) -> None:
         """Save all levels (hierarchy_utils.py:358-380): per level the

@@ -835,11 +835,12 @@ def d2g5_estep_mstep_pass(spark, sf_dir):
     )
 
     model = ARTM(
-        topic_names=list(TOPICS), num_document_passes=1, seed=SEED
+        topic_names=list(TOPICS), num_document_passes=1, seed=SEED,
+        init_method="portable",  # the oracle SQL replays this init
     )
     model.initialize(gather_dictionary(docs))
     model.fit_offline(docs, num_collection_passes=1)
-    pwt_long = model.get_phi().withColumnRenamed("value", "pwt")
+    pwt_long = model.get_phi_long().withColumnRenamed("value", "pwt")
     out = nwt_long.join(pwt_long, ["class_id", "token", "topic"])
     return _r4(_r6(out, "pwt"), "nwt")
 
@@ -865,10 +866,10 @@ def f3_reshape_topics(spark, sf_dir):
     from bigartm_spark.model.artm import ARTM
 
     docs = docs_from_lineitem(spark, sf_dir)
-    model = ARTM(topic_names=list(TOPICS), seed=SEED)
+    model = ARTM(topic_names=list(TOPICS), seed=SEED, init_method="portable")
     model.initialize(gather_dictionary(docs))
     model.reshape_topics(["topic_0", "topic_2", "topic_new"])
-    return _r6(model.get_phi(), "value")
+    return _r6(model.get_phi_long(), "value")
 
 
 

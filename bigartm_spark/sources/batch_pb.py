@@ -210,10 +210,33 @@ def batch_to_rows(buf: bytes, batch_id_fallback: str) -> list[tuple]:
     tokens, classes = b["token"], b["class_id"]
     tt_names = b["transaction_typename"] or [DEFAULT_TRANSACTION]
     batch_id = b["id"] or batch_id_fallback
+    # the reference processor treats every Item as its own document
+    # regardless of item.id (id is reporting metadata; hand-built
+    # batches often leave it at the proto default 0 for every item —
+    # test_regularizer_biterms.py:40-80). Our engine keys the EM by
+    # doc_id, so duplicate ids within a batch would silently MERGE
+    # documents: re-key such batches to a batch-stable unique id and
+    # keep the raw id visible as the title (what the reference shows
+    # as item_id).
+    raw_ids = [it["id"] for it in b["item"]]
+    rekey = len(set(raw_ids)) != len(raw_ids)
+    if rekey:
+        import hashlib
+
+        # 40 hash bits << 20 = 60-bit ids: int64-safe, 2^-40 collision
+        # odds between two re-keyed batches
+        base = (
+            int(
+                hashlib.md5((batch_id or "").encode()).hexdigest()[:10], 16
+            )
+            << 20
+        )
     rows = []
-    for it in b["item"]:
-        doc_id = it["id"]
-        title = it["title"] if it["title"] is not None else str(doc_id)
+    for item_idx, it in enumerate(b["item"]):
+        doc_id = (base + item_idx) if rekey else it["id"]
+        title = (
+            it["title"] if it["title"] is not None else str(it["id"])
+        )
         tids = it["token_id"]
         weights = it["token_weight"] or [1.0] * len(tids)
         tsi = it["transaction_start_index"]

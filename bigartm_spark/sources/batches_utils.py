@@ -92,6 +92,18 @@ class BatchVectorizer:
         if target_folder is not None:
             from bigartm_spark.sources.io import save_batches
 
+            if any(
+                self._under(p, target_folder)
+                for p in paths
+                if isinstance(p, str) and p
+            ):
+                # the reference parser writes .batch files next to the
+                # source file (its own tests use target_folder ==
+                # dirname(data_path)); save_batches overwrites the
+                # folder, so the lazy parse must be materialized BEFORE
+                # its source is clobbered. Gated on the overlap — the
+                # common disjoint-folder path stays zero-copy.
+                docs = docs.localCheckpoint(eager=True)
             save_batches(docs, target_folder)
             docs = spark.read.parquet(target_folder)
         if data_format != "batches" and target_folder is not None:
@@ -103,6 +115,18 @@ class BatchVectorizer:
         self.docs = docs
         self._dictionary = None
         self._gather = gather_dictionary
+
+    @staticmethod
+    def _under(path: str, folder: str) -> bool:
+        """True when ``path`` sits inside ``folder`` (local paths)."""
+        import os
+
+        try:
+            p = os.path.realpath(path)
+            f = os.path.realpath(folder)
+        except (OSError, ValueError):
+            return False
+        return p == f or p.startswith(f.rstrip(os.sep) + os.sep)
 
     def _read_one(self, fmt, path, collection_name, n_wd, vocabulary):
         if fmt == "bow_uci":

@@ -77,6 +77,37 @@ class Batch(Message):
     _REPEATED = ("token", "class_id", "transaction_typename")
     _COMPOSITES = {"item": Item}
 
+    def SerializeToString(self) -> bytes:
+        """Proto2 wire bytes of this batch — reference scripts write
+        `.batch` files with `fout.write(batch.SerializeToString())`."""
+        from bigartm_spark.sources.batch_pb import serialize_batch
+
+        return serialize_batch(batch_to_dict(self))
+
+    def ParseFromString(self, buf: bytes) -> "Batch":
+        from bigartm_spark.sources.batch_pb import parse_batch
+
+        d = parse_batch(buf)
+        self.id = d.get("id")
+        self.description = d.get("description")
+        self.token[:] = d.get("token", [])
+        self.class_id[:] = d.get("class_id", [])
+        self.transaction_typename[:] = d.get("transaction_typename", [])
+        del self.item[:]
+        for it in d.get("item", []):
+            el = self.item.add()
+            el.id = it.get("id", 0)
+            el.title = it.get("title")
+            el.token_id[:] = it.get("token_id", [])
+            el.token_weight[:] = it.get("token_weight", [])
+            el.transaction_start_index[:] = it.get(
+                "transaction_start_index", []
+            )
+            el.transaction_typename_id[:] = it.get(
+                "transaction_typename_id", []
+            )
+        return self
+
 
 def batch_to_dict(batch: Batch) -> dict:
     """Batch message -> the dict shape sources/batch_pb.py serializes."""

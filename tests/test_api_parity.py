@@ -93,9 +93,13 @@ def test_theta_columns_naming_validation_and_title_join(spark, docs, fitted):
 
 
 def test_get_phi_dense_matches_get_phi(fitted):
-    dense = fitted.get_phi_dense()
-    assert list(dense.columns) == TOPICS
-    long_rows = fitted.get_phi().collect()
+    # reference contract: get_phi_dense -> (ndarray, token tuples,
+    # topic names); get_phi -> the same data as a pandas frame
+    nd, tokens, cols = fitted.get_phi_dense()
+    assert cols == TOPICS and nd.shape == (len(tokens), len(TOPICS))
+    dense = fitted.get_phi()
+    assert list(dense.columns) == TOPICS and list(dense.index) == tokens
+    long_rows = fitted.get_phi_long().collect()
     by_key = {
         (r["class_id"], r["token"], r["topic"]): r["value"] for r in long_rows
     }
@@ -104,14 +108,15 @@ def test_get_phi_dense_matches_get_phi(fitted):
         for t in TOPICS:
             assert abs(row[t] - by_key[(cls, tok, t)]) < 1e-12
     # column selection
-    sel = fitted.get_phi_dense(topic_names=["t1"])
-    assert list(sel.columns) == ["t1"]
+    nd1, _, cols1 = fitted.get_phi_dense(topic_names=["t1"])
+    assert cols1 == ["t1"] and nd1.shape[1] == 1
+    assert list(fitted.get_phi(topic_names="t1").columns) == ["t1"]
 
 
 def test_get_phi_sparse_roundtrip(fitted):
     vals, rows, cols, tokens, topics = fitted.get_phi_sparse(eps=1e-9)
     assert topics == TOPICS
-    dense = fitted.get_phi_dense()
+    dense = fitted.get_phi()
     mat = np.zeros((len(tokens), len(topics)))
     mat[rows, cols] = vals
     np.testing.assert_allclose(

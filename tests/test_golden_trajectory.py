@@ -128,7 +128,7 @@ def test_synthetic_determinism(spark, synthetic_docs):
         m.initialize(d)
         m.fit_offline(synthetic_docs, num_collection_passes=2)
         return {
-            (r["token"], r["topic"]): r["value"] for r in m.get_phi().collect()
+            (r["token"], r["topic"]): r["value"] for r in m.get_phi_long().collect()
         }
 
     a, b = run(), run()

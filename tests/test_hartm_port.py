@@ -6,9 +6,8 @@ Edits vs the reference script, each marked `# PORT:`:
 - the downloaded kos corpus is replaced by a deterministic synthetic
   UCI pair written to tmp (the sandbox is offline — documented blocker,
   VERDICT r4 "What's missing" #3);
-- pandas-shape asserts use the documented pandas variants
-  (`get_phi_dense`; reference `get_phi` returns pandas, ours is the
-  distributed DataFrame by design) and psi pivots through pandas;
+- `get_phi` matches the reference pandas return directly (no PORT
+  edit needed anymore); psi pivots through pandas;
 - the python27/python35 RNG-specific psi support constants become
   structural assertions (psi is a proper conditional distribution),
   plus a golden-shape perplexity assertion per level.
@@ -104,7 +103,7 @@ def test_func():
             num_collection_passes=num_collection_passes,
         )
 
-        phi_0 = hierarchy.get_level(0).get_phi_dense()  # PORT: pandas variant
+        phi_0 = hierarchy.get_level(0).get_phi()
         assert phi_0.shape == (vocabulary_size, num_topics_level_0)
 
         theta_0 = hierarchy.get_level(0).get_theta()
@@ -133,7 +132,7 @@ def test_func():
             num_collection_passes=num_collection_passes,
         )
 
-        phi_1 = hierarchy.get_level(1).get_phi_dense()  # PORT: pandas variant
+        phi_1 = hierarchy.get_level(1).get_phi()
         assert phi_1.shape == (vocabulary_size, num_topics_level_1)
 
         psi = _pd_psi(hierarchy.get_level(1).get_psi())
@@ -159,13 +158,13 @@ def test_func():
 
         assert level_0.num_topics == hierarchy_load.get_level(0).num_topics
         assert (
-            (phi_0 - hierarchy_load.get_level(0).get_phi_dense())
+            (phi_0 - hierarchy_load.get_level(0).get_phi())
             .abs().max().max() < 1e-3
         )
 
         assert level_1.num_topics == hierarchy_load.get_level(1).num_topics
         assert (
-            (phi_1 - hierarchy_load.get_level(1).get_phi_dense())
+            (phi_1 - hierarchy_load.get_level(1).get_phi())
             .abs().max().max() < 1e-3
         )
 
@@ -185,7 +184,7 @@ def test_func():
             num_collection_passes=num_collection_passes,
         )
 
-        phi_0_new = hierarchy_new.get_level(0).get_phi_dense()
+        phi_0_new = hierarchy_new.get_level(0).get_phi()
         assert (phi_0 - phi_0_new).abs().max().max() < 1e-3
 
         level_1_new = hierarchy_new.add_level(topic_names=level_1.topic_names)
@@ -200,7 +199,7 @@ def test_func():
             num_collection_passes=num_collection_passes,
         )
 
-        phi_1_new = hierarchy_new.get_level(1).get_phi_dense()
+        phi_1_new = hierarchy_new.get_level(1).get_phi()
         assert (phi_1 - phi_1_new).abs().max().max() < 1e-3
 
         psi_new = _pd_psi(hierarchy_new.get_level(1).get_psi())
@@ -223,7 +222,7 @@ def test_func():
             batch_vectorizer=batch_vectorizer,
         )
 
-        phi_0_plain = level_0_plain.get_phi_dense()
+        phi_0_plain = level_0_plain.get_phi()
         assert (phi_0 - phi_0_plain).abs().max().max() < 1e-3
 
         level_1_plain = artm.ARTM(
@@ -246,7 +245,7 @@ def test_func():
             batch_vectorizer=batch_vectorizer,
         )
 
-        phi_1_plain = level_1_plain.get_phi_dense()
+        phi_1_plain = level_1_plain.get_phi()
         assert (phi_1 - phi_1_plain).abs().max().max() < 1e-3
 
         psi_plain = _pd_psi(level_1_plain.get_parent_psi())

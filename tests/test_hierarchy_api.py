@@ -60,11 +60,15 @@ def test_stacked_theta_and_phi(hier):
     # pseudo-docs excluded from the stack
     assert theta.filter(F.col("doc_id") < 0).count() == 0
 
-    phi = h.get_phi()
+    phi = h.get_phi_long()
     lv = {r["level"] for r in phi.select("level").distinct().collect()}
     assert lv == {0, 1}
     n_tokens = h[0].pwt.compact.count()
     assert phi.count() == n_tokens * 2 + h[1].pwt.compact.count() * 3
+    # reference get_phi: horizontal pandas concat, level<X>_<topic> cols
+    wide = h.get_phi()
+    assert wide.shape[1] == 5
+    assert all(c.startswith("level") for c in wide.columns)
 
 
 def test_stacked_transform(hier):

@@ -91,6 +91,10 @@ def test_kos_scale_golden_trajectory(spark, kos_scale_docs):
         num_topics=15,
         num_document_passes=1,
         seed=42,
+        # this trajectory golden was generated with the portable init
+        # (it pins OUR engine's stability, not a reference number —
+        # reference-numeric parity is pinned by the verbatim ports)
+        init_method="portable",
         cache_theta=False,
         phi_regularizers=[
             SmoothSparsePhi(tau=-0.1),

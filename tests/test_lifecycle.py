@@ -53,7 +53,7 @@ def test_online_trainer_stateful(spark, docs):
 def test_reshape_topics(spark, docs):
     m = _fitted(spark, docs)
     m.reshape_topics(["t2", "t0", "t_new"])
-    phi = m.get_phi()
+    phi = m.get_phi_long()
     assert set(r["topic"] for r in phi.select("topic").distinct().collect()) == {
         "t2",
         "t0",
@@ -68,11 +68,11 @@ def test_reshape_topics(spark, docs):
 def test_overwrite_and_duplicate(spark, docs):
     m = _fitted(spark, docs)
     clone = m.duplicate()
-    zero = m.get_phi().withColumn("value", F.lit(0.5))
+    zero = m.get_phi_long().withColumn("value", F.lit(0.5))
     m.overwrite_topic_model(zero)
-    assert m.get_phi().filter(F.col("value") != 0.5).count() == 0
+    assert m.get_phi_long().filter(F.col("value") != 0.5).count() == 0
     # the duplicate kept the original values
-    assert clone.get_phi().filter(F.col("value") != 0.5).count() > 0
+    assert clone.get_phi_long().filter(F.col("value") != 0.5).count() > 0
 
 
 def test_rekey_tokens(spark, docs):
@@ -200,7 +200,7 @@ def test_fit_online_async_pipeline(spark, docs):
     assert all(np.isfinite(p) and p > 0 for p in ppl)
     # phi still a valid distribution per topic
     sums = (
-        m.get_phi().groupBy("topic").agg(F.sum("value").alias("s")).collect()
+        m.get_phi_long().groupBy("topic").agg(F.sum("value").alias("s")).collect()
     )
     for r in sums:
         assert abs(r["s"] - 1.0) < 1e-6
@@ -279,7 +279,7 @@ def test_fit_with_cooc_regularizer_integration(spark, docs):
     m.fit_offline(docs, 2)
     ppl = m.score_tracker["perplexity"]
     assert len(ppl) == 2 and all(p > 0 for p in ppl)
-    sums = m.get_phi().groupBy("topic").agg(F.sum("value").alias("s")).collect()
+    sums = m.get_phi_long().groupBy("topic").agg(F.sum("value").alias("s")).collect()
     for r in sums:
         assert abs(r["s"] - 1.0) < 1e-6
 
@@ -328,8 +328,8 @@ def test_save_load_matrix_and_score_api(spark, docs, tmp_path):
     other.load(p)
     assert other.topics == m.topics
     assert other.score_tracker == {}
-    a = {(r.token, r.topic): r.value for r in m.get_phi().collect()}
-    b = {(r.token, r.topic): r.value for r in other.get_phi().collect()}
+    a = {(r.token, r.topic): r.value for r in m.get_phi_long().collect()}
+    b = {(r.token, r.topic): r.value for r in other.get_phi_long().collect()}
     assert a.keys() == b.keys()
     assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
 

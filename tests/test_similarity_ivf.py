@@ -68,7 +68,7 @@ def test_artm_on_real_text_corpus(spark, sf_dir):
     m.fit_offline(docs, num_collection_passes=2)
     ppl = m.score_tracker["perplexity"]
     assert ppl[-1] <= ppl[0] * 1.0001
-    top = top_tokens(m.get_phi(), k=5).collect()
+    top = top_tokens(m.get_phi_long(), k=5).collect()
     assert len(top) == 20  # 4 topics x 5 real word tokens
     assert all(r["token"].isalpha() for r in top)
 

@@ -29,7 +29,7 @@ def test_phi_rows_normalized(spark, docs):
     model.fit_offline(docs, num_collection_passes=1)
     # columns of phi (per topic within class) sum to 1
     sums = (
-        model.get_phi()
+        model.get_phi_long()
         .groupBy("class_id", "topic")
         .agg(F.sum("value").alias("s"))
         .collect()
@@ -62,9 +62,9 @@ def test_lda_facade_and_retrieval_filters(spark, docs):
     ppl = lda.score_tracker["perplexity"]
     assert len(ppl) == 2 and ppl[1] <= ppl[0] * 1.0001
     # B6 retrieval filters
-    sub = lda.get_phi(topic_names=["topic_0", "topic_2"], tokens=["p1", "p2"])
+    sub = lda.get_phi_long(topic_names=["topic_0", "topic_2"], tokens=["p1", "p2"])
     rows = sub.collect()
     assert {r["topic"] for r in rows} <= {"topic_0", "topic_2"}
     assert {r["token"] for r in rows} <= {"p1", "p2"}
-    sparse = lda.get_phi(eps=1e-3)
+    sparse = lda.get_phi_long(eps=1e-3)
     assert sparse.filter(sparse.value <= 1e-3).count() == 0

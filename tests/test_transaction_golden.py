@@ -88,7 +88,7 @@ def test_transaction_golden(spark, tx_docs):
     for i in range(4):
         assert vals[i] > vals[i + 1]
 
-    phi = model.get_phi_dense()
+    phi = model.get_phi()
     assert phi.shape == (8, 3)  # 8 tokens x 3 topics
     theta = (
         model.get_theta()
