@@ -239,7 +239,7 @@ class ARTM:
         parent = getattr(self, "_parent_model", None)
         if parent is None:
             raise RuntimeError("call set_parent_model first")
-        theta = self.get_theta()
+        theta = self.get_theta_long()
         mapping = [(-1_000_000 - i, t) for i, t in enumerate(parent.topics)]
         map_df = theta.sparkSession.createDataFrame(
             mapping, "doc_id long, parent_topic string"
@@ -257,6 +257,9 @@ class ARTM:
         docs = _as_docs(docs if docs is not None else batch_vectorizer)
         if self.pwt is None:
             raise RuntimeError("call initialize(dictionary) first")
+        # lazy doc_id -> title mapping for get_theta's title columns
+        # (artm_model.py:503-509); never materialized unless used
+        self._theta_titles = docs.select("doc_id", "title")
         parent = getattr(self, "_parent_model", None)
         if parent is not None:
             from bigartm_spark.model.hierarchy import phi_to_pseudo_batch
@@ -307,32 +310,51 @@ class ARTM:
             hook = getattr(c, "_resolve_token_order", None)
             if hook is not None:
                 hook(self)  # H12 default time axis from the dictionary
+        # doc_titles=None -> not doc-scoped; doc_titles=[] (explicitly
+        # empty) -> the reference applies doc_topic_coef to ALL items
+        # (smooth_sparse_theta.cc: empty item scope = no item filter)
         cfgs = [
             c
             for c in getattr(self, "regularizers", [])
-            if getattr(c, "doc_titles", None)
+            if getattr(c, "doc_titles", None) is not None
         ]
         if not cfgs:
             return
         import numpy as np
         from pyspark.sql import functions as F
 
-        key = (id(docs), tuple(sorted(t for c in cfgs for t in c.doc_titles)))
+        key = (
+            id(docs),
+            tuple(
+                (tuple(c.doc_titles), repr(getattr(c, "doc_topic_coef", None)))
+                for c in cfgs
+            ),
+        )
         if getattr(self, "_doc_scope_key", None) == key:
             return
-        titles = sorted(set(key[1]))
-        rows = (
-            docs.filter(F.col("title").isin(titles))
-            .select("doc_id", "title")
-            .distinct()
-            .collect()
-        )
-        by_title = {r["title"]: r["doc_id"] for r in rows}
+        titles = sorted({t for c in cfgs for t in c.doc_titles})
+        by_title = {}
+        if titles:
+            rows = (
+                docs.filter(F.col("title").isin(titles))
+                .select("doc_id", "title")
+                .distinct()
+                .collect()
+            )
+            by_title = {r["title"]: r["doc_id"] for r in rows}
         for c in cfgs:
-            ids = [by_title[t] for t in c.doc_titles if t in by_title]
             eng = c._engine
-            eng.doc_ids = np.array(ids, dtype=np.int64)
             coef = c.doc_topic_coef
+            if not c.doc_titles:
+                # all-items scope: clear any stale id scope and apply
+                # the (T,) coefficient vector to every document
+                eng.doc_ids = None
+                eng.doc_topic_coef = (
+                    np.asarray(coef, dtype=float) if coef is not None else None
+                )
+                continue
+            ids = [by_title[t] for t in c.doc_titles if t in by_title]
+            eng.doc_ids = np.array(ids, dtype=np.int64)
             if coef is None:
                 eng.doc_topic_coef = None
             elif isinstance(coef[0], (list, tuple, np.ndarray)):
@@ -411,6 +433,13 @@ class ARTM:
                 _as_docs(doc_groups), update_every=update_every
             )
         self._autosize_buckets(doc_groups)
+        if doc_groups:
+            from functools import reduce
+
+            self._theta_titles = reduce(
+                lambda a, b: a.unionByName(b),
+                [g.select("doc_id", "title") for g in doc_groups],
+            )
         t = 0
         for group in doc_groups:
             t += update_every
@@ -669,6 +698,8 @@ class ARTM:
                 "'cache', or None"
             )
         want_ptdw = theta_matrix_type == "dense_ptdw"
+        if theta_matrix_type == "cache":
+            self._theta_titles = _as_docs(docs).select("doc_id", "title")
         kernel_out = estep.process_batches(
             _as_docs(docs),
             self.pwt,
@@ -825,6 +856,14 @@ class ARTM:
     def clone(self) -> "ARTM":
         """Reference alias for duplicate (artm_model.py:317)."""
         return self.duplicate()
+
+    def dump_artm_model(self, data_path: str) -> None:
+        """Reference method spelling (artm_model.py:1154-1166): dump the
+        whole model into a fresh folder; load back with the module-level
+        ``load_artm_model`` like reference scripts do."""
+        from bigartm_spark.sources.dump import dump_artm_model
+
+        dump_artm_model(self, data_path)
 
     def save(self, filename: str, model_name: str = "p_wt") -> None:
         """Save one Phi-like matrix (artm_model.py:682-702). 'p_wt' or
@@ -1000,15 +1039,17 @@ class ARTM:
         )
         return pd.DataFrame(data=nd_array, columns=cols, index=tokens)
 
-    def get_theta(
+    def get_theta_long(
         self,
         topic_names: list[str] | None = None,
         eps: float | None = None,
         docs: DataFrame | None = None,
     ) -> DataFrame:
-        """Cached theta with GetThetaMatrixArgs filters
-        (artm_model.py:875-962): select topics, eps>0 = sparse COO
-        layout (the reference's get_theta_sparse).
+        """The DISTRIBUTED cached-theta readout (our extension) with
+        GetThetaMatrixArgs filters (artm_model.py:875-962): select
+        topics, eps>0 = sparse COO layout (the reference's
+        get_theta_sparse). ``get_theta()`` is the reference-faithful
+        pandas frame and collects to the driver.
 
         theta_columns_naming == 'title' (artm_model.py:503-509): pass the
         corpus ``docs`` and each row gains a ``doc_title`` column joined
@@ -1030,6 +1071,48 @@ class ARTM:
             titles = titles.dropDuplicates(["doc_id"])
             out = out.join(titles, "doc_id", "left")
         return out
+
+    def get_theta(self, topic_names: list[str] | None = None):
+        """Reference get_theta (artm_model.py:875-911): pandas frame,
+        topics as rows, one column per document — ids, or titles when
+        theta_columns_naming == 'title' (titles captured from the fit
+        corpus). Collects to the driver (the reference contract);
+        distributed callers use ``get_theta_long()``."""
+        import pandas as pd
+
+        if isinstance(topic_names, str):
+            topic_names = [topic_names]
+        long = self.get_theta_long(topic_names=topic_names)
+        if getattr(self, "_parent_model", None) is not None:
+            # hierarchy child level: the reference's ARTM_Level.get_theta
+            # drops the parent pseudo-doc columns
+            # (hierarchy_utils.py:662-681); psi reads them via get_psi()
+            from pyspark.sql import functions as F
+
+            long = long.filter(F.col("doc_id") >= 0)
+        colkey = "doc_id"
+        titles = getattr(self, "_theta_titles", None)
+        if self.theta_columns_naming == "title" and titles is not None:
+            from pyspark.sql import functions as F
+
+            long = long.join(
+                titles.select(
+                    "doc_id", F.col("title").alias("doc_title")
+                ).dropDuplicates(["doc_id"]),
+                "doc_id",
+                "left",
+            )
+            colkey = "doc_title"
+        pdf = long.toPandas()
+        wide = pdf.pivot_table(
+            index="topic", columns=colkey, values="value",
+            aggfunc="first", fill_value=0.0,
+        )
+        rows = [t for t in (topic_names or self.topics) if t in wide.index]
+        wide = wide.loc[rows]
+        wide.index.name = None
+        wide.columns.name = None
+        return wide
 
     def transform_sparse(self, docs: DataFrame, eps: float = 1e-37) -> DataFrame:
         """transform with the sparse retrieval layout
@@ -1227,7 +1310,7 @@ class ARTM:
         get_phi_sparse."""
         import numpy as np
 
-        pdf = self.get_theta(eps=eps).toPandas()
+        pdf = self.get_theta_long(eps=eps).toPandas()
         col_of = {t: i for i, t in enumerate(self.topics)}
         return (
             pdf["value"].to_numpy(),

@@ -219,20 +219,47 @@ class HARTM:
             level.fit_offline(docs, num_collection_passes)
         return self
 
-    def get_theta(self, topic_names: list[str] | None = None) -> DataFrame:
-        """Level-wise stacked theta (hierarchy_utils.py:437-464): the
-        union of every level's theta — topic names already carry the
-        level prefix, so the stack stays unambiguous. Long layout
-        (doc_id, topic, value), pseudo-docs excluded."""
+    def get_theta_long(
+        self, topic_names: list[str] | None = None
+    ) -> DataFrame:
+        """Level-wise stacked theta, long layout (doc_id, topic, value)
+        with pseudo-docs excluded — the distributed variant of
+        get_theta (our extension); topic names already carry the level
+        prefix, so the stack stays unambiguous."""
         from functools import reduce
 
         if not self.levels:
             raise RuntimeError("hierarchy has no levels")
         thetas = [
-            m.get_theta(topic_names=topic_names).filter(F.col("doc_id") >= 0)
+            m.get_theta_long(topic_names=topic_names).filter(
+                F.col("doc_id") >= 0
+            )
             for m in self.levels
         ]
         return reduce(lambda a, b: a.unionByName(b), thetas)
+
+    def get_theta(self, topic_names: list[str] | None = None):
+        """Reference hARTM.get_theta (hierarchy_utils.py:437-464):
+        pandas vertical concat of every level's theta over the shared
+        document columns (pseudo-docs excluded)."""
+        import pandas as pd
+
+        if not self.levels:
+            raise RuntimeError("hierarchy has no levels")
+        frames = []
+        for m in self.levels:
+            t = m.get_theta(topic_names=topic_names)
+            def _pseudo(c):
+                if str(c).startswith("@parent_phi_"):
+                    return True
+                try:
+                    return int(c) < 0
+                except (TypeError, ValueError):
+                    return False
+
+            keep = [c for c in t.columns if not _pseudo(c)]
+            frames.append(t[keep])
+        return pd.concat(frames, axis=0)
 
     def transform(self, docs: DataFrame) -> DataFrame:
         """Stacked theta for NEW documents (hierarchy_utils.py:465-495)."""
@@ -336,7 +363,7 @@ class HARTM:
             raise ValueError("psi needs at least two levels")
         model = self.levels[level]
         parent = self.levels[level - 1 if level > 0 else -2]
-        theta = model.get_theta()
+        theta = model.get_theta_long()
         mapping = [
             (-1_000_000 - i, t) for i, t in enumerate(parent.topics)
         ]

@@ -661,6 +661,13 @@ class SmoothSparseTheta:
         mult: np.ndarray | float = 1.0
         if self.topic_mask is not None:
             mult = self.topic_mask[None, :]
+        if self.doc_ids is None and self.doc_topic_coef is not None:
+            # empty item scope (reference: no item filter): the (T,)
+            # coefficient vector applies to every document
+            if not isinstance(self.doc_topic_coef, dict):
+                mult = mult * np.asarray(self.doc_topic_coef, dtype=float)[
+                    None, :
+                ]
         if self.doc_ids is not None:
             if doc_ids is None:
                 return n_td  # scoped agent without row ids: no-op

@@ -147,8 +147,19 @@ def dump_artm_model(model, data_path: str) -> None:
         model.score_tracker, os.path.join(data_path, SCORE_TRACKER_FILENAME)
     )
     export_model(model.pwt, os.path.join(data_path, PWT_FILENAME))
+    # lossless float64 sidecar next to the reference's float32 binary
+    # chunks: our engine is float64 end-to-end, so a load must restore
+    # the exact matrix (the reference gets bit-equality for free being
+    # float32 both sides; the truncated .bin alone would shift a
+    # continued fit by ~1e-9)
+    model.pwt.compact.write.mode("overwrite").parquet(
+        os.path.join(data_path, PWT_FILENAME + ".parquet")
+    )
     if model.nwt is not None:
         export_model(model.nwt, os.path.join(data_path, NWT_FILENAME))
+        model.nwt.compact.write.mode("overwrite").parquet(
+            os.path.join(data_path, NWT_FILENAME + ".parquet")
+        )
     if model.theta is not None:
         model.theta.write.mode("overwrite").parquet(
             os.path.join(data_path, PTD_DIRNAME)
@@ -189,11 +200,25 @@ def dump_artm_model(model, data_path: str) -> None:
         json.dump(params, f)
 
 
-def load_artm_model(spark: SparkSession, data_path: str):
-    """Rebuild a fit-ready ARTM from a dump_artm_model folder."""
+def load_artm_model(spark=None, data_path: str | None = None):
+    """Rebuild a fit-ready ARTM from a dump_artm_model folder.
+
+    Reference signature is ``load_artm_model(data_path)``
+    (artm_model.py:1294-1317) — a single string argument is taken as
+    the path and the session comes from get_spark(); the original
+    (spark, data_path) spelling keeps working."""
     from bigartm_spark.model import estep
     from bigartm_spark.model.artm import ARTM
     from bigartm_spark.sources.io import import_model, import_score_tracker
+
+    if isinstance(spark, str) and data_path is None:
+        spark, data_path = None, spark
+    if spark is None:
+        from bigartm_spark.session import get_spark
+
+        spark = get_spark()
+    if data_path is None:
+        raise TypeError("load_artm_model needs a data_path")
 
     with open(os.path.join(data_path, PARAMETERS_FILENAME)) as f:
         params = json.load(f)
@@ -225,11 +250,23 @@ def load_artm_model(spark: SparkSession, data_path: str):
     model.score_tracker = import_score_tracker(
         os.path.join(data_path, SCORE_TRACKER_FILENAME)
     )
-    model.pwt = import_model(
-        spark, os.path.join(data_path, PWT_FILENAME)
-    ).cache()
+    def _matrix(filename):
+        # prefer the lossless float64 parquet sidecar; the reference
+        # binary chunks remain the compat fallback (pre-sidecar dumps)
+        sidecar = os.path.join(data_path, filename + ".parquet")
+        if os.path.exists(sidecar):
+            from bigartm_spark.model.phi import PhiMatrix
+
+            return PhiMatrix(
+                filename.split(".")[0],
+                list(params["topic_names"]),
+                spark.read.parquet(sidecar),
+            )
+        return import_model(spark, os.path.join(data_path, filename))
+
+    model.pwt = _matrix(PWT_FILENAME).cache()
     if params["has_nwt"]:
-        model.nwt = import_model(spark, os.path.join(data_path, NWT_FILENAME))
+        model.nwt = _matrix(NWT_FILENAME)
     if params["has_theta"]:
         model.theta = spark.read.parquet(os.path.join(data_path, PTD_DIRNAME))
     if params.get("has_dictionary"):

@@ -84,12 +84,12 @@ def test_theta_columns_naming_validation_and_title_join(spark, docs, fitted):
     with pytest.raises(ValueError):
         ARTM(num_topics=2, theta_columns_naming="names")
     fitted.theta_columns_naming = "title"
-    out = fitted.get_theta(docs=_small(docs))
+    out = fitted.get_theta_long(docs=_small(docs))
     assert "doc_title" in out.columns
     row = out.filter(F.col("doc_id").isNotNull()).first()
     assert row["doc_title"] == str(row["doc_id"])  # title == str(orderkey)
     fitted.theta_columns_naming = "id"
-    assert "doc_title" not in fitted.get_theta().columns
+    assert "doc_title" not in fitted.get_theta_long().columns
 
 
 def test_get_phi_dense_matches_get_phi(fitted):

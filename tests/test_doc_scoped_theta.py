@@ -35,7 +35,7 @@ def corpus(spark, tmp_path_factory):
 
 def _theta_by_title(model, docs):
     rows = (
-        model.get_theta(docs=docs)
+        model.get_theta_long(docs=docs)
         .collect()
     )
     out: dict[str, dict[str, float]] = {}

@@ -107,10 +107,7 @@ def test_func():
         assert phi_0.shape == (vocabulary_size, num_topics_level_0)
 
         theta_0 = hierarchy.get_level(0).get_theta()
-        # PORT: theta is the long DataFrame; the reference asserts the
-        # (topics x documents) dense shape
-        assert theta_0.select("doc_id").distinct().count() == num_documents
-        assert theta_0.select("topic").distinct().count() == num_topics_level_0
+        assert theta_0.shape == (num_topics_level_0, num_documents)
 
         # golden-shape trajectory (VERDICT r4 #7): strictly improving EM
         traj0 = level_0.score_tracker["perplexity"]

@@ -51,7 +51,7 @@ def test_del_level_cascades(hier):
 
 def test_stacked_theta_and_phi(hier):
     h, sub = hier
-    theta = h.get_theta()
+    theta = h.get_theta_long()
     topics = {r["topic"] for r in theta.select("topic").distinct().collect()}
     assert topics == {
         "level0_topic_0", "level0_topic_1",

@@ -252,7 +252,7 @@ def test_theta_disk_cache(spark, docs, tmp_path):
     m.initialize(gather_dictionary(docs))
     m.fit_offline(docs, 1)
     assert os.path.isdir(path)
-    theta = m.get_theta()
+    theta = m.get_theta_long()
     sums = theta.groupBy("doc_id").agg(F.sum("value").alias("s")).limit(20).collect()
     for r in sums:
         assert abs(r["s"] - 1.0) < 1e-9
@@ -296,13 +296,13 @@ def test_theta_retrieval_filters(spark, docs):
     m.initialize(gather_dictionary(docs))
     m.fit_offline(docs, num_collection_passes=1)
 
-    full = m.get_theta()
-    one = m.get_theta(topic_names=["topic_0"])
+    full = m.get_theta_long()
+    one = m.get_theta_long(topic_names=["topic_0"])
     assert one.select("topic").distinct().collect()[0].topic == "topic_0"
     assert one.count() * 3 == full.count()
 
     eps = 0.30
-    sparse = m.get_theta(eps=eps)
+    sparse = m.get_theta_long(eps=eps)
     assert sparse.count() == full.filter(F.col("value") > eps).count()
     assert sparse.agg(F.min("value")).collect()[0][0] > eps
 

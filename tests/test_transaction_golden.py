@@ -90,11 +90,7 @@ def test_transaction_golden(spark, tx_docs):
 
     phi = model.get_phi()
     assert phi.shape == (8, 3)  # 8 tokens x 3 topics
-    theta = (
-        model.get_theta()
-        .toPandas()
-        .pivot(index="topic", columns="doc_id", values="value")
-    )
+    theta = model.get_theta()  # reference pandas (topics x docs)
     assert theta.shape == (3, 8)
 
     cols = sorted(theta.columns)
