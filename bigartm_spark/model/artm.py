@@ -227,13 +227,13 @@ class ARTM:
         self.cache_theta = True
         return self
 
-    def get_psi(self) -> DataFrame:
+    def get_psi(self):
         """Reference ARTM_Level name (hierarchy_utils.py:652-661)."""
         return self.get_parent_psi()
 
-    def get_parent_psi(self) -> DataFrame:
-        """p(child_topic | parent_topic) from the pseudo-docs' theta
-        (artm_model.py:1275-1286). Columns: parent_topic, topic, value."""
+    def get_psi_long(self) -> DataFrame:
+        """Distributed Psi readout (our extension): long layout
+        (parent_topic, topic, value) from the pseudo-docs' theta."""
         from pyspark.sql import functions as F
 
         parent = getattr(self, "_parent_model", None)
@@ -247,6 +247,25 @@ class ARTM:
         return theta.join(F.broadcast(map_df), "doc_id").select(
             "parent_topic", "topic", "value"
         )
+
+    def get_parent_psi(self):
+        """p(child_topic | parent_topic) from the pseudo-docs' theta
+        (artm_model.py:1275-1286): the reference returns the transform's
+        pandas ThetaMatrix — child topics as rows, parent topics as
+        columns."""
+        parent = getattr(self, "_parent_model", None)
+        if parent is None:
+            raise RuntimeError("call set_parent_model first")
+        pdf = self.get_psi_long().toPandas()
+        wide = pdf.pivot_table(
+            index="topic", columns="parent_topic", values="value",
+            aggfunc="first", fill_value=0.0,
+        )
+        wide = wide.loc[[t for t in self.topics if t in wide.index]]
+        wide = wide[[t for t in parent.topics if t in wide.columns]]
+        wide.index.name = None
+        wide.columns.name = None
+        return wide
 
     # -- G5 ---------------------------------------------------------------
     def fit_offline(
@@ -679,13 +698,23 @@ class ARTM:
         batch_vectorizer=None,
     ) -> DataFrame | None:
         """theta for new docs without touching nwt (pure E-step).
-        Accepts a docs DataFrame or a BatchVectorizer.
 
-        theta_matrix_type (artm_model.py:976-1039): 'dense_theta' —
-        theta(doc_id, topic, value); 'dense_ptdw' — the flat p(t|d,w)
-        relation (doc_id, pos, topic, value), one row per token position
-        in input order; 'cache' — populate self.theta and return it;
-        None — run the pass for its side effects only."""
+        The RETURN TYPE follows the input style, documented loudly
+        because it is the one place the front door branches:
+
+        - a docs **DataFrame** returns the DISTRIBUTED long relation —
+          transform output scales with the corpus (the 100 TB path), so
+          Spark-first callers never pay a driver collect;
+        - a **BatchVectorizer** (how every reference script calls it,
+          artm_model.py:976-1039) returns the reference's pandas
+          ThetaMatrix (topics rows x document columns) for
+          'dense_theta', matching get_theta().
+
+        theta_matrix_type: 'dense_theta' — theta; 'dense_ptdw' — the
+        flat p(t|d,w) relation (doc_id, pos, topic, value), one row per
+        token position in input order (long in both styles); 'cache' —
+        populate self.theta and return it; None — run the pass for its
+        side effects only."""
         if docs is None:
             docs = batch_vectorizer  # reference kwarg spelling
         if predict_class_id is not None:
@@ -723,6 +752,30 @@ class ARTM:
         if theta_matrix_type is None:
             theta.count()  # materialize the pass, return nothing
             return None
+        if not isinstance(docs, DataFrame):
+            # BatchVectorizer input = reference calling style -> the
+            # reference pandas ThetaMatrix (see docstring)
+            import pandas as pd
+
+            pdf = theta.toPandas()
+            colkey = "doc_id"
+            if self.theta_columns_naming == "title":
+                titles = (
+                    _as_docs(docs)
+                    .select("doc_id", "title")
+                    .dropDuplicates(["doc_id"])
+                    .toPandas()
+                )
+                pdf = pdf.merge(titles, on="doc_id", how="left")
+                colkey = "title"
+            wide = pdf.pivot_table(
+                index="topic", columns=colkey, values="value",
+                aggfunc="first", fill_value=0.0,
+            )
+            wide = wide.loc[[t for t in self.topics if t in wide.index]]
+            wide.index.name = None
+            wide.columns.name = None
+            return wide
         return theta
 
     def predict_class_id(self, docs: DataFrame, class_id: str) -> DataFrame:

@@ -223,8 +223,11 @@ def test_ctor_parent_model_and_theta_name(spark, docs, fitted):
     sub = _small(docs)
     child.initialize(gather_dictionary(sub))
     child.fit_offline(sub, 1)  # fits on corpus + parent pseudo-batch
-    psi = child.get_parent_psi()
-    rows = psi.collect()
+    psi = child.get_parent_psi()  # reference pandas: child x parent
+    assert psi.shape == (4, 3)
+    for col in psi.columns:
+        assert abs(psi[col].sum() - 1.0) < 1e-6
+    rows = child.get_psi_long().collect()
     # one distribution over 4 child topics per 3 parent topics
     assert len(rows) == 12
     sums = {}
@@ -281,3 +284,36 @@ def test_hartm_reference_spelling_constructs(spark):
 
     h = artm.hARTM()
     assert h.num_levels == 0 or hasattr(h, "levels")
+
+
+def test_transform_batch_vectorizer_returns_reference_pandas(spark, tmp_path):
+    """transform's return type follows the input style: a docs DataFrame
+    stays distributed (the corpus-scale path), a BatchVectorizer — how
+    every reference script calls it — returns the reference pandas
+    ThetaMatrix (topics rows x document columns)."""
+    import os
+
+    import bigartm_spark as artm
+
+    vw = str(tmp_path / "t.vw.txt")
+    with open(vw, "w") as f:
+        f.write("title_0 aaa:1 bbb:2 ccc:3\ntitle_1 aaa:2 bbb:1 ccc:1\n")
+    bv = artm.BatchVectorizer(
+        data_path=vw, data_format="vowpal_wabbit",
+        target_folder=str(tmp_path / "b"),
+    )
+    m = artm.ARTM(num_topics=3, dictionary=bv.dictionary,
+                  num_document_passes=2)
+    m.fit_offline(batch_vectorizer=bv, num_collection_passes=1)
+    out = m.transform(batch_vectorizer=bv)
+    assert out.shape == (3, 2)
+    for col in out.columns:
+        assert abs(out[col].sum() - 1.0) < 1e-9
+    # title naming keys the columns by item title
+    m.theta_columns_naming = "title"
+    named = m.transform(batch_vectorizer=bv)
+    assert sorted(named.columns) == ["title_0", "title_1"]
+    # DataFrame input stays the distributed long relation
+    from pyspark.sql import DataFrame
+
+    assert isinstance(m.transform(bv.docs), DataFrame)

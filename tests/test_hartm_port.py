@@ -57,14 +57,6 @@ def _write_uci_corpus(data_path):
             f.write(f"word_{token_id}\n")
 
 
-def _pd_psi(psi_df):
-    """PORT: long (parent_topic, topic, value) -> pandas child x parent."""
-    pdf = psi_df.toPandas()
-    return pdf.pivot_table(
-        index="topic", columns="parent_topic", values="value", fill_value=0.0
-    )
-
-
 @pytest.mark.usefixtures("spark")
 def test_func():
     data_path = tempfile.mkdtemp()
@@ -132,7 +124,7 @@ def test_func():
         phi_1 = hierarchy.get_level(1).get_phi()
         assert phi_1.shape == (vocabulary_size, num_topics_level_1)
 
-        psi = _pd_psi(hierarchy.get_level(1).get_psi())
+        psi = hierarchy.get_level(1).get_psi()
         assert psi.shape == (num_topics_level_1, num_topics_level_0)
 
         # PORT: the reference pins RNG-specific support constants
@@ -199,7 +191,7 @@ def test_func():
         phi_1_new = hierarchy_new.get_level(1).get_phi()
         assert (phi_1 - phi_1_new).abs().max().max() < 1e-3
 
-        psi_new = _pd_psi(hierarchy_new.get_level(1).get_psi())
+        psi_new = hierarchy_new.get_level(1).get_psi()
         assert (psi - psi_new).abs().max().max() < 1e-3
 
         # Same functionality with plain ARTM; psi must match exactly
@@ -245,7 +237,7 @@ def test_func():
         phi_1_plain = level_1_plain.get_phi()
         assert (phi_1 - phi_1_plain).abs().max().max() < 1e-3
 
-        psi_plain = _pd_psi(level_1_plain.get_parent_psi())
+        psi_plain = level_1_plain.get_parent_psi()
         assert (psi - psi_plain).abs().max().max() < 1e-3
 
     finally:

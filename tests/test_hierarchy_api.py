@@ -126,12 +126,12 @@ def test_refit_after_load(hier, tmp_path):
 def test_level_get_psi_alias(hier):
     h, _ = hier
     # levels are wired as children: the ARTM_Level name works per level
-    psi = h[1].get_psi()
-    assert psi.count() == 2 * 3
-    sums = {}
-    for r in psi.collect():
-        sums[r["parent_topic"]] = sums.get(r["parent_topic"], 0) + r["value"]
-    assert all(abs(v - 1.0) < 1e-6 for v in sums.values())
+    psi = h[1].get_psi()  # reference pandas: child topics x parent topics
+    assert psi.shape == (3, 2)
+    for col in psi.columns:
+        assert abs(psi[col].sum() - 1.0) < 1e-6
+    long = h[1].get_psi_long()
+    assert long.count() == 2 * 3
 
 
 def test_deferred_levels_wire_parent_at_hierarchy_fit(spark, docs):

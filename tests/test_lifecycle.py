@@ -359,7 +359,7 @@ def test_set_parent_model_psi(spark, docs):
     child.set_parent_model(parent, parent_model_weight=2.0)
     child.fit_offline(docs, num_collection_passes=1)
 
-    psi = child.get_parent_psi()
+    psi = child.get_psi_long()
     assert psi.select("parent_topic").distinct().count() == 3
     sums = (
         psi.groupBy("parent_topic").agg(F.sum("value").alias("s")).collect()
