@@ -30,6 +30,12 @@ BRACKETS = [
 
 def main():
     names_arg = sys.argv[1:]
+    # Extra bracket dirs (e.g. /tmp/sf10 from tools/gen_sfn.py) come in
+    # via env so positional args stay query names.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_BRACKETS", "")
+    for b in filter(None, extra.split(":")):
+        if b not in BRACKETS:
+            BRACKETS.append(b)
 
     import __spark_entry__ as entry
     from bigartm_spark.session import get_spark
