@@ -661,8 +661,15 @@ class ARTM:
         # keeping one handle costs <=256MB, and release_phi_broadcasts
         # is unpersist-not-destroy so even that would only re-ship)
         estep.release_phi_broadcasts(keep_last=1)
+        # a configured score owning a built-in kernel key (e.g.
+        # PerplexityScore(name='perplexity')) is the single writer for
+        # that tracker — otherwise the raw kernel value and the config's
+        # (possibly dictionary-fallback) value would interleave in one
+        # list (reference: only explicitly attached scores are tracked)
+        cfg_names = {c.name for c in getattr(self, "scores", [])}
         for k, v in scores.items():
-            self._tracker_append(k, v)
+            if k not in cfg_names:
+                self._tracker_append(k, v)
         for name, fn in self.phi_scores.items():
             self._tracker_append(name, float(fn(self.pwt)))
         self._collect_configured_scores(scores)

@@ -376,8 +376,9 @@ def write_batch_folder(docs: DataFrame, path: str) -> list[str]:
     return [r["path"] for r in out.collect()]
 
 
-def read_batch_folder(spark: SparkSession, path: str) -> DataFrame:
-    """Directory of reference ``.batch`` files -> long docs DataFrame.
+def read_batch_folder(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """Directory of reference ``.batch`` files (or an explicit file
+    list — BatchVectorizer's batches= names) -> long docs DataFrame.
 
     The scan is the ``binaryFile`` source (one row per file, content as
     bytes) and the decode runs on executors via mapInPandas — file

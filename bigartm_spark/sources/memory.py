@@ -20,11 +20,21 @@ def from_n_wd(
     vocabulary: dict[int, str] | list[str],
     class_id: str = DEFAULT_CLASS,
 ) -> DataFrame:
-    """Dense token x doc matrix (numpy-like, shape W x D) -> long docs.
+    """Token x doc count matrix (shape W x D) -> long docs. Accepts a
+    numpy array / numpy.matrix / any sparse object exposing ``toarray``
+    (scipy csr et al., duck-typed so scipy stays optional), rejecting
+    anything else with TypeError — the reference's input contract
+    (batches_utils.py _parse_n_wd + test_batches_utils test_errors_n_wd).
     Zero cells are dropped (the COO form)."""
     import numpy as np
 
+    if hasattr(n_wd, "toarray"):  # scipy.sparse-like
+        n_wd = n_wd.toarray()
+    if not isinstance(n_wd, (np.ndarray, np.matrix, list)):
+        raise TypeError(f"n_wd must be a counts matrix, got {type(n_wd)!r}")
     n_wd = np.asarray(n_wd)
+    if n_wd.ndim != 2 or not np.issubdtype(n_wd.dtype, np.number):
+        raise TypeError("n_wd must be a 2-D numeric matrix")
     if isinstance(vocabulary, dict):
         vocab = [vocabulary[i] for i in range(len(vocabulary))]
     else:

@@ -31,7 +31,9 @@ def test_bow_uci_with_dictionary(spark, uci_dir):
         spark, data_path=uci_dir, data_format="bow_uci", collection_name="kos"
     )
     assert bv.docs.count() == 6
-    d = {r.token: r.tf for r in bv.dictionary.collect()}
+    # .dictionary is the reference's Dictionary facade; the relation
+    # stays available at .df
+    d = {r.token: r.tf for r in bv.dictionary.df.collect()}
     assert d == {"alpha": 9.0, "beta": 4.0, "gamma": 9.0}
 
 
@@ -87,7 +89,16 @@ def test_batch_size_rekeys_batch_id(spark, uci_dir):
     )
     ids = {r.doc_id: r.batch_id for r in bv.docs.collect()}
     assert ids == {1: "1", 2: "2"}
-    assert sorted(bv.batches_ids) == ["1", "2"]
+    # batches_ids are now the written .batch file names (reference
+    # batches_utils.py:300-304); the re-keyed ids are the stems
+    import os
+
+    assert sorted(os.path.basename(p) for p in bv.batches_ids) == [
+        "1.batch",
+        "2.batch",
+    ]
+    assert bv.num_batches == 2
+    assert all(os.path.isfile(p) for p in bv.batches_ids)
 
 
 def test_fit_through_vectorizer(spark, uci_dir):
