@@ -150,3 +150,73 @@ def test_multimodal_pipeline_real_decode(spark):
     }
     assert set(resized) == {0, 1}
     np.testing.assert_allclose(resized[0], resized[1], atol=1e-6)
+
+
+def test_image_content_features(spark):
+    """Real pixel statistics: a half-black / half-white raster has known
+    mean/std/histogram; the same pixels through PPM and BMP containers
+    produce identical features; undecodable bytes are dropped."""
+    import numpy as np
+
+    from bigartm_spark.operators.codecs import encode_bmp, encode_ppm
+    from bigartm_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_content_features,
+    )
+
+    img = np.zeros((4, 8, 3), dtype=np.uint8)
+    img[:, 4:, :] = 255  # right half white
+    rows = [
+        (0, "image", bytearray(encode_ppm(img)), 8, 4, None),
+        (1, "image", bytearray(encode_bmp(img)), 8, 4, None),
+        (2, "image", bytearray(b"not an image at all"), 8, 4, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r["asset_id"]: r for r in image_content_features(media).collect()
+    }
+    assert set(feats) == {0, 1}  # the corrupt asset was dropped
+    for aid in (0, 1):
+        f = feats[aid]
+        assert (f["width"], f["height"]) == (8, 4)
+        np.testing.assert_allclose(f["mean_rgb"], [127.5] * 3, atol=1e-4)
+        np.testing.assert_allclose(f["std_rgb"], [127.5] * 3, atol=1e-4)
+        # luma is exactly 0 or 255: half the mass in the first bin,
+        # half in the last
+        assert f["luma_hist"][0] == pytest.approx(0.5, abs=1e-6)
+        assert f["luma_hist"][-1] == pytest.approx(0.5, abs=1e-6)
+        assert sum(f["luma_hist"]) == pytest.approx(1.0, abs=1e-6)
+        assert f["aspect_ratio"] == pytest.approx(2.0)
+    np.testing.assert_allclose(
+        feats[0]["mean_rgb"], feats[1]["mean_rgb"], atol=1e-6
+    )
+
+
+def test_audio_content_features(spark):
+    """A pure sine has closed-form descriptors: rms = A/sqrt(2), zero
+    crossings = 2f per second, spectral centroid/rolloff at the tone."""
+    import numpy as np
+
+    from bigartm_spark.operators.codecs import encode_wav
+    from bigartm_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_content_features,
+    )
+
+    sr, f0, amp = 16000, 1000.0, 0.5
+    t = np.arange(sr) / sr  # exactly 1 s
+    sine = (amp * 32767 * np.sin(2 * np.pi * f0 * t)).astype(np.int16)
+    rows = [
+        (0, "audio", bytearray(encode_wav(sine, sample_rate=sr)), None, None, 1000),
+        (1, "audio", bytearray(b"not audio"), None, None, 1000),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["asset_id"]: r for r in audio_content_features(media).collect()}
+    assert set(out) == {0}
+    a = out[0]
+    assert a["sample_rate"] == sr and a["num_channels"] == 1
+    assert a["duration_s"] == pytest.approx(1.0, abs=1e-6)
+    assert a["rms"] == pytest.approx(amp / np.sqrt(2), rel=1e-3)
+    assert a["zero_crossing_rate"] == pytest.approx(2 * f0 / sr, rel=1e-2)
+    assert a["spectral_centroid_hz"] == pytest.approx(f0, rel=0.02)
+    assert a["spectral_rolloff_hz"] == pytest.approx(f0, rel=0.02)
