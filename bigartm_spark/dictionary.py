@@ -233,22 +233,31 @@ class Dictionary:
         )
 
         spark = _spark(self._spark)
+        full_vocab = None
         if isinstance(data_path, DataFrame):
             docs = data_path
         else:
-            from bigartm_spark.sources.io import load_batches
+            from bigartm_spark.sources.io import load_batch_vocab, load_batches
 
             docs = load_batches(spark, data_path)
+            # the token universe includes zero-occurrence batch tokens —
+            # the reference gathers zero-stat entries for them
+            # (dictionary_operations.cc:316-325)
+            full_vocab = load_batch_vocab(spark, data_path)
         vocab = None
         if vocab_file_path is not None:
             from bigartm_spark.sources.uci import read_vocab
 
             vocab = read_vocab(spark, vocab_file_path)
-            # reference: tokens absent from vocab are skipped
+            # reference: the vocab file IS the universe — batch tokens
+            # outside it are skipped, vocab tokens missing from the
+            # corpus get zero-stat entries (dictionary_operations.cc:
+            # 340-401 operator[] zero-fill)
             docs = docs.join(
                 F.broadcast(vocab.select("token")), "token", "left_semi"
             )
-        self.df = gather_dictionary(docs, vocab=vocab)
+            full_vocab = vocab.select("class_id", "token")
+        self.df = gather_dictionary(docs, vocab=vocab, full_vocab=full_vocab)
         self.num_items_in_collection = num_items(docs)
         if cooc_file_path is not None:
             from bigartm_spark.sources.cooc_file import (

@@ -322,8 +322,12 @@ class TopTokensScore(BaseScore):
         long = model.pwt.to_long()
         from pyspark.sql import functions as F
 
-        if self.class_id is not None:
-            long = long.filter(F.col("class_id") == self.class_id)
+        # class_id=None means the proto default "@default_class"
+        # (messages.proto TopTokensScoreConfig, top_tokens.cc:45-53) —
+        # NOT all modalities
+        long = long.filter(
+            F.col("class_id") == (self.class_id or "@default_class")
+        )
         if self.topic_names is not None:
             long = long.filter(F.col("topic").isin(list(self.topic_names)))
         top = top_tokens(long, k=self.num_tokens).cache()
@@ -691,8 +695,20 @@ class TopicSelectionThetaRegularizer(BaseRegularizer):
     _auto_prefix = "topic_selection_theta"
     _kind = "theta"
 
-    def __init__(self, name=None, tau=1.0, topic_names=None, alpha_iter=None):
-        eng = _engine.TopicSelectionTheta(tau=tau, alpha_iter=alpha_iter)
+    def __init__(self, name=None, tau=1.0, topic_names=None, alpha_iter=None,
+                 topic_value=None):
+        # topic_value mirrors TopicSelectionThetaConfig.topic_value
+        # (topic_selection_theta.cc:108-123): fixed per-topic damping
+        # values; when absent the engine computes them batch-locally
+        import numpy as np
+
+        eng = _engine.TopicSelectionTheta(
+            tau=tau, alpha_iter=alpha_iter,
+            topic_value=(
+                np.asarray(topic_value, dtype=float)
+                if topic_value is not None else None
+            ),
+        )
         super().__init__(name, eng)
         object.__setattr__(self, "topic_names", topic_names)
 
@@ -978,3 +994,49 @@ class Regularizers:
     @property
     def data(self) -> dict[str, BaseRegularizer]:
         return dict(self._data)
+
+
+def resolve_doc_scope(cfgs, docs):
+    """Resolve SmoothSparseTheta doc_titles / doc_topic_coef on config
+    objects into their engines' doc_ids / per-doc coefficient maps
+    against THIS corpus (smooth_sparse_theta.cc:389-502 scoping: empty
+    item list = coefficients apply to all items). Shared by
+    ARTM._resolve_doc_scoped_agents and the low-level
+    MasterComponent.process_batches path."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    scoped = [c for c in cfgs if getattr(c, "doc_titles", None) is not None]
+    if not scoped:
+        return
+    titles = sorted({t for c in scoped for t in c.doc_titles})
+    by_title = {}
+    if titles:
+        rows = (
+            docs.filter(F.col("title").isin(titles))
+            .select("doc_id", "title")
+            .distinct()
+            .collect()
+        )
+        by_title = {r["title"]: r["doc_id"] for r in rows}
+    for c in scoped:
+        eng = c._engine
+        coef = getattr(c, "doc_topic_coef", None)
+        if not c.doc_titles:
+            eng.doc_ids = None
+            eng.doc_topic_coef = (
+                np.asarray(coef, dtype=float) if coef is not None else None
+            )
+            continue
+        ids = [by_title[t] for t in c.doc_titles if t in by_title]
+        eng.doc_ids = np.array(ids, dtype=np.int64)
+        if coef is None:
+            eng.doc_topic_coef = None
+        elif isinstance(coef[0], (list, tuple, np.ndarray)):
+            eng.doc_topic_coef = {
+                by_title[t]: np.asarray(cf, dtype=float)
+                for t, cf in zip(c.doc_titles, coef)
+                if t in by_title
+            }
+        else:
+            eng.doc_topic_coef = np.asarray(coef, dtype=float)

@@ -138,6 +138,7 @@ def _doc_kernel_factory(
     ptdw_agents: list | None = None,
     emit_ptdw: bool = False,
     phi_bcast=None,
+    class_score_breakdown: bool = False,
 ):
     """Build the applyInPandas kernel. All captured state must pickle.
 
@@ -278,7 +279,8 @@ def _doc_kernel_factory(
             zero_mask = pz <= 0
             if zero_mask.any():
                 pz[zero_mask] = (w / n_d[seg])[zero_mask]
-            raw = float(np.sum(w * np.log(np.maximum(pz, 1e-300))))
+            log_terms = w * np.log(np.maximum(pz, 1e-300))
+            raw = float(log_terms.sum())
             scores = {
                 "perplexity_raw": raw,
                 "perplexity_normalizer": float(w.sum()),
@@ -288,6 +290,23 @@ def _doc_kernel_factory(
                 "items_processed": float(n_docs),
                 "token_weight": float(w.sum()),
             }
+            if class_score_breakdown:
+                # opt-in per-modality partials (PerplexityScoreConfig
+                # class_id scoping, perplexity.cc:66-80) — dynamic keys,
+                # so only the extract_scores path may request this (the
+                # fixed-key Observation fast path cannot carry them)
+                cls_arr = pdf["class_id"].to_numpy()
+                for c in pd.unique(cls_arr):
+                    selc = cls_arr == c
+                    scores[f"perplexity_raw@cls:{c}"] = float(
+                        log_terms[selc].sum()
+                    )
+                    scores[f"perplexity_normalizer@cls:{c}"] = float(
+                        w[selc].sum()
+                    )
+                    scores[f"perplexity_zero_words@cls:{c}"] = float(
+                        zero_mask[selc].sum()
+                    )
             if "cp" in pdf.columns:
                 # UnigramCollectionModel variant (perplexity.cc:159-239):
                 # zero-p(w|d) fallback = the dictionary's global token
@@ -373,6 +392,7 @@ def process_batches(
     theta_cache: DataFrame | None = None,
     phi_local: tuple | None = None,
     collection_probs: DataFrame | None = None,
+    class_score_breakdown: bool = False,
 ) -> DataFrame:
     """One E-step pass over the corpus. Returns the kernel output relation
     (kind, key, class_id, doc_id, pos, values) — callers aggregate it.
@@ -479,6 +499,7 @@ def process_batches(
             ptdw_agents=ptdw_agents,
             emit_ptdw=emit_ptdw,
             phi_bcast=phi_bcast,
+            class_score_breakdown=class_score_breakdown,
         )
     bucketed = joined.withColumn(
         "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets))

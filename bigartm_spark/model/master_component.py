@@ -76,7 +76,11 @@ class MasterComponent:
         )
         self._pwt_name = pwt_name or "pwt"
         self._nwt_name = nwt_name or "nwt"
-        self._num_document_passes = num_document_passes or 10
+        # proto default is 10; an explicit 0 is a valid value (theta
+        # stays uniform — topic_seg_test.cc uses it)
+        self._num_document_passes = (
+            10 if num_document_passes is None else num_document_passes
+        )
         self._cache_theta = bool(cache_theta)
         self._reuse_theta = bool(reuse_theta)
         self._models: dict[str, PhiMatrix] = {}
@@ -259,32 +263,115 @@ class MasterComponent:
         # generator the DataFrame front door defaults to
         from bigartm_spark.model.init import initialize_phi_reference
 
+        name = model_name or self._pwt_name
+        if dictionary_name is None and name in self._models:
+            # InitializeModelArgs without a dictionary re-seeds an
+            # EXISTING model over its own token set, keeping its topics
+            # (cpp_interface_test.cc:892-898)
+            existing = self._models[name]
+            topics = list(topic_names) if topic_names else list(existing.topics)
+            phi = initialize_phi_reference(
+                existing.compact.select("class_id", "token"),
+                topics,
+                seed=seed if seed is not None else 0,
+                name=name,
+            )
+            self._models[name] = phi.checkpoint()
+            self._model_written(name)
+            return self._models[name]
         topics = list(topic_names or self._topic_names)
         self._topic_names = topics
         d = self._dictionaries[dictionary_name]
+        ddf = d.df
+        if self._class_ids:
+            # master-level class_ids restrict the initialized modalities;
+            # an empty result is an error, not an empty model
+            # (MultipleClasses.InitializeSomeModalities,
+            # multiple_classes_test.cc:255-287)
+            ddf = ddf.filter(F.col("class_id").isin(list(self._class_ids)))
+            if ddf.limit(1).isEmpty():
+                raise ValueError(
+                    f"InitializeModel: dictionary {dictionary_name!r} has no "
+                    "tokens in the configured modalities "
+                    f"{sorted(self._class_ids)}"
+                )
         phi = initialize_phi_reference(
-            d.df, topics, seed=seed if seed is not None else 0,
+            ddf, topics, seed=seed if seed is not None else 0,
             name=model_name or self._pwt_name,
         )
         self._models[model_name or self._pwt_name] = phi.checkpoint()
         self._model_written(model_name or self._pwt_name)
         return self._models[model_name or self._pwt_name]
 
+    @staticmethod
+    def _reshape_topics(m, target):
+        """Column subset/reorder by topic NAME, zero-fill for new names
+        (master_component.cc MergeModel / ReconfigureTopicName)."""
+        old = {t: i for i, t in enumerate(m.topics)}
+        cols = [
+            F.col("values")[old[t]] if t in old else F.lit(0.0)
+            for t in target
+        ]
+        return PhiMatrix(
+            m.name,
+            list(target),
+            m.compact.select(
+                "class_id", "token", F.array(*cols).alias("values")
+            ),
+        )
+
+    def reconfigure_topic_name(self, topic_names):
+        """ReconfigureTopicName (cpp_interface_test.cc:862-884): rename/
+        reorder/extend the master's topics; existing models realign by
+        name, new topics get zero columns."""
+        target = list(topic_names)
+        for name, m in list(self._models.items()):
+            if m.topics != target:
+                self._models[name] = self._reshape_topics(m, target)
+                self._model_written(name)
+        self._topic_names = target
+
     def merge_model(self, models, nwt, topic_names=None, dictionary_name=None):
         """models: dict model_name -> weight (master_component.py:609).
         Missing source models contribute nothing (the reference's online
-        loop merges a not-yet-created nwt on the first update)."""
+        loop merges a not-yet-created nwt on the first update).
+
+        topic_names: target topic list — sources align by topic NAME,
+        names absent from a source contribute zero columns
+        (MergeModelArgs.topic_name, cpp_interface_test.cc:885-910).
+        dictionary_name: restrict + order the merged tokens by that
+        dictionary; dictionary tokens absent from every source get zero
+        rows (MergeModelArgs.dictionary_name, :912-948)."""
         srcs = [
             (self._model_read(m), w) for m, w in models.items()
             if m in self._models
         ]
         if not srcs:
             raise ValueError(f"merge_model: none of {list(models)} exist")
+        target = list(topic_names) if topic_names is not None else list(
+            srcs[0][0].topics
+        )
+        srcs = [
+            (s if s.topics == target else self._reshape_topics(s, target), w)
+            for s, w in srcs
+        ]
         merged = mstep.merge_nwt(srcs, name=nwt)
-        if topic_names is not None:
-            raise NotImplementedError(
-                "merge_model topic_names subsetting: reshape after merge"
+        if dictionary_name is not None:
+            d = self._dictionaries[dictionary_name]
+            keys = d.df.select("class_id", "token")
+            kept = merged.compact.join(
+                F.broadcast(keys), ["class_id", "token"], "left_semi"
             )
+            missing = keys.join(
+                merged.compact.select("class_id", "token"),
+                ["class_id", "token"],
+                "left_anti",
+            ).select(
+                "class_id",
+                "token",
+                F.array(*[F.lit(0.0)] * len(target)).alias("values"),
+            )
+            merged = PhiMatrix(nwt, target, kept.unionByName(missing))
         self._models[nwt] = merged
         self._model_written(nwt)
         return merged
@@ -429,10 +516,19 @@ class MasterComponent:
             )
         if t == "SmoothSparseThetaConfig":
             alpha = _listify(getattr(config, "alpha_iter", None)) or None
+            titles = names("item_title")
+            multipliers = _listify(
+                getattr(config, "item_topic_multiplier", None)
+            )
+            coef = (
+                [list(fa.value) for fa in multipliers] if multipliers else None
+            )
             return api.SmoothSparseThetaRegularizer(
                 name=name, tau=tau,
                 topic_names=names("topic_name"),
                 alpha_iter=alpha,
+                doc_titles=titles,
+                doc_topic_coef=coef,
             )
         if t == "DecorrelatorPhiConfig":
             return api.DecorrelatorPhiRegularizer(
@@ -465,10 +561,42 @@ class MasterComponent:
             )
         if t == "TopicSelectionThetaConfig":
             return api.TopicSelectionThetaRegularizer(
-                name=name, tau=tau, topic_names=names("topic_name")
+                name=name, tau=tau, topic_names=names("topic_name"),
+                alpha_iter=_listify(getattr(config, "alpha_iter", None)) or None,
+                topic_value=names("topic_value"),
             )
         if t == "SmoothPtdwConfig":
-            return api.SmoothPtdwRegularizer(name=name, tau=tau)
+            return api.SmoothPtdwRegularizer(
+                name=name, tau=tau, window=config.window
+            )
+        if t == "TopicSegmentationPtdwConfig":
+            return api.TopicSegmentationPtdwRegularizer(
+                name=name,
+                window=config.window,
+                threshold=config.threshold,
+                background_topic_names=(
+                    names("background_topic_names")
+                ),
+            )
+        if t == "NetPlsaPhiConfig":
+            vertex_names = names("vertex_name") or []
+            firsts = _listify(getattr(config, "first_vertex_index", None))
+            seconds = _listify(getattr(config, "second_vertex_index", None))
+            weights = _listify(getattr(config, "edge_weight", None))
+            edge_weights: dict = {}
+            for i, j, w in zip(firsts, seconds, weights):
+                edge_weights.setdefault(int(i), {})[int(j)] = float(w)
+                if getattr(config, "symmetric_edge_weights", None):
+                    edge_weights.setdefault(int(j), {})[int(i)] = float(w)
+            vw = _listify(getattr(config, "vertex_weight", None)) or None
+            return api.NetPlsaPhiRegularizer(
+                name=name, tau=tau,
+                class_id=getattr(config, "class_id", None) or "vertex",
+                topic_names=names("topic_name"),
+                vertex_names=vertex_names,
+                vertex_weights=vw,
+                edge_weights=edge_weights,
+            )
         raise ValueError(f"unsupported regularizer config {t}")
 
     # ------------------------------------------------------------ E-step
@@ -543,11 +671,25 @@ class MasterComponent:
         else:
             selected = []
         theta_agents = []
+        theta_cfgs = []
+        ptdw_agents = []
         for cfg in selected:
-            if getattr(cfg, "_kind", None) == "theta":
+            kind = getattr(cfg, "_kind", None)
+            if kind == "theta":
                 if hasattr(cfg, "_resolve"):
                     cfg._resolve(self._models[pwt].topics)
+                theta_cfgs.append(cfg)
                 theta_agents.append(cfg._engine)
+            elif kind == "ptdw":
+                if hasattr(cfg, "_resolve"):
+                    cfg._resolve(self._models[pwt].topics)
+                ptdw_agents.append(cfg._engine)
+        if theta_cfgs:
+            # item_title / item_topic_multiplier scoping -> kernel doc ids
+            # (smooth_sparse_theta.cc:389-502; shared with the ARTM path)
+            from bigartm_spark.model.api import resolve_doc_scope
+
+            resolve_doc_scope(theta_cfgs, docs)
         want_theta = bool(
             find_theta
             or cache_theta
@@ -573,6 +715,18 @@ class MasterComponent:
                 ),
                 class_weights=cw,
                 theta_agents=theta_agents or None,
+                ptdw_agents=ptdw_agents or None,
+                transaction_mode=bool(
+                    transaction_typenames or self._transaction_typenames
+                ),
+                transaction_weights=(
+                    transaction_typenames or self._transaction_typenames
+                ),
+                class_score_breakdown=any(
+                    type(c).__name__ == "PerplexityScoreConfig"
+                    and _listify(getattr(c, "class_id", None))
+                    for c in self._scores.values()
+                ),
                 emit_nwt=nwt is not None,
                 emit_theta=want_theta,
                 emit_ptdw=want_ptdw,
@@ -582,9 +736,38 @@ class MasterComponent:
             if want_theta or want_ptdw:
                 kernel = kernel.cache()
             if nwt is not None:
-                nwt_df = estep.aggregate_nwt(kernel, len(phi.topics))
+                agg = estep.aggregate_nwt(kernel, len(phi.topics)).localCheckpoint(
+                    eager=True
+                )
+                if agg.limit(1).isEmpty():
+                    # class filter + corpus with empty intersection: the
+                    # reference throws rather than producing an empty nwt
+                    # (MultipleClasses.ThrowIfNoTokensInEffect). The probe
+                    # is on the already-materialized checkpoint — no extra
+                    # scan of the corpus.
+                    raise ValueError(
+                        "ProcessBatches: no tokens in effect — the "
+                        "configured class_ids match nothing in the corpus"
+                    )
+                # the reference's nwt spans every pwt token — tokens the
+                # corpus never weights keep ZERO rows (and survive the
+                # normalize), so GetTopicModel keeps the model shape
+                # (MultipleClasses.WithoutDefaultClass pins the count).
+                # One vocab-sized anti-join + union, never corpus-sized.
+                zero_rows = phi.compact.join(
+                    agg.select("class_id", "token"),
+                    ["class_id", "token"],
+                    "left_anti",
+                ).select(
+                    "class_id",
+                    "token",
+                    F.array(
+                        *[F.lit(0.0)] * len(phi.topics)
+                    ).alias("values"),
+                )
+                checked = agg.unionByName(zero_rows)
                 self._models[nwt] = PhiMatrix(
-                    nwt, list(phi.topics), nwt_df.localCheckpoint(eager=True)
+                    nwt, list(phi.topics), checked
                 )
                 self._model_written(nwt)
                 scores = estep.extract_scores(kernel)
@@ -605,10 +788,19 @@ class MasterComponent:
             for cfg, stored_tau in restore_taus:
                 cfg.tau = stored_tau
         # accumulate RAW partials (reference score cache semantics: sums
-        # across ProcessBatches calls until clear_score_cache)
-        for k in estep.STANDARD_SCORE_KEYS:
-            if k in scores:
-                self._score_cache[k] = self._score_cache.get(k, 0.0) + scores[k]
+        # across ProcessBatches calls until clear_score_cache). Every raw
+        # key accumulates — incl. the dynamic per-transaction-type
+        # ("@name") and per-modality ("@cls:name") breakdowns; the
+        # derived keys (exp/ratios) are recomputed by _finalize, never
+        # summed.
+        _derived = ("perplexity_raw", "perplexity_normalizer",
+                    "perplexity_zero_words")
+        for k, v in scores.items():
+            if k == "sparsity_theta" or (
+                k.startswith("perplexity") and not k.startswith(_derived)
+            ):
+                continue
+            self._score_cache[k] = self._score_cache.get(k, 0.0) + v
         finalized = self._finalized_scores()
         for name in self._scores:
             self._score_arrays.setdefault(name, []).append(
@@ -659,9 +851,17 @@ class MasterComponent:
             cfg.tau = tau
             if gamma is not None:
                 cfg.gamma = gamma
+            if getattr(cfg, "gamma", None) is not None:
                 need_totals = True
             if getattr(cfg, "_kind", "phi") == "phi":
                 engines.append(cfg._engine)
+        # engines whose delta normalizes against n_t (NetPLSA's KL form,
+        # biterms, relative-gamma scaling) need the totals relation
+        need_totals = need_totals or any(
+            type(e).__name__
+            in ("NetPlsaPhi", "BitermsPhi", "LabelRegularizationPhi")
+            for e in engines
+        )
         try:
             dic = next(iter(self._dictionaries.values())).df if self._dictionaries else None
             ctx = RegularizeContext(
@@ -763,11 +963,21 @@ class MasterComponent:
         self, batches=None, batch_filenames=None, theta_matrix_type=None,
         batches_folder=None,
     ):
+        """TransformMasterModelArgs: unlike raw ProcessBatches, the
+        master-model Transform applies the registered regularizer agents
+        (so e.g. a configured TopicSegmentationPtdw shapes the returned
+        ptdw — Regularizer.TopicSegmentationPtdw, topic_seg_test.cc).
+        theta_matrix_type 'dense_ptdw' (=4) returns the ptdw matrix."""
+        want_ptdw = theta_matrix_type in ("dense_ptdw", 4)
         self.process_batches(
             self._pwt_name, None, self._num_document_passes,
             batches_folder=batches_folder, batch_filenames=batch_filenames,
-            find_theta=True,
+            find_theta=not want_ptdw,
+            find_ptdw=want_ptdw,
+            _apply_registered_theta=True,
         )
+        if want_ptdw:
+            return self.get_ptdw_matrix()
         return self.get_theta_matrix()
 
     # ----------------------------------------------------------- readout
@@ -776,6 +986,50 @@ class MasterComponent:
         t = type(cfg).__name__
         s = self._finalized_scores()
         if t == "PerplexityScoreConfig":
+            tt_scoped = _listify(getattr(cfg, "transaction_typename", None))
+            if tt_scoped and any(
+                f"perplexity_raw@{nm}" in s for nm in tt_scoped
+            ):
+                # transaction_typename scoping: combine the transaction
+                # kernel's per-type rollup (perplexity.cc tt_name info)
+                import math
+
+                raw = sum(
+                    s.get(f"perplexity_raw@{nm}", 0.0) for nm in tt_scoped
+                )
+                norm = sum(
+                    s.get(f"perplexity_normalizer@{nm}", 0.0)
+                    for nm in tt_scoped
+                )
+                return SimpleNamespace(
+                    value=math.exp(-raw / norm) if norm > 0 else 0.0,
+                    raw=raw,
+                    normalizer=norm,
+                    zero_words=int(s.get("perplexity_zero_words", 0)),
+                )
+            scoped = _listify(getattr(cfg, "class_id", None))
+            if scoped:
+                # class_id scoping (perplexity.cc:66-80): combine the
+                # kernel's per-modality partials; an empty intersection
+                # with the corpus reports zeros — the reference SKIPS the
+                # calculation rather than erroring (scores_test.cc:86-95)
+                import math
+
+                raw = sum(s.get(f"perplexity_raw@cls:{c}", 0.0) for c in scoped)
+                norm = sum(
+                    s.get(f"perplexity_normalizer@cls:{c}", 0.0)
+                    for c in scoped
+                )
+                zero = sum(
+                    s.get(f"perplexity_zero_words@cls:{c}", 0.0)
+                    for c in scoped
+                )
+                return SimpleNamespace(
+                    value=math.exp(-raw / norm) if norm > 0 else 0.0,
+                    raw=raw,
+                    normalizer=norm,
+                    zero_words=int(zero),
+                )
             # model_type=1 (UnigramCollectionModel) reads the kernel's
             # dictionary-fallback variant when it rode the pass
             suf = (
@@ -816,8 +1070,11 @@ class MasterComponent:
             from bigartm_spark.operators.topk import top_tokens
 
             long = model.to_long()
-            if cfg.class_id:
-                long = long.filter(F.col("class_id") == cfg.class_id)
+            # unset class_id defaults to "@default_class"
+            # (messages.proto:350, top_tokens.cc:45-53)
+            long = long.filter(
+                F.col("class_id") == (cfg.class_id or "@default_class")
+            )
             rows = (
                 top_tokens(long, k=cfg.num_tokens)
                 .orderBy("topic", "rank")

@@ -20,12 +20,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def gather_dictionary(docs: DataFrame, vocab: DataFrame | None = None) -> DataFrame:
+def gather_dictionary(
+    docs: DataFrame,
+    vocab: DataFrame | None = None,
+    full_vocab: DataFrame | None = None,
+) -> DataFrame:
     """D1. dictionary(class_id, token, value, tf, df) from a long corpus.
 
     vocab (E10): optional (token_id, token [, class_id]) from read_vocab —
     adds a vocab_order column so exports follow vocab-file order
-    (dictionary_operations.cc:336-396); hash order otherwise."""
+    (dictionary_operations.cc:336-396); hash order otherwise.
+
+    full_vocab: optional (class_id, token) relation of the COMPLETE token
+    universe (a batch store's Batch.token lists, or the vocab file). The
+    reference's Gather emits an entry for every such token even when it
+    never occurs in any item — tf = df = value = 0
+    (dictionary_operations.cc:316-325 iterates batch.token, :399-401
+    zero-fills via operator[]) — and InitializeModel then creates phi
+    rows for them, which changes the per-topic normalization. Pinned by
+    the C++ Regularizers.TopicSelection port."""
     # two-stage agg instead of countDistinct(doc_id): the Expand that
     # implements a mixed count-distinct doubles the shuffled rows; the
     # per-(token, doc) pre-agg gets map-side combine on occurrence rows
@@ -47,11 +60,22 @@ def gather_dictionary(docs: DataFrame, vocab: DataFrame | None = None) -> DataFr
         .withColumn("value", F.col("tf") / F.col("_class_tf"))
         .select("class_id", "token", "value", "tf", "df")
     )
-    if vocab is not None:
-        order = vocab.select(
-            "token", F.col("token_id").alias("vocab_order")
+    if full_vocab is not None:
+        universe = full_vocab.select("class_id", "token").dropDuplicates(
+            ["class_id", "token"]
         )
-        out = out.join(F.broadcast(order), "token", "left")
+        out = (
+            universe.join(out, ["class_id", "token"], "left")
+            .fillna({"value": 0.0, "tf": 0.0, "df": 0.0})
+        )
+    if vocab is not None:
+        # join on (token, class_id) when the vocab carries classes so a
+        # token listed under two modalities keeps distinct order slots
+        keys = ["token", "class_id"] if "class_id" in vocab.columns else ["token"]
+        order = vocab.select(
+            *keys, F.col("token_id").alias("vocab_order")
+        )
+        out = out.join(F.broadcast(order), keys, "left")
     return out
 
 

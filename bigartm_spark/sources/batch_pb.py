@@ -244,8 +244,14 @@ def batch_to_rows(buf: bytes, batch_id_fallback: str) -> list[tuple]:
         # tsi = start offset of each transaction + trailing sentinel (the
         # parser appends the total count at item end; regular text:
         # 0,1,...,n -> each token its own transaction)
-        tx_of = [0] * len(tids)
+        # no start indexes (old-format / hand-built batch): regular
+        # bag-of-words — every token is its own transaction, matching
+        # the parser's per-token RecordTransaction (collection_parser.cc
+        # :258-260); a single shared transaction would silently turn the
+        # item into one atomic co-occurrence under a transaction model
+        tx_of = list(range(len(tids)))
         if tsi:
+            tx_of = [0] * len(tids)
             starts = list(tsi)
             if starts[-1] != len(tids):
                 starts.append(len(tids))
@@ -406,3 +412,39 @@ def read_batch_folder(spark: SparkSession, path: str | list[str]) -> DataFrame:
                 yield pd.DataFrame(out, columns=names)
 
     return files.mapInPandas(decode, DOCS_SCHEMA)
+
+
+def read_batch_vocab(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """Distinct (class_id, token) universe of a ``.batch`` folder — the
+    Batch.token/class_id tables, INCLUDING tokens no item references.
+    The reference's Gather emits zero-stat dictionary entries for these
+    (dictionary_operations.cc:316-325); pair with
+    gather_dictionary(full_vocab=...)."""
+    import pandas as pd
+
+    from bigartm_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.batch")
+        .load(path)
+        .select("content")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cls, tok = [], []
+            for content in pdf["content"]:
+                b = parse_batch(bytes(content))
+                tokens = b["token"]
+                classes = b["class_id"] or ["@default_class"] * len(tokens)
+                tok.extend(tokens)
+                cls.extend(classes)
+            if tok:
+                yield pd.DataFrame({"class_id": cls, "token": tok})
+
+    schema = "class_id string, token string"
+    return files.mapInPandas(decode, schema).dropDuplicates(
+        ["class_id", "token"]
+    )

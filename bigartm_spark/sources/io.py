@@ -70,6 +70,32 @@ def dict_field_type(schema, name):
     return next(f.dataType for f in schema.fields if f.name == name)
 
 
+def load_batch_vocab(
+    spark: SparkSession, path: str, format: str | None = None
+) -> DataFrame:
+    """(class_id, token) universe of a batch store — for reference
+    ``.batch`` folders this is the Batch.token table INCLUDING
+    zero-occurrence tokens (dictionary_operations.cc:316-325 gathers
+    zero-stat entries for them); the parquet store holds occurrence rows
+    only, so there the universe equals the occurring set."""
+    if format is None:
+        names = _hadoop_ls(spark, path)
+        format = (
+            "batch_pb"
+            if any(n.endswith(".batch") for n in names)
+            else "parquet"
+        )
+    if format == "batch_pb":
+        from bigartm_spark.sources.batch_pb import read_batch_vocab
+
+        return read_batch_vocab(spark, path)
+    return (
+        load_batches(spark, path, format=format)
+        .select("class_id", "token")
+        .dropDuplicates(["class_id", "token"])
+    )
+
+
 def export_model(phi: PhiMatrix, path: str):
     """A8. A ``.bin``/``.model`` path writes the reference's binary
     chunked-TopicModel format (sources/model_pb.py, readable by the C++
@@ -266,8 +292,16 @@ def write_corpus_vw(docs: DataFrame, path: str):
         )
         .withColumn(
             "_scope",
+            # '||type body ||': the trailing bare '||' closes the scope as
+            # ONE multi-token transaction (collection_parser.cc:598-601);
+            # without it a following '||type' would dump these tokens as
+            # singleton transactions (parse_vw_line, pinned by the
+            # TransactionVowpalWabbit port)
             F.when(F.col("_tid") == -1, F.col("_scope_body")).otherwise(
-                F.concat(F.lit("||"), "_ttype", F.lit(" "), "_scope_body")
+                F.concat(
+                    F.lit("||"), "_ttype", F.lit(" "), "_scope_body",
+                    F.lit(" ||"),
+                )
             ),
         )
     )

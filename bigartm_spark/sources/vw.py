@@ -44,7 +44,22 @@ def _char_hash(s: str, init: int = 7) -> int:
 
 def parse_vw_line(line: str) -> list[tuple]:
     """-> [(doc_id, title, class_id, token, weight, pos, transaction_id,
-    transaction_typename)]"""
+    transaction_typename)]
+
+    Transaction grouping follows collection_parser.cc:595-733 exactly
+    (pinned by the TransactionVowpalWabbit port on the reference's own
+    vw_transaction_data.txt):
+    - bare ``||`` closes the pending tokens as ONE multi-token transaction;
+    - ``||name`` first dumps each pending token as its OWN singleton
+      transaction (under the *old* typename), then switches the typename;
+    - end of item dumps each remaining token as its own singleton
+      transaction — so plain tokens outside ``||`` blocks are singleton
+      transactions, never grouped;
+    - ``|class`` switches modality without closing a transaction, and both
+      ``||`` forms reset the modality to @default_class.
+    Repeated (class_id, token) within one closed multi-token transaction
+    accumulates weight.
+    """
     fields = line.split()
     if not fields:
         return []
@@ -52,25 +67,50 @@ def parse_vw_line(line: str) -> list[tuple]:
     doc_id = _char_hash(title)
     class_id = DEFAULT_CLASS
     trans_type = DEFAULT_TRANSACTION
-    trans_id = 0
-    in_transaction = False
+    next_tid = 0
     pos = 0
-    # (class_id, token, trans_id, trans_type) -> [weight, pos]
-    acc: dict[tuple, list] = {}
+    rows: list[tuple] = []
+    pending: list[tuple] = []  # (class_id, token, weight) in order
+
+    def flush(as_group: bool) -> None:
+        nonlocal next_tid, pos
+        if not pending:
+            return
+        if as_group:
+            acc: dict[tuple, float] = {}
+            order: list[tuple] = []
+            for c, t, w in pending:
+                k = (c, t)
+                if k in acc:
+                    acc[k] += w
+                else:
+                    acc[k] = w
+                    order.append(k)
+            for c, t in order:
+                pos += 1
+                rows.append(
+                    (doc_id, title, c, t, acc[(c, t)], pos, next_tid, trans_type)
+                )
+            next_tid += 1
+        else:
+            for c, t, w in pending:
+                pos += 1
+                rows.append((doc_id, title, c, t, w, pos, next_tid, trans_type))
+                next_tid += 1
+        pending.clear()
+
     for f in fields[1:]:
         if f.startswith("||"):
-            # close current transaction; '||name' switches type
-            trans_id += 1
             name = f[2:]
             if name:
+                flush(as_group=False)
                 trans_type = name
-            in_transaction = True
+            else:
+                flush(as_group=True)
             class_id = DEFAULT_CLASS
             continue
         if f.startswith("|"):
             class_id = f[1:] or DEFAULT_CLASS
-            if not in_transaction:
-                trans_id += 1
             continue
         if ":" in f:
             tok, _, wstr = f.rpartition(":")
@@ -82,16 +122,9 @@ def parse_vw_line(line: str) -> list[tuple]:
             tok, weight = f, 1.0
         if not tok:
             continue
-        key = (class_id, tok, trans_id, trans_type)
-        if key in acc:
-            acc[key][0] += weight
-        else:
-            pos += 1
-            acc[key] = [weight, pos]
-    return [
-        (doc_id, title, cls, tok, w, p, tid, ttype)
-        for (cls, tok, tid, ttype), (w, p) in acc.items()
-    ]
+        pending.append((class_id, tok, weight))
+    flush(as_group=False)
+    return rows
 
 
 def read_vowpal_wabbit(spark: SparkSession, path: str) -> DataFrame:

@@ -205,9 +205,30 @@ class BackgroundTokensRatioScoreConfig(Message):
 
 
 # ----------------------------------------------------------- regularizers
+class FloatArray(Message):
+    """messages.proto FloatArray: repeated float value."""
+
+    _REPEATED = ("value",)
+
+
+class NetPlsaPhiConfig(Message):
+    """messages.proto NetPlsaPhiConfig (regularizer H13)."""
+
+    _SCALARS = {"class_id": None, "symmetric_edge_weights": None}
+    _REPEATED = (
+        "topic_name",
+        "vertex_name",
+        "vertex_weight",
+        "first_vertex_index",
+        "second_vertex_index",
+        "edge_weight",
+    )
+
+
 class SmoothSparseThetaConfig(Message):
     _SCALARS = {"transform_function": None}
     _REPEATED = ("topic_name", "alpha_iter", "item_title")
+    _COMPOSITES = {"item_topic_multiplier": FloatArray}
 
 
 class SmoothSparsePhiConfig(Message):
@@ -237,6 +258,13 @@ class ImproveCoherencePhiConfig(Message):
 
 class SmoothPtdwConfig(Message):
     _SCALARS = {"window": 5, "threshold": 1.0}
+
+
+class TopicSegmentationPtdwConfig(Message):
+    """messages.proto:200-204."""
+
+    _SCALARS = {"window": 10, "threshold": 0.5}
+    _REPEATED = ("background_topic_names",)
 
 
 class TopicSelectionThetaConfig(Message):

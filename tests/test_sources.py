@@ -77,14 +77,23 @@ def test_vw_transactions(spark, tmpdir_mod):
     assert any(r.weight == 3.0 for r in by_tok[("action", "click")])
 
 
-def test_vw_repeated_token_accumulates(spark, tmpdir_mod):
+def test_vw_repeated_token_singleton_transactions(spark, tmpdir_mod):
+    """Plain tokens outside ``||`` blocks are singleton transactions
+    (collection_parser.cc:728-732, pinned by the TransactionVowpalWabbit
+    port) — repeats stay separate instances; weights only accumulate for
+    duplicates inside one closed multi-token transaction."""
     from bigartm_spark.sources.vw import read_vowpal_wabbit
 
     p = tmpdir_mod / "vw_rep.txt"
-    p.write_text("doc1 w w w:2.5\n")
+    p.write_text("doc1 w w w:2.5 ||t1 a a:4 ||\n")
     docs = read_vowpal_wabbit(spark, str(p))
-    [r] = docs.collect()
-    assert r.weight == 4.5
+    rows = docs.collect()
+    plain = [r for r in rows if r.token == "w"]
+    assert sorted(r.weight for r in plain) == [1.0, 1.0, 2.5]
+    assert len({r.transaction_id for r in plain}) == 3
+    # inside the closed ||t1 ... || transaction the duplicate accumulates
+    [a] = [r for r in rows if r.token == "a"]
+    assert a.weight == 5.0 and a.transaction_typename == "t1"
 
 
 def test_matrix_market(spark, tmpdir_mod):
