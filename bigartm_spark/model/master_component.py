@@ -704,6 +704,27 @@ class MasterComponent:
         # p(t|d,w) matrix alongside, cached for get_ptdw_matrix()
         want_ptdw = bool(find_ptdw) or theta_matrix_type in ("dense_ptdw", 4)
         phi = self._model_read(pwt)
+        # vocabulary growth (MasterModel.TestReshapeTokens*): when the
+        # target nwt was re-initialized over a BIGGER dictionary than
+        # pwt, the reference still writes counts for the extra tokens,
+        # using a uniform phi row (processor_helpers.cc:564-567
+        # p_wt_local = 1.0 when the token is absent from pwt) — i.e.
+        # n_wt[new w][t] = sum_d n_dw * theta_td. That is a plain
+        # relational aggregate over this pass's theta; no kernel change.
+        grow_tokens = None
+        if nwt is not None:
+            prev_nwt = self._models.get(nwt)
+            if prev_nwt is not None and list(prev_nwt.topics) == list(
+                phi.topics
+            ):
+                extra = prev_nwt.compact.select("class_id", "token").join(
+                    phi.compact.select("class_id", "token"),
+                    ["class_id", "token"],
+                    "left_anti",
+                )
+                if not extra.limit(1).isEmpty():
+                    grow_tokens = extra.localCheckpoint(eager=True)
+                    want_theta = True
         try:
             kernel = estep.process_batches(
                 docs,
@@ -749,6 +770,29 @@ class MasterComponent:
                         "ProcessBatches: no tokens in effect — the "
                         "configured class_ids match nothing in the corpus"
                     )
+                if grow_tokens is not None:
+                    # n_wt[new w] = sum_d n_dw * theta_td (uniform-phi
+                    # write, processor_helpers.cc:564-587)
+                    theta_long = estep.extract_theta(kernel, phi.topics)
+                    weighted = estep.apply_class_weights(docs, cw)
+                    extra_occ = weighted.join(
+                        F.broadcast(grow_tokens),
+                        ["class_id", "token"],
+                        "left_semi",
+                    ).select("doc_id", "class_id", "token", "weight")
+                    grown_long = (
+                        extra_occ.join(theta_long, "doc_id")
+                        .groupBy("class_id", "token", "topic")
+                        .agg(
+                            F.sum(
+                                F.col("weight") * F.col("value")
+                            ).alias("value")
+                        )
+                    )
+                    grown = PhiMatrix.from_long(
+                        nwt, list(phi.topics), grown_long
+                    ).compact
+                    agg = agg.unionByName(grown).localCheckpoint(eager=True)
                 # the reference's nwt spans every pwt token — tokens the
                 # corpus never weights keep ZERO rows (and survive the
                 # normalize), so GetTopicModel keeps the model shape
@@ -929,23 +973,38 @@ class MasterComponent:
         batches_folder=None, async_=None,
     ):
         """Online EM with explicit update points and decay/apply weights
-        (master_component.py:880-932)."""
+        (master_component.py:880-932; ExecuteOnlineAlgorithm /
+        ExecuteAsyncOnlineAlgorithm, master_component.cc:1364-1444).
+
+        Reference semantics pinned by the MasterModel.Basic port:
+        - the score cache clears at fit start (so GetScore after the fit
+          reports this fit's cumulative scores);
+        - an absent decay list defaults to 1 - apply_weight
+          (check_messages.h:794-803);
+        - every update runs Merge -> Regularize -> Normalize, so phi
+          regularizers shape the online trajectory exactly as offline;
+        - asynchronous=True processes each group with the phi that
+          predates the PREVIOUS group's merge (one-update-stale pwt,
+          the documented overlap schedule at master_component.cc:1388-1400).
+        """
+        if async_ is not None:
+            asynchronous = bool(async_)
         files = list(batch_filenames or [])
         update_after = list(update_after or [len(files)])
         apply_weight = list(apply_weight or [1.0] * len(update_after))
-        decay_weight = list(decay_weight or [0.0] * len(update_after))
-        start = 0
-        for upto, aw, dw in zip(update_after, apply_weight, decay_weight):
-            group = files[start:upto]
-            start = upto
-            if not group:
-                continue
-            self.process_batches(
-                self._pwt_name, "_nwt_hat", self._num_document_passes,
-                batch_filenames=group,
-                _apply_registered_theta=True,
-            )
-            hat = self._models.pop("_nwt_hat")
+        decay_weight = list(
+            decay_weight
+            if decay_weight is not None
+            else [1.0 - a for a in apply_weight]
+        )
+        self.clear_score_cache()
+
+        reg_names = [
+            n for n, c in self._regularizers.items()
+            if getattr(c, "_kind", "phi") == "phi"
+        ]
+
+        def merge_regularize_normalize(hat, aw, dw):
             cur = self._models.get(self._nwt_name)
             if cur is not None and dw != 0.0:
                 merged = mstep.merge_nwt(
@@ -957,7 +1016,39 @@ class MasterComponent:
                 self._nwt_name, merged.topics,
                 merged.compact.localCheckpoint(eager=True),
             )
-            self.normalize_model(self._pwt_name, self._nwt_name)
+            rwt = None
+            if reg_names:
+                rwt = "rwt"
+                self.regularize_model(
+                    self._pwt_name, self._nwt_name, rwt, reg_names,
+                    [self._regularizers[n].tau for n in reg_names],
+                )
+            self.normalize_model(self._pwt_name, self._nwt_name, rwt)
+
+        start = 0
+        pending = None  # (hat, apply, decay) not yet merged (async lag)
+        for upto, aw, dw in zip(update_after, apply_weight, decay_weight):
+            group = files[start:upto]
+            start = upto
+            if not group:
+                continue
+            self.process_batches(
+                self._pwt_name, "_nwt_hat", self._num_document_passes,
+                batch_filenames=group,
+                _apply_registered_theta=True,
+            )
+            hat = self._models.pop("_nwt_hat")
+            if not asynchronous:
+                merge_regularize_normalize(hat, aw, dw)
+                continue
+            # async: the group above was processed with the CURRENT pwt;
+            # only now fold in the previous group's counts — every group
+            # sees a one-update-stale phi, exactly the overlap schedule
+            if pending is not None:
+                merge_regularize_normalize(*pending)
+            pending = (hat, aw, dw)
+        if pending is not None:
+            merge_regularize_normalize(*pending)
 
     def transform(
         self, batches=None, batch_filenames=None, theta_matrix_type=None,
