@@ -2,7 +2,14 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "duckdb": {name: sec},
+"ratio": {name: spark/duckdb}, "duckdb_total": sec, "ratio_total": ...}.
+
+The DuckDB oracle pair runs in the SAME process immediately after the
+Spark timings, so the recorded ratios are host-drift-immune by
+construction (r6's headline "regression" was the shared host slowing
+down between rounds, not the engine — both engines moved +26% together).
+Set SPARK_GRAFT_NO_DUCKDB=1 to skip the oracle half.
 
 Timing discipline: JVM startup, Python-worker spawn, and input caching are
 warmed up outside the timed region — the timings measure steady-state query
@@ -136,19 +143,95 @@ def main():
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "bigartm_spark_headline_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "timing": "min of 3 runs per query (steady-state)",
-            }
+    out = {
+        "metric": "bigartm_spark_headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "timing": "min of 3 runs per query (steady-state)",
+    }
+
+    if not os.environ.get("SPARK_GRAFT_NO_DUCKDB"):
+        duck = _bench_duckdb_pair()
+        ratios = {
+            n: round(timings[n] / duck[n], 2) if duck.get(n) else None
+            for n in timings
+        }
+        out["duckdb"] = duck
+        out["duckdb_total"] = round(sum(duck.values()), 3)
+        out["ratio"] = ratios
+        out["ratio_total"] = (
+            round(out["value"] / out["duckdb_total"], 3)
+            if out["duckdb_total"]
+            else None
         )
-    )
+        out["note"] = (
+            "duckdb pair timed back-to-back in the same process (host-drift-"
+            "immune ratios); oracle runs 1 EM pass where Spark runs 10 inner "
+            "passes / 2 regularized full passes + scores"
+        )
+    print(json.dumps(out))
     spark.stop()
+
+
+# bench.py query name -> oracle_sql() key with the equivalent workload.
+# The EM rows map to the single-pass oracle (SQL can't loop) — the raw
+# ratio therefore overstates Spark's cost by the pass count; noted in
+# SCALE.md.
+BENCH_TO_ORACLE = {
+    "gather_dictionary": "d1_gather_dictionary",
+    "top_k_by_df": "b3b4_filter_topk_dictionary",
+    "cooc_ppmi_w2": "d14f4_cooc_ppmi_filtered",
+    "initialize_phi": "g1e5_initialize_and_ranking",
+    "estep_nwt_10_inner_passes": "d2g5_estep_mstep_pass",
+    "fit_offline_T10_2pass": "d2g5_estep_mstep_pass",
+    "dedup_exact": "dedup_exact",
+    "dedup_minhash_sigs": "dedup_minhash_signatures",
+    "dedup_lsh_candidates": "dedup_lsh_candidates",
+    "dedup_simhash": "dedup_simhash",
+    "ann_cosine_topk": "ann_topk_composite",
+    "text_quality": "text_lang_quality",
+}
+
+
+def _bench_duckdb_pair() -> dict[str, float]:
+    """Time the DuckDB oracle for each bench query in-process.
+
+    Same min-of-3 steady-state discipline as the Spark half, run
+    immediately after it so both engines see the identical host state.
+    """
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    oracles = entry.oracle_sql()
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        # single-file parquet (driver testdata) or a Spark-written
+        # directory of part files (/tmp/sf1, /tmp/sf10)
+        for src in (f"{SF_DIR}/{t}.parquet", f"{SF_DIR}/{t}.parquet/*.parquet"):
+            try:
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+                break
+            except duckdb.Error:
+                continue  # partial SF dirs carry only the bench tables
+
+    duck: dict[str, float] = {}
+    for name, key in BENCH_TO_ORACLE.items():
+        sql = oracles[key]
+        con.execute(sql).fetchall()  # warmup (I/O cache, plan cache)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            best = min(best, time.time() - t0)
+        duck[name] = round(best, 3)
+    con.close()
+    return duck
 
 
 if __name__ == "__main__":
