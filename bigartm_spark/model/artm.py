@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 
 from bigartm_spark.model import estep, mstep
 from bigartm_spark.model.init import initialize_phi
-from bigartm_spark.model.phi import PhiMatrix
+from bigartm_spark.model.phi import LocalPhiMatrix, PhiMatrix
 from bigartm_spark.model.regularizers import (
     PhiRegularizer,
     RegularizeContext,
@@ -186,7 +186,25 @@ class ARTM:
             and dense_init_rate >= 1.0
             and guaranteed_zeros_rate <= 0.0
         )
-        if use_reference:
+        # C1 join strategy: broadcast phi while |vocab| x T x 8B fits a
+        # generous executor budget; beyond that fall back to a shuffle
+        # join on (class_id, token) (AQE handles skew).
+        vocab_rows = self.dictionary.count()
+        self._broadcast_phi = estep.should_broadcast_phi(
+            vocab_rows, len(self.topics)
+        )
+        if use_reference and self._broadcast_phi:
+            # bit-parity init generated DRIVER-SIDE: the broadcast regime
+            # already guarantees vocab x T fits the driver, the per-token
+            # RNG is hash-seeded (order-independent), and the first fit
+            # pass needs the driver copy anyway for its phi broadcast —
+            # so a distributed init job + collect would be pure overhead
+            # (~1s/fit at sf0.1: the mapInPandas kernel runs twice under
+            # mstep.normalize's totals subquery). At vocabularies past
+            # the broadcast threshold the distributed path below keeps
+            # the right shape.
+            self._init_phi_local()
+        elif use_reference:
             # bit-parity with the reference default init (see ctor);
             # the sparse-init knobs are srcmain CLI flags the portable
             # generator implements, so they keep that path
@@ -203,14 +221,52 @@ class ARTM:
                 dense_init_rate=dense_init_rate,
                 guaranteed_zeros_rate=guaranteed_zeros_rate,
             ).cache()
-        # C1 join strategy: broadcast phi while |vocab| x T x 8B fits a
-        # generous executor budget; beyond that fall back to a shuffle
-        # join on (class_id, token) (AQE handles skew).
-        vocab_rows = self.dictionary.count()
-        self._broadcast_phi = estep.should_broadcast_phi(
-            vocab_rows, len(self.topics)
-        )
         return self
+
+    def _init_phi_local(self) -> None:
+        """Reference-RNG init on the driver: same per-token hash-seeded
+        vectors as initialize_phi_reference (helpers.cc:79-135), column-
+        normalized per class exactly as mstep.normalize; sets both the
+        local pwt relation and the _phi_local driver copy the broadcast
+        E-step feeds on."""
+        import numpy as np
+
+        from bigartm_spark.model.init import (
+            reference_random_vector,
+            reference_token_hash,
+        )
+
+        pdf = self.dictionary.select("class_id", "token").toPandas()
+        n = len(self.topics)
+        if len(pdf):
+            mat = np.stack(
+                [
+                    reference_random_vector(
+                        n, reference_token_hash(c, t, self.seed)
+                    ).astype("float64")
+                    for c, t in zip(pdf["class_id"], pdf["token"])
+                ]
+            )
+        else:
+            mat = np.zeros((0, n))
+        mat = np.maximum(mat, 0.0)
+        cls_np = pdf["class_id"].to_numpy()
+        tok_np = pdf["token"].to_numpy()
+        den = np.zeros_like(mat)
+        for c in (np.unique(cls_np) if len(pdf) else ()):
+            sel = cls_np == c
+            den[sel] = mat[sel].sum(axis=0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mat = np.where(den > 0, mat / np.where(den > 0, den, 1.0), 0.0)
+        self.pwt = LocalPhiMatrix(
+            "pwt",
+            self.topics,
+            self.dictionary.sparkSession,
+            cls_np,
+            tok_np,
+            mat,
+        )
+        self._phi_local = (cls_np, tok_np, mat)
 
     # -- hARTM child wiring (artm_model.py:1259-1286) ----------------------
     def set_parent_model(
@@ -297,8 +353,26 @@ class ARTM:
             self.num_buckets = estep.choose_num_buckets(
                 docs.count(), len(self.topics), sc.defaultParallelism
             )
-        for _ in range(num_collection_passes):
-            self._one_pass(docs)
+        prepared = None
+        if num_collection_passes > 1:
+            # hoist the pass-invariant half (class weights, cp join,
+            # projection, bucket shuffle) out of the loop: one corpus
+            # shuffle per FIT, each pass's groupBy elides its exchange
+            # against the cached hash-partitioned layout
+            prepared = estep.prepare_corpus(
+                docs,
+                self.num_buckets,
+                class_weights=self.class_weights,
+                collection_probs=self._collection_probs(),
+                need_pos=bool(self.ptdw_agents),
+                transaction_mode=bool(self.transaction_typenames),
+            )
+        try:
+            for _ in range(num_collection_passes):
+                self._one_pass(docs, kernel_docs=prepared)
+        finally:
+            if prepared is not None:
+                prepared.unpersist()
         estep.release_phi_broadcasts()  # nothing in flight after the loop
         return self
 
@@ -387,13 +461,23 @@ class ARTM:
                 eng.doc_topic_coef = np.asarray(coef, dtype=float)
         self._doc_scope_key = key
 
-    def _one_pass(self, docs: DataFrame, decay_weight: float = 0.0, apply_weight: float = 1.0):
+    def _one_pass(
+        self,
+        docs: DataFrame,
+        decay_weight: float = 0.0,
+        apply_weight: float = 1.0,
+        kernel_docs: DataFrame | None = None,
+    ):
+        # kernel_docs: a prepare_corpus() relation for the E-step kernel
+        # (pass-invariant work pre-done + cached); docs keeps the full
+        # schema for title-scoped regularizer resolution and score
+        # recomputation
         self._resolve_doc_scoped_agents(docs)
         # class-scoped scores (PerplexityScore class_ids) recompute over
         # the fit corpus after the update; a plain reference, no action
         self._last_fit_docs = docs
         kernel_out = estep.process_batches(
-            docs,
+            kernel_docs if kernel_docs is not None else docs,
             self.pwt,
             num_document_passes=self.num_document_passes,
             class_weights=self.class_weights,
@@ -592,6 +676,55 @@ class ARTM:
             nwt_new.topics,
             nwt_new.compact.localCheckpoint(eager=False),
         )
+        old_pwt = self.pwt
+        if (
+            getattr(self, "_broadcast_phi", False)
+            and not self.phi_regularizers
+            and not self.phi_transforms
+        ):
+            # Unregularized pass in the broadcast regime: normalize IN
+            # NUMPY on the collected nwt instead of running a Spark
+            # totals-agg + broadcast-join + projection (measured ~0.5s
+            # of pure job overhead per pass at sf0.1). The pass's ONE
+            # Spark action becomes the nwt collect — the score
+            # Observation rides it and it materializes the lazy
+            # localCheckpoint, so later distributed reads of self.nwt
+            # stay free. Clamp + per-class totals + divide on a
+            # vocab x T matrix is sub-millisecond driver-side and
+            # implements exactly mstep.normalize's semantics (B8
+            # max(n,0) clamp, p=0 when the class total is <= 0).
+            import numpy as np
+
+            pdf = self.nwt.compact.toPandas()
+            mat = (
+                np.stack(pdf["values"].to_numpy())
+                if len(pdf)
+                else np.zeros((0, len(self.topics)))
+            )
+            mat = np.maximum(mat, 0.0)
+            cls_np = pdf["class_id"].to_numpy()
+            tok_np = pdf["token"].to_numpy()
+            den = np.zeros_like(mat)
+            for c in (np.unique(cls_np) if len(pdf) else ()):
+                sel = cls_np == c
+                den[sel] = mat[sel].sum(axis=0)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mat = np.where(
+                    den > 0, mat / np.where(den > 0, den, 1.0), 0.0
+                )
+            self.pwt = LocalPhiMatrix(
+                "pwt",
+                self.topics,
+                kernel_out.sparkSession,
+                cls_np,
+                tok_np,
+                mat,
+            )
+            self._phi_local = (cls_np, tok_np, mat)
+            self._finish_pass(
+                kernel_out, old_pwt, unpersist_old, score_observation
+            )
+            return
         ctx = RegularizeContext(
             dictionary=self.dictionary,
             topic_totals=mstep.topic_totals(self.nwt)
@@ -602,7 +735,6 @@ class ARTM:
         new_pwt = mstep.normalize(self.nwt, rwt_df, name="pwt")
         for transform in self.phi_transforms:
             new_pwt = transform(new_pwt)
-        old_pwt = self.pwt
         if getattr(self, "_broadcast_phi", False):
             # broadcast regime: phi fits the driver by definition
             # (should_broadcast_phi gated it), so the pass's ONE action
@@ -621,20 +753,26 @@ class ARTM:
             )
             cls_np = pdf["class_id"].to_numpy()
             tok_np = pdf["token"].to_numpy()
-            pdf = pdf.copy()
-            pdf["values"] = pdf["values"].map(list)
-            local = kernel_out.sparkSession.createDataFrame(
-                pdf, schema="class_id string, token string, values array<double>"
+            self.pwt = LocalPhiMatrix(
+                "pwt",
+                self.topics,
+                kernel_out.sparkSession,
+                cls_np,
+                tok_np,
+                mat,
             )
-            self.pwt = PhiMatrix("pwt", self.topics, local)
             self._phi_local = (cls_np, tok_np, mat)
         else:
             self.pwt = new_pwt.checkpoint()
-        if unpersist_old:
-            try:
-                old_pwt.compact.unpersist()
-            except Exception:
-                pass
+        self._finish_pass(kernel_out, old_pwt, unpersist_old, score_observation)
+
+    def _finish_pass(
+        self, kernel_out, old_pwt, unpersist_old, score_observation
+    ):
+        """Shared pass epilogue: score extraction, theta cache, old-phi
+        reclamation, tracker bookkeeping."""
+        if unpersist_old and old_pwt is not None:
+            old_pwt.release()  # no-op materialization for lazy local phi
         if score_observation is not None:
             # the checkpoint above consumed the kernel relation; the
             # observation already carries the summed score partials

