@@ -1,10 +1,13 @@
-"""Pure-Python codecs for UNCOMPRESSED media formats (PPM/BMP images,
-WAV-PCM audio) so the multimodal column type is end-to-end testable in a
-container with no image/audio libraries (VERDICT r4 next-round #5).
+"""Pure-Python codecs for PPM/BMP/PNG images and WAV-PCM audio so the
+multimodal column type is end-to-end testable in a container with no
+image/audio libraries (VERDICT r4 next-round #5; PNG added r7).
 
-Only byte shuffling — numpy reshapes, no compression — so these are
-honest decoders, not stubs. Compressed codecs (JPEG/PNG/MP3/...) still
-raise the documented NotImplementedError in `decode_media`; swap in
+PPM/BMP/WAV are byte shuffling — numpy reshapes, no compression. PNG is
+a real decoder for the common web case (8-bit gray/RGB/palette/alpha,
+all 5 filter types, stdlib zlib inflate) per the public spec
+(RFC 2083); Adam7 interlace and 16-bit depth stay behind
+NotImplementedError. Remaining compressed codecs (JPEG/MP3/video) raise
+the documented NotImplementedError in `decode_media`; swap in
 PIL/ffmpeg via the decode_fn injection points in multimodal.py for
 production.
 """
@@ -12,6 +15,7 @@ production.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -100,6 +104,171 @@ def decode_bmp(content: bytes) -> np.ndarray:
     return out
 
 
+# --------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel at 8-bit depth
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_row(
+    ftype: int, line: np.ndarray, prior: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Forward filter one raw scanline (encode side), RFC 2083 §6."""
+    line = line.astype(np.int32)
+    prior = prior.astype(np.int32)
+    n = len(line)
+    left = np.zeros(n, dtype=np.int32)
+    left[bpp:] = line[:-bpp]
+    upleft = np.zeros(n, dtype=np.int32)
+    upleft[bpp:] = prior[:-bpp]
+    if ftype == 0:
+        out = line
+    elif ftype == 1:  # Sub
+        out = line - left
+    elif ftype == 2:  # Up
+        out = line - prior
+    elif ftype == 3:  # Average
+        out = line - ((left + prior) >> 1)
+    elif ftype == 4:  # Paeth
+        p = left + prior - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - upleft)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, upleft)
+        )
+        out = line - pred
+    else:
+        raise ValueError(f"bad PNG filter type {ftype}")
+    return (out & 0xFF).astype(np.uint8)
+
+
+def encode_png(
+    arr: np.ndarray, row_filters: list[int] | None = None
+) -> bytes:
+    """(H, W, 3) uint8 RGB -> PNG (8-bit truecolor, non-interlaced).
+
+    row_filters optionally pins the filter type per scanline (cycled) —
+    lets tests exercise every decode filter path; default is filter 0."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_png wants (H, W, 3)")
+    h, w, _ = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    flat = arr.reshape(h, w * 3)
+    prior = np.zeros(w * 3, dtype=np.uint8)
+    for y in range(h):
+        ft = row_filters[y % len(row_filters)] if row_filters else 0
+        raw.append(ft)
+        raw += _png_filter_row(ft, flat[y], prior, 3).tobytes()
+        prior = flat[y]
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """PNG -> (H, W, 3) uint8 RGB. Pure Python per the public spec:
+    stdlib zlib inflate + scanline unfiltering (all 5 filter types),
+    8-bit gray (0) / truecolor (2) / palette (3) / gray+alpha (4) /
+    RGBA (6). Alpha is dropped, gray replicated, palette looked up.
+    16-bit depth, sub-byte depths, and Adam7 interlace raise
+    NotImplementedError."""
+    content = bytes(content)
+    if content[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        length, ctype = struct.unpack_from(">I4s", content, pos)
+        body = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + body + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError("only 8-bit PNG supported")
+    if interlace:
+        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {color_type}")
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG data truncated")
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int32)
+        pos += stride
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prior) & 0xFF
+        elif ft == 1:  # Sub: sequential in x, vectorize over channels
+            cur = line.copy()
+            for x in range(ch, stride):
+                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
+        elif ft == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (line[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = int(prior[x])
+                c = int(prior[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        recon[y] = cur.astype(np.uint8)
+        prior = cur
+    img = recon.reshape(h, w, ch)
+    if color_type == 2:
+        return img
+    if color_type == 6:
+        return img[:, :, :3]
+    if color_type == 0:
+        return np.repeat(img, 3, axis=2)
+    if color_type == 4:
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    # color_type == 3: palette
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    return plte[img[:, :, 0]]
+
+
 # --------------------------------------------------------------- WAV
 
 
@@ -145,14 +314,20 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int, int]:
 
 
 def sniff_media(content: bytes) -> str:
-    """Container sniff by magic bytes: 'ppm' | 'bmp' | 'wav' | 'unknown'."""
+    """Container sniff by magic bytes:
+    'ppm' | 'bmp' | 'png' | 'wav' | 'unknown'."""
     if content[:2] == b"P6":
         return "ppm"
     if content[:2] == b"BM":
         return "bmp"
+    if content[: len(_PNG_SIG)] == _PNG_SIG:
+        return "png"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"
     return "unknown"
+
+
+_IMAGE_DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp, "png": decode_png}
 
 
 def _nn_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
@@ -169,8 +344,8 @@ def decode_media(content: bytes, media_type: str, dim: int = 8) -> np.ndarray:
     windows, [0, 1]. Compressed/unknown codecs keep the documented
     NotImplementedError (inject PIL/ffmpeg decode_fn for those)."""
     kind = sniff_media(bytes(content))
-    if kind in ("ppm", "bmp"):
-        img = decode_ppm(content) if kind == "ppm" else decode_bmp(content)
+    if kind in _IMAGE_DECODERS:
+        img = _IMAGE_DECODERS[kind](content)
         gray = img.astype(np.float64).mean(axis=2)  # (H, W)
         bands = np.array_split(gray, dim, axis=0)
         return np.array(
@@ -188,9 +363,9 @@ def decode_media(content: bytes, media_type: str, dim: int = 8) -> np.ndarray:
             dtype=np.float32,
         )
     raise NotImplementedError(
-        "media decode for compressed/unknown codecs requires image/audio "
-        "libraries not present in this container; inject a real decode_fn "
-        "(PPM/BMP/WAV-PCM decode natively via operators/codecs.py)"
+        "media decode for JPEG/MP3/video requires image/audio libraries "
+        "not present in this container; inject a real decode_fn "
+        "(PPM/BMP/PNG/WAV-PCM decode natively via operators/codecs.py)"
     )
 
 
@@ -200,11 +375,11 @@ def resize_media(
     """Real decode + nearest-neighbor resize -> flat (width*height)
     grayscale floats in [0, 1] (the RESIZED_SCHEMA pixel contract)."""
     kind = sniff_media(bytes(content))
-    if kind not in ("ppm", "bmp"):
+    if kind not in _IMAGE_DECODERS:
         raise NotImplementedError(
-            "resize supports the in-container codecs (PPM/BMP); inject a "
-            "real resize_fn for compressed formats"
+            "resize supports the in-container codecs (PPM/BMP/PNG); inject "
+            "a real resize_fn for compressed formats"
         )
-    img = decode_ppm(content) if kind == "ppm" else decode_bmp(content)
+    img = _IMAGE_DECODERS[kind](content)
     small = _nn_resize(img, width, height).astype(np.float64).mean(axis=2)
     return (small / 255.0).astype(np.float32).ravel()

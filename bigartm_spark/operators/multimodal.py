@@ -249,8 +249,7 @@ def image_content_features(media: DataFrame, hist_bins: int = 8) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from bigartm_spark.operators.codecs import (
-            decode_bmp,
-            decode_ppm,
+            _IMAGE_DECODERS,
             sniff_media,
         )
 
@@ -262,10 +261,8 @@ def image_content_features(media: DataFrame, hist_bins: int = 8) -> DataFrame:
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
                 b = bytes(content)
                 try:
-                    kind = sniff_media(b)
-                    img = decode_ppm(b) if kind == "ppm" else (
-                        decode_bmp(b) if kind == "bmp" else None
-                    )
+                    decoder = _IMAGE_DECODERS.get(sniff_media(b))
+                    img = decoder(b) if decoder else None
                 except Exception:
                     img = None
                 if img is None:

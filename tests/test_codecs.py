@@ -88,7 +88,7 @@ def test_decode_media_dispatch_and_strictness():
     # constant half-scale signal -> RMS 0.5 in every window
     np.testing.assert_allclose(f_wav, 0.5, atol=1e-3)
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG\r\n\x1a\n....", "image")
+        decode_media(b"\xff\xd8\xff\xe0....JFIF", "image")  # JPEG magic
 
 
 def test_resize_media_nn():
@@ -220,3 +220,143 @@ def test_audio_content_features(spark):
     assert a["zero_crossing_rate"] == pytest.approx(2 * f0 / sr, rel=1e-2)
     assert a["spectral_centroid_hz"] == pytest.approx(f0, rel=0.02)
     assert a["spectral_rolloff_hz"] == pytest.approx(f0, rel=0.02)
+
+
+# ------------------------------------------------------------------ PNG
+
+
+def test_png_roundtrip_all_filter_types():
+    """Every scanline filter type (None/Sub/Up/Average/Paeth) decodes
+    back to the exact source pixels (VERDICT r6 next-round #3)."""
+    from bigartm_spark.operators.codecs import decode_png, encode_png
+
+    img = _img(10, 9, seed=7)
+    for ft in range(5):
+        np.testing.assert_array_equal(
+            decode_png(encode_png(img, row_filters=[ft])), img, err_msg=f"filter {ft}"
+        )
+    # mixed filters cycling through all five on one image
+    np.testing.assert_array_equal(
+        decode_png(encode_png(img, row_filters=[0, 1, 2, 3, 4])), img
+    )
+
+
+def test_png_color_types():
+    """Grayscale (0), palette (3), gray+alpha (4) and RGBA (6) images —
+    hand-built per the spec since encode_png writes truecolor — all
+    land as (H, W, 3) RGB."""
+    import struct
+    import zlib
+
+    from bigartm_spark.operators.codecs import _PNG_SIG, _png_chunk, decode_png
+
+    def build(w, h, color_type, raw_rows, plte=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        chunks = _png_chunk(b"IHDR", ihdr)
+        if plte is not None:
+            chunks += _png_chunk(b"PLTE", plte)
+        chunks += _png_chunk(b"IDAT", zlib.compress(raw_rows))
+        return _PNG_SIG + chunks + _png_chunk(b"IEND", b"")
+
+    # grayscale ramp 2x3
+    gray = np.array([[0, 100, 200], [50, 150, 250]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + row.tobytes() for row in gray)
+    out = decode_png(build(3, 2, 0, raw))
+    np.testing.assert_array_equal(out, np.repeat(gray[:, :, None], 3, axis=2))
+
+    # gray+alpha: alpha dropped
+    ga = np.dstack([gray, np.full_like(gray, 7)])
+    raw = b"".join(b"\x00" + row.tobytes() for row in ga)
+    out = decode_png(build(3, 2, 4, raw))
+    np.testing.assert_array_equal(out, np.repeat(gray[:, :, None], 3, axis=2))
+
+    # RGBA: alpha dropped
+    rgb = _img(2, 3, seed=11)
+    rgba = np.dstack([rgb, np.full(rgb.shape[:2], 9, dtype=np.uint8)])
+    raw = b"".join(b"\x00" + row.tobytes() for row in rgba)
+    np.testing.assert_array_equal(decode_png(build(3, 2, 6, raw)), rgb)
+
+    # palette: indices look up PLTE entries
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + row.tobytes() for row in idx)
+    out = decode_png(build(3, 2, 3, raw, plte=palette.tobytes()))
+    np.testing.assert_array_equal(out, palette[idx])
+
+
+def test_png_strictness():
+    """Interlace and 16-bit depth raise the documented
+    NotImplementedError; truncated data and bad magic raise ValueError."""
+    import struct
+    import zlib
+
+    from bigartm_spark.operators.codecs import _PNG_SIG, _png_chunk, decode_png, encode_png
+
+    img = _img(4, 4)
+    good = encode_png(img)
+
+    def with_ihdr(depth=8, color_type=2, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, color_type, 0, 0, interlace)
+        raw = b"".join(b"\x00" + row.tobytes() for row in img.reshape(4, -1))
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(NotImplementedError):
+        decode_png(with_ihdr(interlace=1))
+    with pytest.raises(NotImplementedError):
+        decode_png(with_ihdr(depth=16))
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNX" + good[4:])
+    # truncate the zlib stream mid-way
+    with pytest.raises(Exception):
+        decode_png(good[: len(good) // 2])
+
+
+def test_png_through_decode_media_and_content_features(spark):
+    """The full multimodal path on PNG bytes: decode_media band features
+    match the PPM container bit-for-bit, and image_content_features
+    computes the same closed-form stats as the PPM/BMP fixtures."""
+    from bigartm_spark.operators.codecs import decode_media, encode_png, encode_ppm
+    from bigartm_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_content_features,
+    )
+
+    img = np.zeros((4, 8, 3), dtype=np.uint8)
+    img[:, 4:, :] = 255
+    np.testing.assert_allclose(
+        decode_media(encode_png(img, row_filters=[4]), "image"),
+        decode_media(encode_ppm(img), "image"),
+        atol=0,
+    )
+
+    rows = [
+        (0, "image", bytearray(encode_png(img, row_filters=[1, 3])), 8, 4, None),
+        (1, "image", bytearray(encode_ppm(img)), 8, 4, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r["asset_id"]: r for r in image_content_features(media).collect()
+    }
+    assert set(feats) == {0, 1}
+    f = feats[0]
+    assert (f["width"], f["height"]) == (8, 4)
+    np.testing.assert_allclose(f["mean_rgb"], [127.5] * 3, atol=1e-4)
+    assert f["luma_hist"][0] == pytest.approx(0.5, abs=1e-6)
+    assert f["luma_hist"][-1] == pytest.approx(0.5, abs=1e-6)
+    np.testing.assert_allclose(
+        feats[0]["mean_rgb"], feats[1]["mean_rgb"], atol=1e-6
+    )
+
+
+def test_png_resize_media():
+    from bigartm_spark.operators.codecs import encode_png, resize_media
+
+    img = np.full((9, 7, 3), 200, dtype=np.uint8)
+    px = resize_media(encode_png(img, row_filters=[2]), "image", 4, 3)
+    assert px.shape == (12,)
+    np.testing.assert_allclose(px, 200 / 255.0, atol=1e-6)
