@@ -105,6 +105,12 @@ def test_func():
         traj0 = level_0.score_tracker["perplexity"]
         assert len(traj0) == num_collection_passes
         assert traj0[-1] <= traj0[0]
+        # PORT (VERDICT r6 #5): pinned level-0 trajectory at the fixed
+        # seed on the in-repo corpus — catches an EM/weighting
+        # regression, not just a shape change (tolerances as in
+        # test_master_model_port.py)
+        for got, want in zip(traj0, [76.9575739828, 61.7659310883, 40.4142181758]):
+            assert got == pytest.approx(want, rel=1e-6), traj0
 
         level_1 = hierarchy.add_level(
             num_topics=num_topics_level_1,
@@ -134,6 +140,13 @@ def test_func():
         assert ((col_sums - 1.0).abs() < 1e-6).all(), col_sums
         support = psi.values.max(axis=1).min()
         assert support > 0.0
+        # PORT (VERDICT r6 #5): pinned level-1 trajectory + psi support
+        # at the fixed seed — a parent_level_weight or
+        # HierarchySparsingTheta regression moves these immediately
+        traj1 = level_1.score_tracker["perplexity"]
+        for got, want in zip(traj1, [76.606607188, 60.7533324535, 42.4098321547]):
+            assert got == pytest.approx(want, rel=1e-6), traj1
+        assert support == pytest.approx(0.1410630457, rel=1e-6)
 
         assert level_0.clone() is not None
         assert level_1.clone() is not None

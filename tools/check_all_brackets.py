@@ -3,16 +3,28 @@ oracle suite at every available scale bracket and print the pass table
 SCALE.md used to describe as a manual procedure.
 
 Brackets: /root/testdata/sf{0.001,0.01,0.1} always; /tmp/sf1 when it
-exists (regenerate with `python tools/gen_sf1.py`).
+exists (regenerate with `python tools/gen_sf1.py`). Extra brackets (e.g.
+/tmp/sf10 from tools/gen_sfn.py) via --sf or $SPARK_GRAFT_EXTRA_BRACKETS.
 
-Usage: python tools/check_all_brackets.py [name ...]
-Exit 0 iff every query passes at every bracket.
+--light mode (VERDICT r6 next-round #4): at big brackets the ORACLE's EM
+replicas blow up long before the Spark side does. --light still runs
+every Spark query (asserting success + row count), but gives each DuckDB
+oracle a per-query budget (--oracle-timeout, default 120s, enforced via
+con.interrupt()); a query whose oracle exceeds the budget records
+"rows-only" instead of failing, and the summary separates hash-verified
+from rows-only counts. This turns "correct as far as the oracle can
+follow" into a mechanical, re-runnable claim.
+
+Usage: python tools/check_all_brackets.py [--light] [--sf DIR] [name ...]
+Exit 0 iff every query passes (hash or rows-only) at every bracket.
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, "/root/repo")
@@ -28,14 +40,55 @@ BRACKETS = [
 ]
 
 
+def run_oracle(con, sql: str, timeout_s: float | None):
+    """Execute an oracle query with an interrupt-based budget.
+    Returns (df, status) with status in {'ok', 'timeout', 'error'}."""
+    if timeout_s is None:
+        try:
+            return con.execute(sql).fetchdf(), "ok"
+        except Exception:
+            return None, "error"
+    timed_out = threading.Event()
+
+    def interrupt():
+        timed_out.set()
+        con.interrupt()
+
+    timer = threading.Timer(timeout_s, interrupt)
+    timer.start()
+    try:
+        df = con.execute(sql).fetchdf()
+        return df, "ok"
+    except Exception:
+        return None, "timeout" if timed_out.is_set() else "error"
+    finally:
+        timer.cancel()
+
+
 def main():
-    names_arg = sys.argv[1:]
-    # Extra bracket dirs (e.g. /tmp/sf10 from tools/gen_sfn.py) come in
-    # via env so positional args stay query names.
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*", help="query names (default: all)")
+    ap.add_argument(
+        "--sf", action="append", default=[],
+        help="extra bracket dir(s); with --only-sf, the only bracket(s)",
+    )
+    ap.add_argument(
+        "--only-sf", action="store_true",
+        help="run just the --sf bracket(s), skip the standard ladder",
+    )
+    ap.add_argument(
+        "--light", action="store_true",
+        help="per-query oracle budget; over-budget oracles degrade to "
+        "a rows-only check instead of failing",
+    )
+    ap.add_argument("--oracle-timeout", type=float, default=120.0)
+    args = ap.parse_args()
+
+    brackets = [] if args.only_sf else list(BRACKETS)
     extra = os.environ.get("SPARK_GRAFT_EXTRA_BRACKETS", "")
-    for b in filter(None, extra.split(":")):
-        if b not in BRACKETS:
-            BRACKETS.append(b)
+    for b in list(filter(None, extra.split(":"))) + args.sf:
+        if b not in brackets:
+            brackets.append(b)
 
     import __spark_entry__ as entry
     from bigartm_spark.session import get_spark
@@ -43,30 +96,45 @@ def main():
     spark = get_spark("check-brackets")
     spark.sparkContext.setLogLevel("ERROR")
     qs, oracles = entry.queries(), entry.oracle_sql()
-    names = names_arg or list(qs)
-    brackets = [b for b in BRACKETS if os.path.isdir(b)]
-    print(f"brackets: {', '.join(brackets)}\n")
+    names = args.names or list(qs)
+    brackets = [b for b in brackets if os.path.isdir(b)]
+    mode = (
+        f"light (oracle budget {args.oracle_timeout:.0f}s/query)"
+        if args.light
+        else "full"
+    )
+    print(f"brackets: {', '.join(brackets)}  mode: {mode}\n")
 
     results: dict[str, dict[str, str]] = {n: {} for n in names}
-    totals = {b: [0, 0] for b in brackets}  # passed, ran
+    # per bracket: [hash-verified, rows-only, ran]
+    totals = {b: [0, 0, 0] for b in brackets}
     t_start = time.time()
     for b in brackets:
         con = duck_con(b)
         for name in names:
-            totals[b][1] += 1
+            totals[b][2] += 1
+            t_q = time.time()
             try:
                 sp = qs[name](spark, b).toPandas()
             except Exception as e:
                 results[name][b] = f"SPARK-ERR {type(e).__name__}"
                 continue
+            sp_secs = time.time() - t_q
             if name not in oracles:
                 results[name][b] = f"rows={len(sp)}"
-                totals[b][0] += 1
+                totals[b][1] += 1
                 continue
-            try:
-                du = con.execute(oracles[name]).fetchdf()
-            except Exception as e:
-                results[name][b] = f"DUCK-ERR {type(e).__name__}"
+            du, status = run_oracle(
+                con, oracles[name],
+                args.oracle_timeout if args.light else None,
+            )
+            if status == "timeout":
+                # oracle over budget: Spark side already succeeded
+                results[name][b] = f"rows-only={len(sp)} ({sp_secs:.0f}s)"
+                totals[b][1] += 1
+                continue
+            if status == "error":
+                results[name][b] = "DUCK-ERR"
                 continue
             problems = compare(sp, du)
             if problems:
@@ -78,8 +146,9 @@ def main():
 
     short = {b: b.rstrip("/").rsplit("/", 1)[-1] for b in brackets}
     width = max(len(n) for n in names) + 2
+    cell_w = 22 if args.light else 12
     header = "query".ljust(width) + "".join(
-        short[b].ljust(12) for b in brackets
+        short[b].ljust(cell_w) for b in brackets
     )
     print(header)
     print("-" * len(header))
@@ -88,15 +157,19 @@ def main():
         row = name.ljust(width)
         for b in brackets:
             cell = results[name].get(b, "-")
-            if cell not in ("ok",) and not cell.startswith("rows="):
+            if (
+                cell not in ("ok",)
+                and not cell.startswith("rows=")
+                and not cell.startswith("rows-only=")
+            ):
                 any_fail = True
-            row += cell.ljust(12)
+            row += cell.ljust(cell_w)
         print(row)
     print("-" * len(header))
-    line = "TOTAL".ljust(width)
+    line = "TOTAL hash/rows-only".ljust(width)
     for b in brackets:
-        p, r = totals[b]
-        line += f"{p}/{r}".ljust(12)
+        h, r, n = totals[b]
+        line += f"{h}+{r}/{n}".ljust(cell_w)
     print(line)
     print(f"\nwall: {time.time() - t_start:.0f}s")
     sys.exit(1 if any_fail else 0)
