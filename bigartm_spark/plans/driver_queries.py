@@ -845,6 +845,112 @@ def d2g5_estep_mstep_pass(spark, sf_dir):
     return _r4(_r6(out, "pwt"), "nwt")
 
 
+# ============================================ G6: online EM merge schedule
+# rho_t = (tau0 + t)^-kappa with tau0=64, kappa=0.7, update_every=1
+# (artm_model.py:652-659). Group 1 seeds n_wt unweighted (no prior state);
+# group 2 merges n2 = (1-rho2)*n1 + rho2*nhat2 — the G6 decay/apply fold.
+_RHO2 = (64.0 + 2.0) ** -0.7
+
+
+def _estep_sql(docs_t: str, phi_t: str, s: str) -> str:
+    """One 1-doc-pass E-step replica (same math as _ESTEP_CTES) over
+    table ``docs_t`` against phi table ``phi_t``, suffix ``s`` — lets the
+    G6 oracle chain two E-steps where the second uses the phi the first
+    produced (exactly the synchronous online schedule)."""
+    return f"""
+j{s} AS (
+  SELECT d.doc_id, d.pos, d.token, d.class_id, d.weight,
+         p.topic_idx, p.value AS phi_v
+  FROM {docs_t} d
+  JOIN {phi_t} p ON p.token = d.token AND p.class_id = d.class_id
+),
+z{s} AS (
+  SELECT *, phi_v / SUM(phi_v) OVER (PARTITION BY doc_id, pos) AS ptdw0
+  FROM j{s}
+),
+ntd{s} AS (
+  SELECT doc_id, topic_idx, SUM(weight * ptdw0) AS n_td
+  FROM z{s} GROUP BY doc_id, topic_idx
+),
+th{s} AS (
+  SELECT doc_id, topic_idx,
+         n_td / SUM(n_td) OVER (PARTITION BY doc_id) AS th
+  FROM ntd{s}
+),
+q{s} AS (
+  SELECT z.doc_id, z.pos, z.token, z.class_id, z.weight, z.topic_idx,
+         z.phi_v * t.th AS num
+  FROM z{s} z JOIN th{s} t
+    ON t.doc_id = z.doc_id AND t.topic_idx = z.topic_idx
+),
+qn{s} AS (
+  SELECT *, num / SUM(num) OVER (PARTITION BY doc_id, pos) AS ptdw
+  FROM q{s}
+),
+n{s} AS (
+  SELECT class_id, token, topic_idx, SUM(weight * ptdw) AS v
+  FROM qn{s} GROUP BY class_id, token, topic_idx
+)
+""".strip()
+
+
+@register(
+    "g6_online_merge",
+    f"""
+WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
+g0 AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+g1 AS (SELECT * FROM docs WHERE doc_id % 2 = 1),
+{_estep_sql('g0', 'phi', '1')},
+pwt1 AS (
+  SELECT class_id, token, topic_idx,
+         GREATEST(v, 0) / SUM(GREATEST(v, 0))
+           OVER (PARTITION BY class_id, topic_idx) AS value
+  FROM n1
+),
+{_estep_sql('g1', 'pwt1', '2')},
+merged AS (
+  SELECT COALESCE(a.class_id, b.class_id) AS class_id,
+         COALESCE(a.token, b.token) AS token,
+         COALESCE(a.topic_idx, b.topic_idx) AS topic_idx,
+         (1.0 - {_RHO2!r}) * COALESCE(a.v, 0)
+           + {_RHO2!r} * COALESCE(b.v, 0) AS v
+  FROM n1 a
+  FULL JOIN n2 b
+    ON a.class_id = b.class_id AND a.token = b.token
+   AND a.topic_idx = b.topic_idx
+)
+SELECT class_id, token,
+       'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
+       ROUND(v, 4) AS nwt,
+       ROUND(GREATEST(v, 0) / SUM(GREATEST(v, 0))
+               OVER (PARTITION BY class_id, topic_idx), 6) AS pwt
+FROM merged
+""",
+)
+def g6_online_merge(spark, sf_dir):
+    """G6 online EM (fit_online, synchronous Robbins-Monro schedule)
+    replayed end-to-end against a SQL replica: two update_after groups,
+    group 2's E-step runs against the phi produced by group 1's update,
+    and the final n_wt carries the (1-rho)/rho decay-apply merge
+    (master_component.cc:1387-1439 merge semantics; the streaming
+    foreachBatch path drives this same fit_online loop)."""
+    from bigartm_spark.model.artm import ARTM
+
+    docs = docs_from_lineitem(spark, sf_dir)
+    g0 = docs.filter(F.col("doc_id") % 2 == 0)
+    g1 = docs.filter(F.col("doc_id") % 2 == 1)
+    model = ARTM(
+        topic_names=list(TOPICS), num_document_passes=1, seed=SEED,
+        init_method="portable",  # the oracle replays this init
+    )
+    model.initialize(gather_dictionary(docs))
+    model.fit_online([g0, g1], tau0=64.0, kappa=0.7, update_every=1)
+    nwt_long = model.nwt.to_long().withColumnRenamed("value", "nwt")
+    pwt_long = model.get_phi_long().withColumnRenamed("value", "pwt")
+    out = nwt_long.join(pwt_long, ["class_id", "token", "topic"])
+    return _r4(_r6(out, "pwt"), "nwt")
+
+
 # ==================================================== F3: topic reconfigure
 @register(
     "f3_reshape_topics",
