@@ -209,3 +209,54 @@ def test_observation_scores_match_extract_scores(spark, docs):
         assert len(a) == len(b) == 2
         for x, y in zip(a, b):
             assert abs(x - y) <= 1e-9 * max(abs(x), 1.0), (key, a, b)
+
+
+def test_prepared_corpus_path_equals_per_pass_path(spark, docs):
+    """fit_offline(num_collection_passes=2) takes the prepare_corpus()
+    fast path (one hoisted bucket shuffle, cached layout); two
+    sequential 1-pass fits run the unprepared per-pass plan. Same
+    schedule, same math — trajectories must agree to float noise."""
+    from bigartm_spark.model.artm import ARTM
+    from bigartm_spark.operators.dictionary import gather_dictionary
+
+    d = gather_dictionary(docs)
+    m_prep = ARTM(num_topics=4, num_document_passes=2, seed=11)
+    m_prep.initialize(d)
+    m_prep.fit_offline(docs, num_collection_passes=2)
+
+    m_pp = ARTM(num_topics=4, num_document_passes=2, seed=11)
+    m_pp.initialize(d)
+    m_pp.fit_offline(docs, num_collection_passes=1)
+    m_pp.fit_offline(docs, num_collection_passes=1)
+
+    a = m_prep.score_tracker["perplexity"]
+    b = m_pp.score_tracker["perplexity"]
+    assert len(a) == len(b) == 2
+    np.testing.assert_allclose(a, b, rtol=1e-9)
+
+
+def test_prepared_corpus_bakes_in_class_weights_once(spark):
+    """A multi-pass fit with class_weights must weight each pass ONCE
+    (prepare_corpus bakes the weights in; process_batches must not
+    re-apply them on the prepared relation)."""
+    from bigartm_spark.corpus import docs_multimodal
+    from bigartm_spark.model.artm import ARTM
+    from bigartm_spark.operators.dictionary import gather_dictionary
+
+    sf = "/root/testdata/sf0.001"
+    docs = docs_multimodal(spark, sf).cache()
+    d = gather_dictionary(docs)
+    kw = {"num_topics": 3, "num_document_passes": 2, "seed": 5,
+          "class_ids": {"@default_class": 1.0, "supp": 2.5}}
+    m2 = ARTM(**kw)
+    m2.initialize(d)
+    m2.fit_offline(docs, num_collection_passes=2)
+    m11 = ARTM(**kw)
+    m11.initialize(d)
+    m11.fit_offline(docs, num_collection_passes=1)
+    m11.fit_offline(docs, num_collection_passes=1)
+    np.testing.assert_allclose(
+        m2.score_tracker["perplexity"],
+        m11.score_tracker["perplexity"],
+        rtol=1e-9,
+    )
