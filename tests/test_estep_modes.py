@@ -178,8 +178,9 @@ def test_auto_size_takes_join_path_without_driver_collect(
 
 
 def test_choose_num_buckets_scales_with_corpus():
-    # small corpus: saturate parallelism
-    assert estep.choose_num_buckets(100_000, 10, 32) == 64
+    # small corpus: exactly one kernel wave (r7: the nwt partial shuffle
+    # carries buckets x vocab rows, so no over-partitioning floor)
+    assert estep.choose_num_buckets(100_000, 10, 32) == 32
     # 100TB-ish: 2e12 occurrences x 100 topics -> bucket memory governs
     big = estep.choose_num_buckets(2_000_000_000_000, 100, 2000)
     assert big * estep.BUCKET_TARGET_BYTES >= 2_000_000_000_000 * 100 * 8 * 4
