@@ -366,11 +366,83 @@ def d4_topic_totals(spark, sf_dir):
     return _r4(out, "n_t")
 
 
-# ====================================== D6+F1: merge (same-set + outer union)
+# ============== D6+F1+G6: merge (same-set + outer union + online schedule)
+# G6 half: rho_t = (tau0 + t)^-kappa with tau0=64, kappa=0.7,
+# update_every=1 (artm_model.py:652-659). Group 1 seeds n_wt unweighted
+# (no prior state); group 2's E-step runs against the phi produced by
+# group 1's update and merges n2 = (1-rho2)*n1 + rho2*nhat2 — the
+# synchronous Robbins-Monro decay/apply fold
+# (master_component.cc:1387-1439), SQL-replayed end-to-end.
+_RHO2 = (64.0 + 2.0) ** -0.7
+
+
+def _estep_sql(docs_t: str, phi_t: str, s: str) -> str:
+    """One 1-doc-pass E-step replica (same math as _ESTEP_CTES below)
+    over table ``docs_t`` against phi table ``phi_t``, suffix ``s`` —
+    lets the G6 oracle chain two E-steps where the second uses the phi
+    the first produced (exactly the synchronous online schedule)."""
+    return f"""
+j{s} AS (
+  SELECT d.doc_id, d.pos, d.token, d.class_id, d.weight,
+         p.topic_idx, p.value AS phi_v
+  FROM {docs_t} d
+  JOIN {phi_t} p ON p.token = d.token AND p.class_id = d.class_id
+),
+z{s} AS (
+  SELECT *, phi_v / SUM(phi_v) OVER (PARTITION BY doc_id, pos) AS ptdw0
+  FROM j{s}
+),
+ntd{s} AS (
+  SELECT doc_id, topic_idx, SUM(weight * ptdw0) AS n_td
+  FROM z{s} GROUP BY doc_id, topic_idx
+),
+th{s} AS (
+  SELECT doc_id, topic_idx,
+         n_td / SUM(n_td) OVER (PARTITION BY doc_id) AS th
+  FROM ntd{s}
+),
+q{s} AS (
+  SELECT z.doc_id, z.pos, z.token, z.class_id, z.weight, z.topic_idx,
+         z.phi_v * t.th AS num
+  FROM z{s} z JOIN th{s} t
+    ON t.doc_id = z.doc_id AND t.topic_idx = z.topic_idx
+),
+qn{s} AS (
+  SELECT *, num / SUM(num) OVER (PARTITION BY doc_id, pos) AS ptdw
+  FROM q{s}
+),
+n{s} AS (
+  SELECT class_id, token, topic_idx, SUM(weight * ptdw) AS v
+  FROM qn{s} GROUP BY class_id, token, topic_idx
+)
+""".strip()
+
+
 @register(
     "d6f1_merge_models",
     f"""
-WITH {DOCS_CTE}, {DICT_CTE},
+WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
+g0 AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+g1 AS (SELECT * FROM docs WHERE doc_id % 2 = 1),
+{_estep_sql('g0', 'phi', '1')},
+pwt1 AS (
+  SELECT class_id, token, topic_idx,
+         GREATEST(v, 0) / SUM(GREATEST(v, 0))
+           OVER (PARTITION BY class_id, topic_idx) AS value
+  FROM n1
+),
+{_estep_sql('g1', 'pwt1', '2')},
+gmerged AS (
+  SELECT COALESCE(a.class_id, b.class_id) AS class_id,
+         COALESCE(a.token, b.token) AS token,
+         COALESCE(a.topic_idx, b.topic_idx) AS topic_idx,
+         (1.0 - {_RHO2!r}) * COALESCE(a.v, 0)
+           + {_RHO2!r} * COALESCE(b.v, 0) AS v
+  FROM n1 a
+  FULL JOIN n2 b
+    ON a.class_id = b.class_id AND a.token = b.token
+   AND a.topic_idx = b.topic_idx
+),
 t1 AS (SELECT UNNEST(range({N_TOPICS})) AS topic_idx),
 top50 AS (
   SELECT class_id, token FROM (
@@ -413,13 +485,35 @@ SELECT 'outer' AS part, class_id, token,
        'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
        ROUND(value, 6) AS value
 FROM outeru
+UNION ALL
+SELECT 'g6_nwt' AS part, class_id, token,
+       'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
+       ROUND(v, 4) AS value
+FROM gmerged
+UNION ALL
+SELECT 'g6_pwt' AS part, class_id, token,
+       'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
+       ROUND(GREATEST(v, 0) / SUM(GREATEST(v, 0))
+               OVER (PARTITION BY class_id, topic_idx), 6) AS value
+FROM gmerged
 """,
 )
 def d6f1_merge_models(spark, sf_dir):
-    """D6 (same token set, weighted sum) and F1 (different token sets,
-    full outer union semantics) MergeModel in one tagged union."""
+    """D6 (same token set, weighted sum), F1 (different token sets,
+    full outer union semantics) MergeModel, and G6 (online fit_online
+    merge schedule, r7) in one tagged union.
+
+    The g6_* parts replay a two-group fit_online (tau0=64, kappa=0.7,
+    update_every=1) end-to-end: group 2's E-step runs against the phi
+    produced by group 1's update, the final n_wt carries the
+    (1-rho)/rho decay-apply merge, and p_wt its normalization — the
+    synchronous Robbins-Monro schedule hash-verified like the offline
+    pass (the streaming foreachBatch path drives this same fit_online
+    loop). Folded here rather than a 51st row: the registry is sized to
+    the driver's 50-row cap, and G6's merge is the D6 operator."""
     docs = docs_from_lineitem(spark, sf_dir)
     d = gather_dictionary(docs)
+    from bigartm_spark.model.artm import ARTM
     from bigartm_spark.model.phi import PhiMatrix
 
     a = PhiMatrix("a", TOPICS, _seeded_row_normalized_nwt(d, 1))
@@ -428,13 +522,32 @@ def d6f1_merge_models(spark, sf_dir):
     a_small = PhiMatrix("as", TOPICS, _seeded_row_normalized_nwt(small, 1))
     same = mstep.merge_nwt([(a, 0.7), (b, 0.3)], "m").to_long()
     outer = mstep.merge_nwt([(a_small, 0.5), (b, 2.0)], "m").to_long()
+
+    g0 = docs.filter(F.col("doc_id") % 2 == 0)
+    g1 = docs.filter(F.col("doc_id") % 2 == 1)
+    model = ARTM(
+        topic_names=list(TOPICS), num_document_passes=1, seed=SEED,
+        init_method="portable",  # the oracle SQL replays this init
+    )
+    model.initialize(d)
+    model.fit_online([g0, g1], tau0=64.0, kappa=0.7, update_every=1)
+    g6_nwt = _r4(
+        model.nwt.to_long().withColumn("part", F.lit("g6_nwt")), "value"
+    )
+    g6_pwt = _r6(
+        model.get_phi_long().withColumn("part", F.lit("g6_pwt")), "value"
+    )
+
     cols = ["part", "class_id", "token", "topic", "value"]
     out = (
         same.withColumn("part", F.lit("same"))
         .select(*cols)
         .unionByName(outer.withColumn("part", F.lit("outer")).select(*cols))
     )
-    return _r6(out, "value")
+    out = _r6(out, "value")
+    return out.unionByName(g6_nwt.select(*cols)).unionByName(
+        g6_pwt.select(*cols)
+    )
 
 
 # ============================================================ E1: top tokens
@@ -840,112 +953,6 @@ def d2g5_estep_mstep_pass(spark, sf_dir):
     )
     model.initialize(gather_dictionary(docs))
     model.fit_offline(docs, num_collection_passes=1)
-    pwt_long = model.get_phi_long().withColumnRenamed("value", "pwt")
-    out = nwt_long.join(pwt_long, ["class_id", "token", "topic"])
-    return _r4(_r6(out, "pwt"), "nwt")
-
-
-# ============================================ G6: online EM merge schedule
-# rho_t = (tau0 + t)^-kappa with tau0=64, kappa=0.7, update_every=1
-# (artm_model.py:652-659). Group 1 seeds n_wt unweighted (no prior state);
-# group 2 merges n2 = (1-rho2)*n1 + rho2*nhat2 — the G6 decay/apply fold.
-_RHO2 = (64.0 + 2.0) ** -0.7
-
-
-def _estep_sql(docs_t: str, phi_t: str, s: str) -> str:
-    """One 1-doc-pass E-step replica (same math as _ESTEP_CTES) over
-    table ``docs_t`` against phi table ``phi_t``, suffix ``s`` — lets the
-    G6 oracle chain two E-steps where the second uses the phi the first
-    produced (exactly the synchronous online schedule)."""
-    return f"""
-j{s} AS (
-  SELECT d.doc_id, d.pos, d.token, d.class_id, d.weight,
-         p.topic_idx, p.value AS phi_v
-  FROM {docs_t} d
-  JOIN {phi_t} p ON p.token = d.token AND p.class_id = d.class_id
-),
-z{s} AS (
-  SELECT *, phi_v / SUM(phi_v) OVER (PARTITION BY doc_id, pos) AS ptdw0
-  FROM j{s}
-),
-ntd{s} AS (
-  SELECT doc_id, topic_idx, SUM(weight * ptdw0) AS n_td
-  FROM z{s} GROUP BY doc_id, topic_idx
-),
-th{s} AS (
-  SELECT doc_id, topic_idx,
-         n_td / SUM(n_td) OVER (PARTITION BY doc_id) AS th
-  FROM ntd{s}
-),
-q{s} AS (
-  SELECT z.doc_id, z.pos, z.token, z.class_id, z.weight, z.topic_idx,
-         z.phi_v * t.th AS num
-  FROM z{s} z JOIN th{s} t
-    ON t.doc_id = z.doc_id AND t.topic_idx = z.topic_idx
-),
-qn{s} AS (
-  SELECT *, num / SUM(num) OVER (PARTITION BY doc_id, pos) AS ptdw
-  FROM q{s}
-),
-n{s} AS (
-  SELECT class_id, token, topic_idx, SUM(weight * ptdw) AS v
-  FROM qn{s} GROUP BY class_id, token, topic_idx
-)
-""".strip()
-
-
-@register(
-    "g6_online_merge",
-    f"""
-WITH {DOCS_CTE}, {DICT_CTE}, {_phi_cte()},
-g0 AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
-g1 AS (SELECT * FROM docs WHERE doc_id % 2 = 1),
-{_estep_sql('g0', 'phi', '1')},
-pwt1 AS (
-  SELECT class_id, token, topic_idx,
-         GREATEST(v, 0) / SUM(GREATEST(v, 0))
-           OVER (PARTITION BY class_id, topic_idx) AS value
-  FROM n1
-),
-{_estep_sql('g1', 'pwt1', '2')},
-merged AS (
-  SELECT COALESCE(a.class_id, b.class_id) AS class_id,
-         COALESCE(a.token, b.token) AS token,
-         COALESCE(a.topic_idx, b.topic_idx) AS topic_idx,
-         (1.0 - {_RHO2!r}) * COALESCE(a.v, 0)
-           + {_RHO2!r} * COALESCE(b.v, 0) AS v
-  FROM n1 a
-  FULL JOIN n2 b
-    ON a.class_id = b.class_id AND a.token = b.token
-   AND a.topic_idx = b.topic_idx
-)
-SELECT class_id, token,
-       'topic_' || CAST(topic_idx AS VARCHAR) AS topic,
-       ROUND(v, 4) AS nwt,
-       ROUND(GREATEST(v, 0) / SUM(GREATEST(v, 0))
-               OVER (PARTITION BY class_id, topic_idx), 6) AS pwt
-FROM merged
-""",
-)
-def g6_online_merge(spark, sf_dir):
-    """G6 online EM (fit_online, synchronous Robbins-Monro schedule)
-    replayed end-to-end against a SQL replica: two update_after groups,
-    group 2's E-step runs against the phi produced by group 1's update,
-    and the final n_wt carries the (1-rho)/rho decay-apply merge
-    (master_component.cc:1387-1439 merge semantics; the streaming
-    foreachBatch path drives this same fit_online loop)."""
-    from bigartm_spark.model.artm import ARTM
-
-    docs = docs_from_lineitem(spark, sf_dir)
-    g0 = docs.filter(F.col("doc_id") % 2 == 0)
-    g1 = docs.filter(F.col("doc_id") % 2 == 1)
-    model = ARTM(
-        topic_names=list(TOPICS), num_document_passes=1, seed=SEED,
-        init_method="portable",  # the oracle replays this init
-    )
-    model.initialize(gather_dictionary(docs))
-    model.fit_online([g0, g1], tau0=64.0, kappa=0.7, update_every=1)
-    nwt_long = model.nwt.to_long().withColumnRenamed("value", "nwt")
     pwt_long = model.get_phi_long().withColumnRenamed("value", "pwt")
     out = nwt_long.join(pwt_long, ["class_id", "token", "topic"])
     return _r4(_r6(out, "pwt"), "nwt")
