@@ -112,12 +112,17 @@ class LocalPhiMatrix(PhiMatrix):
             import pandas as pd
 
             cls_np, tok_np, mat = self.local
+            # ndarray.tolist() yields nested *native* Python floats;
+            # [list(r) for r in mat] would keep numpy.float64 elements,
+            # which the strict Arrow-off createDataFrame verifier rejects
+            # (DoubleType can not accept numpy.float64). The relation must
+            # be valid under ANY session config, not just our Arrow-on one.
             self._compact = self._spark.createDataFrame(
                 pd.DataFrame(
                     {
-                        "class_id": cls_np,
-                        "token": tok_np,
-                        "values": [list(r) for r in mat],
+                        "class_id": [str(c) for c in cls_np],
+                        "token": [str(t) for t in tok_np],
+                        "values": mat.tolist(),
                     }
                 ),
                 schema="class_id string, token string, values array<double>",

@@ -3,7 +3,13 @@ run every __spark_entry__.queries() entry on Spark AND its oracle_sql()
 in DuckDB at sf0.01, compare row count, column names, and
 order-insensitive values.
 
-Usage: python tools/check_oracle.py [name ...] [--sf DIR]
+Usage: python tools/check_oracle.py [name ...] [--sf DIR] [--plain]
+
+--plain replicates the GATE's session flavor: a default-config
+SparkSession (Arrow OFF), where createDataFrame uses the strict type
+verifier that rejects numpy scalars. Round 7 regressed 50/50 -> 48/50
+on exactly this difference (the repo session enables Arrow; the gate
+doesn't) — run both flavors before calling a round done.
 """
 
 from __future__ import annotations
@@ -82,12 +88,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--plain",
+        action="store_true",
+        help="run under a default-config (Arrow-off) session like the gate",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entry
     from bigartm_spark.session import get_spark
 
     spark = get_spark("check-oracle")
+    if args.plain:
+        spark = spark.newSession()
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
+        # required to read the testdata's TIMESTAMP(NANOS) events parquet
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        print("session: PLAIN (Arrow off, default verifier)")
     con = duck_con(args.sf)
     qs, oracles = entry.queries(), entry.oracle_sql()
     names = args.names or list(qs)
