@@ -229,35 +229,21 @@ class ARTM:
         normalized per class exactly as mstep.normalize; sets both the
         local pwt relation and the _phi_local driver copy the broadcast
         E-step feeds on."""
-        import numpy as np
-
         from bigartm_spark.model.init import (
-            reference_random_vector,
+            reference_random_matrix,
             reference_token_hash,
         )
+        from bigartm_spark.model.mstep import normalize_local
 
         pdf = self.dictionary.select("class_id", "token").toPandas()
         n = len(self.topics)
-        if len(pdf):
-            mat = np.stack(
-                [
-                    reference_random_vector(
-                        n, reference_token_hash(c, t, self.seed)
-                    ).astype("float64")
-                    for c, t in zip(pdf["class_id"], pdf["token"])
-                ]
-            )
-        else:
-            mat = np.zeros((0, n))
-        mat = np.maximum(mat, 0.0)
+        hashes = [
+            reference_token_hash(c, t, self.seed)
+            for c, t in zip(pdf["class_id"], pdf["token"])
+        ]
         cls_np = pdf["class_id"].to_numpy()
         tok_np = pdf["token"].to_numpy()
-        den = np.zeros_like(mat)
-        for c in (np.unique(cls_np) if len(pdf) else ()):
-            sel = cls_np == c
-            den[sel] = mat[sel].sum(axis=0)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            mat = np.where(den > 0, mat / np.where(den > 0, den, 1.0), 0.0)
+        mat = normalize_local(cls_np, reference_random_matrix(n, hashes))
         self.pwt = LocalPhiMatrix(
             "pwt",
             self.topics,
@@ -689,11 +675,11 @@ class ARTM:
             # Spark action becomes the nwt collect — the score
             # Observation rides it and it materializes the lazy
             # localCheckpoint, so later distributed reads of self.nwt
-            # stay free. Clamp + per-class totals + divide on a
-            # vocab x T matrix is sub-millisecond driver-side and
-            # implements exactly mstep.normalize's semantics (B8
-            # max(n,0) clamp, p=0 when the class total is <= 0).
+            # stay free. normalize_local is the shared driver twin of
+            # mstep.normalize (B8 clamp, p=0 when class total <= 0).
             import numpy as np
+
+            from bigartm_spark.model.mstep import normalize_local
 
             pdf = self.nwt.compact.toPandas()
             mat = (
@@ -701,17 +687,9 @@ class ARTM:
                 if len(pdf)
                 else np.zeros((0, len(self.topics)))
             )
-            mat = np.maximum(mat, 0.0)
             cls_np = pdf["class_id"].to_numpy()
             tok_np = pdf["token"].to_numpy()
-            den = np.zeros_like(mat)
-            for c in (np.unique(cls_np) if len(pdf) else ()):
-                sel = cls_np == c
-                den[sel] = mat[sel].sum(axis=0)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                mat = np.where(
-                    den > 0, mat / np.where(den > 0, den, 1.0), 0.0
-                )
+            mat = normalize_local(cls_np, mat)
             self.pwt = LocalPhiMatrix(
                 "pwt",
                 self.topics,

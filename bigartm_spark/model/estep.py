@@ -36,6 +36,12 @@ from bigartm_spark.model.phi import PhiMatrix
 
 THETA_EPS = 1e-37  # sparsity threshold, messages.proto:610
 
+# Sentinel column marking a prepare_corpus() output. Deliberately ugly:
+# process_batches() skips the whole pass-invariant preparation half when
+# it sees this column, so an accidental collision with a user column
+# would silently drop class weighting and bucket on arbitrary values.
+BUCKET_COL = "__bigartm_bucket__"
+
 KERNEL_OUT_SCHEMA = T.StructType(
     [
         T.StructField("kind", T.StringType(), False),  # nwt|theta|ptdw|score
@@ -415,13 +421,13 @@ def process_batches(
     from bigartm_spark.session import ensure_package_shipped
 
     ensure_package_shipped(docs.sparkSession)
-    # A relation carrying `_bucket` came from prepare_corpus(): class
+    # A relation carrying ``BUCKET_COL`` came from prepare_corpus(): class
     # weighting, the collection-probs join, column pruning, and the
     # bucket shuffle are already done (and CACHED, hash-partitioned on
-    # _bucket) — skip the pass-invariant half entirely. The
+    # BUCKET_COL) — skip the pass-invariant half entirely. The
     # class_weights / collection_probs arguments are ignored for such
     # input; the caller baked them in at preparation time.
-    prepared = "_bucket" in docs.columns
+    prepared = BUCKET_COL in docs.columns
     need_pos = bool(ptdw_agents) or emit_ptdw
     cols = ["doc_id", "class_id", "token", "weight"]
     if not prepared:
@@ -518,10 +524,10 @@ def process_batches(
         joined  # already bucketed + hash-partitioned: exchange elided
         if prepared
         else joined.withColumn(
-            "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets))
+            BUCKET_COL, F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets))
         )
     )
-    return bucketed.groupBy("_bucket").applyInPandas(kernel, KERNEL_OUT_SCHEMA)
+    return bucketed.groupBy(BUCKET_COL).applyInPandas(kernel, KERNEL_OUT_SCHEMA)
 
 
 def prepare_corpus(
@@ -536,15 +542,15 @@ def prepare_corpus(
     multi-pass fit loop: class weighting (B2), the collection-probs join
     (D7), column pruning, and the doc->bucket shuffle.
 
-    Returns a CACHED relation hash-partitioned on ``_bucket`` — the
-    per-pass ``groupBy("_bucket").applyInPandas`` then satisfies its
+    Returns a CACHED relation hash-partitioned on ``BUCKET_COL`` — the
+    per-pass ``groupBy(BUCKET_COL).applyInPandas`` then satisfies its
     clustered-distribution requirement from the cached layout and elides
     its exchange, so a fit pays ONE corpus shuffle total instead of one
     per collection pass (~2x per-pass E-step cost at sf0.1, measured).
     At cluster scale this is the difference between re-shuffling 100 TB
     per EM pass and scanning co-located cached blocks.
 
-    process_batches() recognizes the ``_bucket`` column and skips the
+    process_batches() recognizes the ``BUCKET_COL`` column and skips the
     preparation half; pass the SAME num_buckets and let the caller
     ``unpersist()`` when the fit loop ends.
     """
@@ -567,9 +573,9 @@ def prepare_corpus(
     return (
         docs.select(*cols)
         .withColumn(
-            "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets))
+            BUCKET_COL, F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets))
         )
-        .repartition(num_buckets, "_bucket")
+        .repartition(num_buckets, BUCKET_COL)
         .cache()
     )
 

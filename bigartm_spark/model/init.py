@@ -128,9 +128,11 @@ def reference_random_vector(
     ``size`` uint32s in ONE vectorized randint call (same underlying
     mt19937 stream as per-element draws; both equivalences pinned in
     test_init). Safe to share: every call re-seeds before drawing, and
-    Spark Python workers are single-threaded per task. The per-element
-    float32 SUM stays an explicit loop: np.sum's pairwise accumulation
-    rounds differently than the reference's sequential float32 adds."""
+    Spark Python workers are single-threaded per task. The float32 SUM
+    uses np.add.accumulate — ufunc accumulate is sequential by
+    definition (every prefix is produced), so it rounds exactly like
+    the reference's left-to-right float32 adds, unlike np.sum's
+    pairwise accumulation (parity pinned in test_init)."""
     import numpy as np
 
     global _REF_RS
@@ -156,12 +158,40 @@ def reference_random_vector(
             )
             / div
         )
-    s = np.float32(0.0)
-    for i in range(size):
-        s = np.float32(s + out[i])
+    s = np.add.accumulate(out)[-1] if size else np.float32(0.0)
     if s > 0:
         out = (out / s).astype(np.float32)
     return out
+
+
+def reference_random_matrix(size: int, hashes) -> "np.ndarray":
+    """Dense reference init rows for a whole vocabulary slice: one
+    (len(hashes) x size) float64 matrix of GenerateRandomVector rows.
+    The mt19937 re-seed per token forces a per-token draw, but each row
+    is two numpy calls (seed + vectorized randint) and the row sums are
+    one accumulate over the whole block — no per-element Python left.
+    Used by both the distributed mapInPandas generator and the
+    broadcast-regime driver init (same bit goldens)."""
+    import numpy as np
+
+    k = len(hashes)
+    if k == 0:
+        return np.zeros((0, size))
+    global _REF_RS
+    if _REF_RS is None:
+        _REF_RS = np.random.RandomState(0)
+    rs = _REF_RS
+    div = np.float32(0xFFFFFFFF)
+    block = np.empty((k, size), dtype=np.uint32)
+    for i, h in enumerate(hashes):
+        rs.seed(int(h) & 0xFFFFFFFF)
+        block[i] = rs.randint(0, 2**32, size=size, dtype=np.uint32)
+    out = (block.astype(np.float32) / div).astype(np.float32)
+    # sequential float32 row sums (reference rounding), one ufunc call
+    sums = np.add.accumulate(out, axis=1)[:, -1]
+    pos = sums > 0
+    out[pos] = (out[pos] / sums[pos, None]).astype(np.float32)
+    return out.astype("float64")
 
 
 def initialize_phi_reference(
@@ -191,17 +221,16 @@ def initialize_phi_reference(
 
     def gen(batches):
         for pdf in batches:
-            vals = [
-                reference_random_vector(
-                    n, reference_token_hash(c, t, seed)
-                ).astype("float64")
+            hashes = [
+                reference_token_hash(c, t, seed)
                 for c, t in zip(pdf["class_id"], pdf["token"])
             ]
+            mat = reference_random_matrix(n, hashes)
             yield pd.DataFrame(
                 {
                     "class_id": pdf["class_id"],
                     "token": pdf["token"],
-                    "values": vals,
+                    "values": list(mat),
                 }
             )
 

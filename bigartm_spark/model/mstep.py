@@ -86,6 +86,25 @@ def normalize(
     return PhiMatrix(name=name, topics=list(nwt.topics), compact=pwt)
 
 
+def normalize_local(cls_np, mat):
+    """Driver-side numpy twin of :func:`normalize` (rwt=None): B8 clamp
+    max(n,0), per-class column totals, divide (0 when the class total is
+    <= 0). The broadcast-regime fit paths (_init_phi_local and the
+    unregularized fast pass) both call THIS, so the semantics can never
+    desynchronize from the distributed M-step — parity is pinned by
+    test_mstep_local_parity."""
+    import numpy as np
+
+    mat = np.maximum(mat, 0.0)
+    den = np.zeros_like(mat)
+    if len(mat):
+        for c in np.unique(cls_np):
+            sel = cls_np == c
+            den[sel] = mat[sel].sum(axis=0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(den > 0, mat / np.where(den > 0, den, 1.0), 0.0)
+
+
 def merge_nwt(
     sources: list[tuple[PhiMatrix, float]], name: str = "nwt"
 ) -> PhiMatrix:

@@ -59,6 +59,61 @@ def test_sparse_path_bit_equals_scalar_spec():
     assert (got == 0).any()  # the zero gate actually fired at rate 0.5
 
 
+def test_matrix_path_bit_equals_scalar_spec():
+    from bigartm_spark.model.init import reference_random_matrix
+
+    pairs = [
+        ("@default_class", f"tok_{i}") for i in range(37)
+    ] + [("@labels", "positive"), ("@default_class", "")]
+    for size in (1, 5, 50):
+        hashes = [reference_token_hash(c, t, 42) for c, t in pairs]
+        mat = reference_random_matrix(size, hashes)
+        assert mat.shape == (len(pairs), size)
+        assert mat.dtype == np.float64
+        for i, h in enumerate(hashes):
+            want = _scalar_reference(size, h).astype("float64")
+            assert (mat[i] == want).all(), (i, size)
+    assert reference_random_matrix(7, []).shape == (0, 7)
+
+
+def test_normalize_local_parity_with_mstep_normalize(spark):
+    """normalize_local is the shared driver twin of mstep.normalize —
+    B8 clamp + per-class totals + divide must match the distributed op
+    bit-for-bit-ish (float addition order differs; 1e-12 tolerance)."""
+    from bigartm_spark.model.mstep import normalize, normalize_local
+    from bigartm_spark.model.phi import PhiMatrix
+
+    rng = np.random.default_rng(3)
+    rows = []
+    cls_np, mats = [], []
+    for i in range(40):
+        c = "@default_class" if i % 3 else "@labels"
+        v = (rng.random(4) - 0.3).tolist()  # negatives exercise the clamp
+        rows.append((c, f"t{i}", v))
+        cls_np.append(c)
+        mats.append(v)
+    # one all-negative class: totals <= 0 -> all zeros
+    rows.append(("@dead", "d0", [-1.0, -2.0, 0.0, -0.5]))
+    cls_np.append("@dead")
+    mats.append([-1.0, -2.0, 0.0, -0.5])
+    topics = [f"topic_{t}" for t in range(4)]
+    nwt = PhiMatrix(
+        "nwt",
+        topics,
+        spark.createDataFrame(
+            rows, "class_id string, token string, values array<double>"
+        ),
+    )
+    dist = {
+        (r["class_id"], r["token"]): list(r["values"])
+        for r in normalize(nwt).compact.collect()
+    }
+    local = normalize_local(np.array(cls_np), np.array(mats))
+    for (c, t, _), lv in zip(rows, local):
+        np.testing.assert_allclose(dist[(c, t)], lv, rtol=0, atol=1e-12)
+    assert all(v == 0.0 for v in dist[("@dead", "d0")])
+
+
 def test_calls_are_stateless_despite_shared_rng():
     h1 = reference_token_hash("@default_class", "x", 0)
     h2 = reference_token_hash("@default_class", "y", 0)
