@@ -100,6 +100,46 @@ def _keep_schema(df: DataFrame, keep: Sequence[str], out: str) -> StructType:
     return StructType(list(fields) + [StructField(out, DoubleType(), True)])
 
 
+def cosine_score_col(vec_col: str, qvec: np.ndarray):
+    """JVM-side cosine(vec_col, literal query): zip_with product +
+    left-to-right F.aggregate sum in double — the SAME operation order
+    as the numpy kernel's _lr_dot/_lr_sq_norm, so values are
+    bit-identical, but the whole expression runs inside whole-stage
+    codegen: no Python workers, no Arrow transfer. The literal query
+    array is constant-folded once by Catalyst. Single-query scoring is
+    JVM-bound at any scale; the mapInPandas path below stays for
+    many-pair/batched scoring where numpy's SIMD wins."""
+    q = [float(x) for x in np.asarray(qvec, dtype=np.float64)]
+    q_norm = math.sqrt(_lr_scalar_sq_norm(np.asarray(q)))
+    qlit = F.array(*[F.lit(x) for x in q])
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(e, qlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(e, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (nrm * F.lit(q_norm))
+
+
+def cosine_scores_expr(
+    df: DataFrame,
+    qvec: np.ndarray,
+    keep: Sequence[str] = ("vec_id", "label"),
+    vec_col: str = "embedding",
+    out: str = "cosine",
+) -> DataFrame:
+    """cosine_scores twin built on :func:`cosine_score_col` (pure
+    Column expressions, zero Python in the plan)."""
+    return df.select(*keep, cosine_score_col(vec_col, qvec).alias(out))
+
+
 def cosine_scores(
     df: DataFrame,
     qvec: np.ndarray,
@@ -169,12 +209,57 @@ def _ranked_topk(scored: DataFrame, k: int, cols: Sequence[str]) -> DataFrame:
     )
 
 
+def _cosine_join_col(vec_col: str, qvec_col: str):
+    """cosine(vec_col, qvec_col) as a pure Column expression: zip_with
+    product + left-to-right F.aggregate sums in double — same operation
+    order as the numpy kernel, whole-plan JVM."""
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qe = F.transform(F.col(qvec_col), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(e, qe, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(e, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    qn = F.sqrt(
+        F.aggregate(
+            F.transform(qe, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    return dot / (nrm * qn)
+
+
+def _query_scored(
+    embeddings: DataFrame, query_id: int, keep: Sequence[str]
+) -> DataFrame:
+    """Candidates scored against the query vector in ONE action: the
+    1-row query side rides a broadcast (hash) join — no driver collect
+    of the vector, no second Spark job. Empty result when query_id is
+    absent (the pre-r8 form raised ValueError from its lookup job)."""
+    qdf = embeddings.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("_qe")
+    )
+    return (
+        embeddings.filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(qdf))
+        .select(*keep, _cosine_join_col("embedding", "_qe").alias("cosine"))
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame, query_id: int = 0, k: int = 10
 ) -> DataFrame:
-    """Top-k most-cosine-similar vectors to vec_id=query_id (excluded)."""
-    q = _collect_vec(embeddings, query_id)
-    scored = cosine_scores(embeddings.filter(F.col("vec_id") != query_id), q)
+    """Top-k most-cosine-similar vectors to vec_id=query_id (excluded).
+
+    One Spark action end-to-end: scoring is JVM codegen (no Python
+    workers), the top-k is TakeOrderedAndProject (per-partition heads,
+    no global sort), and the only exchange in the plan is the 1-row
+    query broadcast."""
+    scored = _query_scored(embeddings, query_id, ["vec_id", "label"])
     top = _ranked_topk(scored, k, ["vec_id", "label"])
     return top.select("vec_id", "label", "cosine", "rank")
 
@@ -182,9 +267,9 @@ def brute_force_topk(
 def knn_per_label(
     embeddings: DataFrame, query_id: int = 0, k: int = 3
 ) -> DataFrame:
-    """Top-k nearest per label group — the grouped-ANN shape."""
-    q = _collect_vec(embeddings, query_id)
-    scored = cosine_scores(embeddings.filter(F.col("vec_id") != query_id), q)
+    """Top-k nearest per label group — the grouped-ANN shape. Same
+    single-action broadcast-join scoring as brute_force_topk."""
+    scored = _query_scored(embeddings, query_id, ["vec_id", "label"])
     w = Window.partitionBy("label").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -224,7 +309,7 @@ def lsh_bucketed_topk(
     cand = bucketed.filter(
         (F.col("bucket") == qrow["bucket"]) & (F.col("vec_id") != query_id)
     )
-    scored = cosine_scores(cand, q, keep=["vec_id", "label", "bucket"])
+    scored = cosine_scores_expr(cand, q, keep=["vec_id", "label", "bucket"])
     return _ranked_topk(scored, k, ["vec_id", "label", "bucket"])
 
 

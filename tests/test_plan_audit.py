@@ -44,13 +44,16 @@ def test_minhash_has_two_shuffles_only(spark):
 
 def test_brute_force_topk_is_distributed_topk(spark):
     """orderBy+limit compiles to TakeOrderedAndProject (per-partition
-    top-k, no global sort, no shuffle before the take)."""
+    top-k, no global sort); the only exchange is the 1-row query-vector
+    broadcast (r8: the scoring join replaced the driver collect so the
+    whole query is one action), never a shuffle."""
     from bigartm_spark.operators import similarity
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     plan = _explain(similarity.brute_force_topk(emb, 0, 5))
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("Exchange") == 0
+    assert plan.count("Exchange") == plan.count("BroadcastExchange")
+    assert "MapInPandas" not in plan  # scoring is JVM codegen now
 
 
 def test_ivf_assign_has_no_shuffle(spark):
