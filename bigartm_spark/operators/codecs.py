@@ -1,12 +1,15 @@
-"""Pure-Python codecs for PPM/BMP/PNG images and WAV-PCM audio so the
-multimodal column type is end-to-end testable in a container with no
-image/audio libraries (VERDICT r4 next-round #5; PNG added r7).
+"""Pure-Python codecs for PPM/BMP/PNG/JPEG images and WAV-PCM audio so
+the multimodal column type is end-to-end testable in a container with
+no image/audio libraries (VERDICT r4 next-round #5; PNG added r7,
+baseline JPEG r8 via operators/jpeg.py).
 
 PPM/BMP/WAV are byte shuffling — numpy reshapes, no compression. PNG is
 a real decoder for the common web case (8-bit gray/RGB/palette/alpha,
 all 5 filter types, stdlib zlib inflate) per the public spec
 (RFC 2083); Adam7 interlace and 16-bit depth stay behind
-NotImplementedError. Remaining compressed codecs (JPEG/MP3/video) raise
+NotImplementedError. JPEG covers baseline sequential (SOF0: Huffman
+decode, dequant, IDCT, 4:4:4/4:2:2/4:2:0, restart markers) per ITU-T
+T.81. Remaining compressed codecs (progressive JPEG/MP3/video) raise
 the documented NotImplementedError in `decode_media`; swap in
 PIL/ffmpeg via the decode_fn injection points in multimodal.py for
 production.
@@ -207,7 +210,13 @@ def decode_png(content: bytes) -> np.ndarray:
             break
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
-    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        # RFC 2083 defines exactly one compression (0 = deflate) and one
+        # filter method (0); anything else must error, not decode garbage
+        raise ValueError(
+            f"bad PNG compression/filter method ({comp}, {filt})"
+        )
     if depth != 8:
         raise NotImplementedError("only 8-bit PNG supported")
     if interlace:
@@ -227,29 +236,42 @@ def decode_png(content: bytes) -> np.ndarray:
         pos += 1
         line = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int32)
         pos += stride
+        # Sub/Average/Paeth depend on the left pixel -> sequential in x,
+        # but vectorized across the ch channels of each pixel (w steps
+        # of channel-wide numpy ops instead of stride per-byte steps,
+        # matching the encode side's formulation)
+        lp = line.reshape(w, ch)
+        pp = prior.reshape(w, ch)
         if ft == 0:
             cur = line
         elif ft == 2:  # Up
             cur = (line + prior) & 0xFF
-        elif ft == 1:  # Sub: sequential in x, vectorize over channels
-            cur = line.copy()
-            for x in range(ch, stride):
-                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
+        elif ft == 1:  # Sub
+            cp = np.empty((w, ch), dtype=np.int32)
+            cp[0] = lp[0]
+            for x in range(1, w):
+                cp[x] = (lp[x] + cp[x - 1]) & 0xFF
+            cur = cp.reshape(stride)
         elif ft == 3:  # Average
-            cur = line.copy()
-            for x in range(stride):
-                left = cur[x - ch] if x >= ch else 0
-                cur[x] = (line[x] + ((left + prior[x]) >> 1)) & 0xFF
+            cp = np.empty((w, ch), dtype=np.int32)
+            cp[0] = (lp[0] + (pp[0] >> 1)) & 0xFF
+            for x in range(1, w):
+                cp[x] = (lp[x] + ((cp[x - 1] + pp[x]) >> 1)) & 0xFF
+            cur = cp.reshape(stride)
         elif ft == 4:  # Paeth
-            cur = line.copy()
-            for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
-                b = int(prior[x])
-                c = int(prior[x - ch]) if x >= ch else 0
+            cp = np.empty((w, ch), dtype=np.int32)
+            zero = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                a = cp[x - 1] if x else zero
+                b = pp[x]
+                c = pp[x - 1] if x else zero
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (line[x] + pred) & 0xFF
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                cp[x] = (lp[x] + pred) & 0xFF
+            cur = cp.reshape(stride)
         else:
             raise ValueError(f"bad PNG filter type {ft}")
         recon[y] = cur.astype(np.uint8)
@@ -315,19 +337,32 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int, int]:
 
 def sniff_media(content: bytes) -> str:
     """Container sniff by magic bytes:
-    'ppm' | 'bmp' | 'png' | 'wav' | 'unknown'."""
+    'ppm' | 'bmp' | 'png' | 'jpeg' | 'wav' | 'unknown'."""
     if content[:2] == b"P6":
         return "ppm"
     if content[:2] == b"BM":
         return "bmp"
     if content[: len(_PNG_SIG)] == _PNG_SIG:
         return "png"
+    if content[:2] == b"\xff\xd8":
+        return "jpeg"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"
     return "unknown"
 
 
-_IMAGE_DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp, "png": decode_png}
+def _decode_jpeg(content: bytes):
+    from bigartm_spark.operators.jpeg import decode_jpeg
+
+    return decode_jpeg(content)
+
+
+_IMAGE_DECODERS = {
+    "ppm": decode_ppm,
+    "bmp": decode_bmp,
+    "png": decode_png,
+    "jpeg": _decode_jpeg,
+}
 
 
 def _nn_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
@@ -363,9 +398,10 @@ def decode_media(content: bytes, media_type: str, dim: int = 8) -> np.ndarray:
             dtype=np.float32,
         )
     raise NotImplementedError(
-        "media decode for JPEG/MP3/video requires image/audio libraries "
-        "not present in this container; inject a real decode_fn "
-        "(PPM/BMP/PNG/WAV-PCM decode natively via operators/codecs.py)"
+        "media decode for progressive JPEG/MP3/video requires "
+        "image/audio libraries not present in this container; inject a "
+        "real decode_fn (PPM/BMP/PNG/baseline-JPEG/WAV-PCM decode "
+        "natively via operators/codecs.py + operators/jpeg.py)"
     )
 
 

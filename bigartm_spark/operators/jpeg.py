@@ -1,0 +1,605 @@
+"""Pure-Python baseline JPEG codec (ITU-T T.81 / ISO 10918-1, public
+spec) so the multimodal pipeline can decode the one remaining common
+real-world image format without any image library in the container
+(VERDICT r7 next-round #6).
+
+Scope: baseline sequential DCT (SOF0), 8-bit samples, Huffman entropy
+coding, grayscale or YCbCr with sampling factors 1-2 (4:4:4 / 4:2:2 /
+4:2:0), restart intervals, JFIF/EXIF APPn and COM chunks skipped.
+Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical modes
+raise NotImplementedError.
+
+The encoder (used by tests to generate inputs) writes 4:4:4 baseline
+with the Annex K example quantization + Huffman tables — the same
+public constants every JPEG implementation ships.
+
+This is a correctness-first scalar/numpy implementation: the hot
+per-executor path for production-scale image decode remains the
+decode_fn injection point in operators/multimodal.py; this codec keeps
+the Spark-side plumbing end-to-end real and testable.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ------------------------------------------------------------ constants
+
+# zigzag scan order: index i of the scan -> (row, col) flattened offset
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K Table K.1 / K.2 — example quantization tables (natural order)
+QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K Tables K.3-K.6 — the standard Huffman tables as
+# (BITS[1..16], HUFFVAL) pairs
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# orthonormal 8-point DCT-II matrix: F = A @ f @ A.T
+_A = np.zeros((8, 8))
+for _k in range(8):
+    _c = np.sqrt(0.5) if _k == 0 else 1.0
+    for _n in range(8):
+        _A[_k, _n] = 0.5 * _c * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+
+
+# ------------------------------------------------------- huffman tables
+
+
+def _canonical_codes(bits, vals):
+    """(BITS, HUFFVAL) -> {symbol: (code, length)} per T.81 Annex C."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_table(bits, vals):
+    """(BITS, HUFFVAL) -> {(length, code): symbol} for bit-serial decode."""
+    out = {}
+    for sym, (code, length) in _canonical_codes(bits, vals).items():
+        out[(length, code)] = sym
+    return out
+
+
+# -------------------------------------------------------------- bit IO
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (F.1.2.3)
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """Entropy-coded-segment reader: un-stuffs 0xFF00, stops at markers
+    (restart markers are consumed explicitly via sync_restart)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _next_byte(self) -> int:
+        d = self.data
+        while True:
+            if self.pos >= len(d):
+                raise ValueError("JPEG entropy data truncated")
+            b = d[self.pos]
+            if b != 0xFF:
+                self.pos += 1
+                return b
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:  # stuffed 0xFF
+                self.pos += 2
+                return 0xFF
+            # a real marker: signal end of segment to the caller
+            raise _MarkerHit(self.pos)
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self.acc = self._next_byte()
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected JPEG restart marker")
+
+
+class _MarkerHit(Exception):
+    def __init__(self, pos):
+        self.pos = pos
+
+
+def _huff_decode(reader: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """DIFF/AC magnitude decode (T.81 F.2.2.1 EXTEND)."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+# -------------------------------------------------------------- encoder
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-compatible quality scaling of a base table (public
+    formula: scale = 5000/q below 50 else 200-2q)."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    t = (table * scale + 50) // 100
+    return np.clip(t, 1, 255)
+
+
+def _pad_block(plane: np.ndarray, ys: int, xs: int) -> np.ndarray:
+    """8x8 tile at (ys, xs), edge-replicated past the plane boundary."""
+    block = np.zeros((8, 8))
+    tile = plane[ys : ys + 8, xs : xs + 8]
+    block[: tile.shape[0], : tile.shape[1]] = tile
+    if tile.shape[0] < 8:
+        block[tile.shape[0] :, :] = block[max(tile.shape[0] - 1, 0), :]
+    if tile.shape[1] < 8:
+        block[:, tile.shape[1] :] = block[
+            :, max(tile.shape[1] - 1, 0) : max(tile.shape[1], 1)
+        ]
+    return block
+
+
+def _encode_block(writer, plane, ys, xs, q, dctab, actab, pred, ci):
+    block = _pad_block(plane, ys, xs)
+    coef = _A @ block @ _A.T
+    quant = np.round(coef / q.reshape(8, 8)).astype(np.int64)
+    zz = quant.reshape(64)[ZIGZAG]
+    diff = int(zz[0]) - pred[ci]
+    pred[ci] = int(zz[0])
+    cat = _category(diff)
+    code, length = dctab[cat]
+    writer.write(code, length)
+    if cat:
+        v = diff if diff >= 0 else diff + (1 << cat) - 1
+        writer.write(v, cat)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = actab[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        cat = _category(v)
+        code, length = actab[(run << 4) | cat]
+        writer.write(code, length)
+        vv = v if v >= 0 else v + (1 << cat) - 1
+        writer.write(vv, cat)
+        run = 0
+    if run:
+        code, length = actab[0x00]  # EOB
+        writer.write(code, length)
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 85, subsampling: str = "4:4:4"
+) -> bytes:
+    """(H, W, 3) uint8 RGB (or (H, W) grayscale) -> baseline JPEG
+    bytes (SOF0, Annex K Huffman tables). subsampling: '4:4:4' or
+    '4:2:0' (box-filtered chroma, 2x2 luma MCUs)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("encode_jpeg wants (H, W, 3) RGB or (H, W) gray")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+    sub420 = subsampling == "4:2:0" and not gray
+    h, w = arr.shape[:2]
+    if gray:
+        comps = [arr.astype(np.float64) - 128.0]
+    else:
+        r = arr[:, :, 0].astype(np.float64)
+        g = arr[:, :, 1].astype(np.float64)
+        b = arr[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        comps = [y - 128.0, cb - 128.0, cr - 128.0]
+        if sub420:
+            # box-filter chroma 2x2 (odd edges replicated)
+            def down2(p):
+                pe = np.pad(
+                    p,
+                    ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                    mode="edge",
+                )
+                return (
+                    pe[0::2, 0::2]
+                    + pe[1::2, 0::2]
+                    + pe[0::2, 1::2]
+                    + pe[1::2, 1::2]
+                ) / 4.0
+
+            comps = [comps[0], down2(comps[1]), down2(comps[2])]
+
+    qluma = _quality_scale(QUANT_LUMA, quality)
+    qchroma = _quality_scale(QUANT_CHROMA, quality)
+    qtabs = [qluma] if gray else [qluma, qchroma]
+
+    enc_dc = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+              _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    enc_ac = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+              _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+
+    writer = _BitWriter()
+    pred = [0] * len(comps)
+    if not sub420:
+        bh = (h + 7) // 8
+        bw = (w + 7) // 8
+        for by in range(bh):
+            for bx in range(bw):
+                for ci, plane in enumerate(comps):
+                    t = 0 if ci == 0 else 1
+                    _encode_block(
+                        writer, plane, by * 8, bx * 8, qtabs[min(t, len(qtabs) - 1)],
+                        enc_dc[t if not gray else 0],
+                        enc_ac[t if not gray else 0], pred, ci,
+                    )
+    else:
+        mcux = (w + 15) // 16
+        mcuy = (h + 15) // 16
+        for my in range(mcuy):
+            for mx in range(mcux):
+                # 4 luma blocks
+                for v in range(2):
+                    for hh in range(2):
+                        _encode_block(
+                            writer, comps[0],
+                            (my * 2 + v) * 8, (mx * 2 + hh) * 8,
+                            qtabs[0], enc_dc[0], enc_ac[0], pred, 0,
+                        )
+                for ci in (1, 2):
+                    _encode_block(
+                        writer, comps[ci], my * 8, mx * 8,
+                        qtabs[1], enc_dc[1], enc_ac[1], pred, ci,
+                    )
+    ecs = writer.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tq, qt in enumerate(qtabs):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq)
+        out += bytes(int(qt[z]) for z in ZIGZAG)  # zigzag order
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        tq = 0 if ci == 0 else 1
+        hv = 0x22 if (sub420 and ci == 0) else 0x11
+        out += struct.pack("BBB", ci + 1, hv, tq)
+    hts = [
+        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+        (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
+    ]
+    if not gray:
+        hts += [
+            (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+        ]
+    for tc_th, bits, vals in hts:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        td_ta = 0x00 if ci == 0 else 0x11
+        out += struct.pack("BB", ci + 1, td_ta)
+    out += b"\x00\x3f\x00"  # Ss=0 Se=63 AhAl=0
+    out += ecs
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# -------------------------------------------------------------- decoder
+
+
+def decode_jpeg(content: bytes) -> np.ndarray:
+    """Baseline JPEG -> (H, W, 3) uint8 RGB (grayscale replicated).
+
+    Implements SOF0 baseline sequential per T.81: marker parse, Huffman
+    entropy decode with byte un-stuffing and restart markers, dequant,
+    zigzag, separable float IDCT, chroma upsampling for sampling
+    factors 1-2, YCbCr->RGB. Progressive/arithmetic/12-bit raise
+    NotImplementedError."""
+    d = bytes(content)
+    if d[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = d[pos + 1]
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            pos += 2
+            continue
+        seglen = struct.unpack_from(">H", d, pos + 2)[0]
+        body = d[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                i += 1
+                if pq == 0:
+                    tab = np.frombuffer(
+                        body, np.uint8, 64, i
+                    ).astype(np.int64)
+                    i += 64
+                else:
+                    tab = np.frombuffer(body, ">u2", 64, i).astype(np.int64)
+                    i += 128
+                nat = np.zeros(64, dtype=np.int64)
+                nat[ZIGZAG] = tab  # stored zigzag -> natural
+                qtabs[tq] = nat
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                tab = _decode_table(bits, vals)
+                (huff_ac if tc else huff_dc)[th] = tab
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from("BBB", body, 6 + 3 * c)
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0/SOF1) supported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            scan = []
+            for s in range(ns):
+                cs, tdta = struct.unpack_from("BB", body, 1 + 2 * s)
+                scan.append({"id": cs, "td": tdta >> 4, "ta": tdta & 0xF})
+            pos = pos + 2 + seglen
+            return _decode_scan(
+                d, pos, frame, scan, qtabs, huff_dc, huff_ac,
+                restart_interval,
+            )
+        pos += 2 + seglen
+    raise ValueError("JPEG missing SOS")
+
+
+def _decode_scan(
+    d, pos, frame, scan, qtabs, huff_dc, huff_ac, restart_interval
+):
+    if frame is None:
+        raise ValueError("JPEG SOS before SOF")
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise NotImplementedError("JPEG sampling factors above 2")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c["id"]: c for c in comps}
+    for s in scan:
+        c = by_id[s["id"]]
+        c["td"], c["ta"] = s["td"], s["ta"]
+    planes = {
+        c["id"]: np.zeros(
+            (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
+        )
+        for c in comps
+    }
+    reader = _BitReader(d, pos)
+    pred = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                reader.sync_restart()
+                pred = {c["id"]: 0 for c in comps}
+            for c in comps:
+                q = qtabs[c["tq"]]
+                dctab = huff_dc[c["td"]]
+                actab = huff_ac[c["ta"]]
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        try:
+                            t = _huff_decode(reader, dctab)
+                            diff = (
+                                _extend(reader.receive(t), t) if t else 0
+                            )
+                            pred[c["id"]] += diff
+                            zz[0] = pred[c["id"]]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(reader, actab)
+                                r, size = rs >> 4, rs & 0xF
+                                if size == 0:
+                                    if r == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("JPEG AC overrun")
+                                zz[k] = _extend(reader.receive(size), size)
+                                k += 1
+                        except _MarkerHit:
+                            raise ValueError(
+                                "JPEG entropy data ended early"
+                            ) from None
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[ZIGZAG] = zz * q[ZIGZAG]
+                        block = _A.T @ coef.reshape(8, 8) @ _A + 128.0
+                        ys = (my * c["v"] + v) * 8
+                        xs = (mx * c["h"] + hh) * 8
+                        planes[c["id"]][ys : ys + 8, xs : xs + 8] = block
+            mcu_count += 1
+    # upsample to full resolution and crop
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1:
+            p = np.repeat(p, ry, axis=0)
+        if rx > 1:
+            p = np.repeat(p, rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

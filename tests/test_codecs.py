@@ -87,8 +87,12 @@ def test_decode_media_dispatch_and_strictness():
     f_wav = decode_media(wav, "audio", dim=4)
     # constant half-scale signal -> RMS 0.5 in every window
     np.testing.assert_allclose(f_wav, 0.5, atol=1e-3)
+    with pytest.raises(ValueError):
+        # JPEG magic now routes to the real decoder (r8), which must
+        # reject a truncated stream rather than NotImplementedError
+        decode_media(b"\xff\xd8\xff\xe0....JFIF", "image")
     with pytest.raises(NotImplementedError):
-        decode_media(b"\xff\xd8\xff\xe0....JFIF", "image")  # JPEG magic
+        decode_media(b"\x00unknowncontainer", "image")
 
 
 def test_resize_media_nn():
@@ -360,3 +364,99 @@ def test_png_resize_media():
     px = resize_media(encode_png(img, row_filters=[2]), "image", 4, 3)
     assert px.shape == (12,)
     np.testing.assert_allclose(px, 200 / 255.0, atol=1e-6)
+
+
+# ------------------------------------------------------------- JPEG (r8)
+
+
+def _smooth_img(h=24, w=32):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [xx * 255 // max(w - 1, 1), yy * 255 // max(h - 1, 1),
+         (xx + yy) * 255 // max(h + w - 2, 1)],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_444_and_420():
+    """Baseline JPEG encode->decode stays within quantization error on a
+    smooth raster for both 4:4:4 and 4:2:0 (chroma-upsampled) layouts,
+    including non-multiple-of-8/16 dimensions."""
+    from bigartm_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = _smooth_img(37, 50)
+    for sub in ("4:4:4", "4:2:0"):
+        out = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= 12, sub
+        assert err.mean() <= 3.0, sub
+
+
+def test_jpeg_grayscale_and_quality():
+    from bigartm_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    g = _smooth_img(16, 16)[:, :, 0]
+    out = decode_jpeg(encode_jpeg(g, quality=95))
+    assert out.shape == (16, 16, 3)
+    # grayscale replicates across channels
+    np.testing.assert_array_equal(out[:, :, 0], out[:, :, 1])
+    err = np.abs(out[:, :, 0].astype(int) - g.astype(int))
+    assert err.mean() < 2.0
+    # lower quality -> smaller file
+    img = _smooth_img()
+    assert len(encode_jpeg(img, quality=30)) < len(encode_jpeg(img, quality=95))
+
+
+def test_jpeg_strictness():
+    """Progressive SOF2 raises the documented NotImplementedError;
+    truncated/invalid streams raise ValueError."""
+    import pytest
+
+    from bigartm_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(_smooth_img(8, 8))
+    # flip SOF0 (0xC0) to SOF2 (0xC2): progressive must be rejected
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(prog)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:2])  # SOI only, no SOS
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) - len(good) // 3])  # truncated ECS
+
+
+def test_jpeg_through_decode_media_and_content_features(spark):
+    """The full multimodal path on baseline JPEG bytes (VERDICT r7
+    next-round #6): decode_media band features approximate the lossless
+    PPM container's, and image_content_features computes real stats."""
+    from bigartm_spark.operators.codecs import decode_media, encode_ppm, sniff_media
+    from bigartm_spark.operators.jpeg import encode_jpeg
+    from bigartm_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_content_features,
+    )
+
+    img = _smooth_img(16, 24)
+    jpg = encode_jpeg(img, quality=95)
+    assert sniff_media(jpg) == "jpeg"
+    f_jpg = decode_media(jpg, "image", dim=4)
+    f_ppm = decode_media(encode_ppm(img), "image", dim=4)
+    np.testing.assert_allclose(f_jpg, f_ppm, atol=0.02)  # lossy codec
+
+    rows = [
+        (0, "image", bytearray(jpg), 24, 16, None),
+        (1, "image", bytearray(encode_ppm(img)), 24, 16, None),
+        (2, "image", bytearray(b"\xff\xd8 truncated jpeg"), 24, 16, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r["asset_id"]: r for r in image_content_features(media).collect()
+    }
+    assert set(feats) == {0, 1}  # corrupt JPEG dropped, not crashed
+    assert (feats[0]["width"], feats[0]["height"]) == (24, 16)
+    np.testing.assert_allclose(
+        feats[0]["mean_rgb"], feats[1]["mean_rgb"], atol=2.0
+    )
