@@ -15,6 +15,15 @@ con.interrupt()); a query whose oracle exceeds the budget records
 from rows-only counts. This turns "correct as far as the oracle can
 follow" into a mechanical, re-runnable claim.
 
+--budget M (VERDICT r7 next-round #7): wall-clock-bounded sweep for the
+per-round sf10 refresh. Implies --light, rotates the query order by
+--rotate (default: day-of-year, so successive rounds cover different
+prefixes), and stops LAUNCHING new queries once M minutes have elapsed
+— already-run queries keep their verdicts, the rest record
+"skip(budget)" (not a failure). A typical invocation:
+
+    python tools/check_all_brackets.py --only-sf --sf /tmp/sf10 --budget 25
+
 Usage: python tools/check_all_brackets.py [--light] [--sf DIR] [name ...]
 Exit 0 iff every query passes (hash or rows-only) at every bracket.
 """
@@ -83,11 +92,23 @@ def main():
     )
     ap.add_argument("--oracle-timeout", type=float, default=120.0)
     ap.add_argument(
+        "--budget", type=float, default=None, metavar="MINUTES",
+        help="wall-clock budget: implies --light, rotates the query "
+        "order, stops launching new queries past the budget",
+    )
+    ap.add_argument(
+        "--rotate", type=int, default=None,
+        help="query-order rotation offset for --budget sweeps "
+        "(default: day-of-year, so rounds cover different subsets)",
+    )
+    ap.add_argument(
         "--hash-cap", type=int, default=2_000_000,
         help="light mode: results above this row count record a "
         "rows-match check instead of a driver-side value hash",
     )
     args = ap.parse_args()
+    if args.budget is not None:
+        args.light = True
 
     brackets = [] if args.only_sf else list(BRACKETS)
     extra = os.environ.get("SPARK_GRAFT_EXTRA_BRACKETS", "")
@@ -102,6 +123,13 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     qs, oracles = entry.queries(), entry.oracle_sql()
     names = args.names or list(qs)
+    if args.budget is not None:
+        rot = args.rotate
+        if rot is None:
+            rot = time.localtime().tm_yday  # varies per round by default
+        rot %= len(names)
+        names = names[rot:] + names[:rot]
+        print(f"budget: {args.budget:.0f} min, rotation offset {rot}")
     brackets = [b for b in brackets if os.path.isdir(b)]
     mode = (
         f"light (oracle budget {args.oracle_timeout:.0f}s/query)"
@@ -114,9 +142,13 @@ def main():
     # per bracket: [hash-verified, rows-only, ran]
     totals = {b: [0, 0, 0] for b in brackets}
     t_start = time.time()
+    budget_s = args.budget * 60.0 if args.budget is not None else None
     for b in brackets:
         con = duck_con(b)
         for name in names:
+            if budget_s is not None and time.time() - t_start > budget_s:
+                results[name][b] = "skip(budget)"
+                continue
             totals[b][2] += 1
             t_q = time.time()
             try:
@@ -187,7 +219,7 @@ def main():
         for b in brackets:
             cell = results[name].get(b, "-")
             if (
-                cell not in ("ok",)
+                cell not in ("ok", "skip(budget)", "-")
                 and not cell.startswith("rows=")
                 and not cell.startswith("rows-only=")
                 and not cell.startswith("rows-match=")
