@@ -651,6 +651,13 @@ class ARTM:
             nwt_new = mstep.merge_nwt(
                 [(self.nwt, decay_weight), (nwt_new, apply_weight)], "nwt"
             )
+        # else: FIRST online update seeds n_wt from the raw E-step output
+        # (self.nwt is None until a pass runs — InitializeModel's n_wt is
+        # a normalized seed, not prior mass). Documented divergence from
+        # the reference, which folds update 1 against the initialized
+        # n_wt: n1_ref = (1-rho1)*n_init + rho1*nhat1. The schedules
+        # converge geometrically after a few updates; the G6 oracle in
+        # plans/driver_queries.py replays THIS convention.
         # LAZY localCheckpoint: materialized by this pass's existing
         # action (the pwt collect/checkpoint reads nwt), no extra job —
         # and it bounds nwt lineage, which otherwise chains across

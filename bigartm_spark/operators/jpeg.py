@@ -447,6 +447,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = d[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (B.1.1.2)
+            pos += 1
+            continue
         if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
             pos += 2
             continue

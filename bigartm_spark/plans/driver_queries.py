@@ -373,6 +373,19 @@ def d4_topic_totals(spark, sf_dir):
 # group 1's update and merges n2 = (1-rho2)*n1 + rho2*nhat2 — the
 # synchronous Robbins-Monro decay/apply fold
 # (master_component.cc:1387-1439), SQL-replayed end-to-end.
+#
+# FIRST-BATCH DIVERGENCE (documented, ADVICE r7): this repo's
+# fit_online seeds n_wt from the FIRST group's raw E-step output
+# (artm.py merge path skips decay/apply while self.nwt is None — the
+# InitializeModel n_wt is a normalized seed, not prior mass), so rho1
+# is never applied and the initialized n_wt is never decayed. The C++
+# reference folds the first update against the initialized n_wt too:
+# n1_ref = (1-rho1)*n_init + rho1*nhat1. The two schedules converge
+# after a few updates (the init mass decays geometrically) but differ
+# on the first one; this oracle replays OUR convention, so it verifies
+# the repo's schedule end-to-end rather than reference first-update
+# semantics. The reference-pinned trajectories in
+# test_master_model_port.py cover the steady-state agreement.
 _RHO2 = (64.0 + 2.0) ** -0.7
 
 
