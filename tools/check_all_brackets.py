@@ -20,7 +20,10 @@ per-round sf10 refresh. Implies --light, rotates the query order by
 --rotate (default: day-of-year, so successive rounds cover different
 prefixes), and stops LAUNCHING new queries once M minutes have elapsed
 — already-run queries keep their verdicts, the rest record
-"skip(budget)" (not a failure). A typical invocation:
+"skip(budget)" (not a failure). The bound is HARD: an in-flight Spark
+query is cancelled (cancelAllJobs) at 1.2x the budget + 60s grace and
+recorded skip(budget), so one heavy row can't double the sweep. A
+typical invocation:
 
     python tools/check_all_brackets.py --only-sf --sf /tmp/sf10 --budget 25
 
@@ -143,6 +146,26 @@ def main():
     totals = {b: [0, 0, 0] for b in brackets}
     t_start = time.time()
     budget_s = args.budget * 60.0 if args.budget is not None else None
+
+    def spark_deadline_timer():
+        """HARD budget: a query already in flight when the budget
+        expires is cancelled (sc.cancelAllJobs) rather than allowed to
+        overrun the wall bound — at sf10 a single heavy row (SemDeDup
+        ran 53 min in the r7 manual sweep) would otherwise double the
+        'bounded' sweep. Returns (timer, fired_event) or (None, None)."""
+        if budget_s is None:
+            return None, None
+        remaining = budget_s * 1.2 + 60 - (time.time() - t_start)
+        fired = threading.Event()
+
+        def cancel():
+            fired.set()
+            spark.sparkContext.cancelAllJobs()
+
+        timer = threading.Timer(max(remaining, 1.0), cancel)
+        timer.start()
+        return timer, fired
+
     for b in brackets:
         con = duck_con(b)
         for name in names:
@@ -151,6 +174,7 @@ def main():
                 continue
             totals[b][2] += 1
             t_q = time.time()
+            timer, fired = spark_deadline_timer()
             try:
                 df = qs[name](spark, b)
                 if args.light:
@@ -164,8 +188,15 @@ def main():
                     sp = df.toPandas()
                     sp_count = len(sp)
             except Exception as e:
-                results[name][b] = f"SPARK-ERR {type(e).__name__}"
+                if fired is not None and fired.is_set():
+                    results[name][b] = "skip(budget)"
+                    totals[b][2] -= 1
+                else:
+                    results[name][b] = f"SPARK-ERR {type(e).__name__}"
                 continue
+            finally:
+                if timer is not None:
+                    timer.cancel()
             sp_secs = time.time() - t_q
             if name not in oracles:
                 results[name][b] = f"rows={sp_count}"
