@@ -1,7 +1,8 @@
 """Pure-Python codecs for PPM/BMP/PNG/JPEG images and WAV-PCM audio so
 the multimodal column type is end-to-end testable in a container with
 no image/audio libraries (VERDICT r4 next-round #5; PNG added r7,
-baseline JPEG r8 via operators/jpeg.py).
+baseline JPEG + GIF/LZW + AVI-MJPEG r8 via operators/jpeg.py and
+operators/gifavi.py).
 
 PPM/BMP/WAV are byte shuffling — numpy reshapes, no compression. PNG is
 a real decoder for the common web case (8-bit gray/RGB/palette/alpha,
@@ -337,7 +338,7 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int, int]:
 
 def sniff_media(content: bytes) -> str:
     """Container sniff by magic bytes:
-    'ppm' | 'bmp' | 'png' | 'jpeg' | 'wav' | 'unknown'."""
+    'ppm' | 'bmp' | 'png' | 'jpeg' | 'gif' | 'wav' | 'avi' | 'unknown'."""
     if content[:2] == b"P6":
         return "ppm"
     if content[:2] == b"BM":
@@ -346,8 +347,12 @@ def sniff_media(content: bytes) -> str:
         return "png"
     if content[:2] == b"\xff\xd8":
         return "jpeg"
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"
+    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        return "avi"
     return "unknown"
 
 
@@ -357,11 +362,18 @@ def _decode_jpeg(content: bytes):
     return decode_jpeg(content)
 
 
+def _decode_gif(content: bytes):
+    from bigartm_spark.operators.gifavi import decode_gif
+
+    return decode_gif(content)
+
+
 _IMAGE_DECODERS = {
     "ppm": decode_ppm,
     "bmp": decode_bmp,
     "png": decode_png,
     "jpeg": _decode_jpeg,
+    "gif": _decode_gif,
 }
 
 
@@ -397,11 +409,22 @@ def decode_media(content: bytes, media_type: str, dim: int = 8) -> np.ndarray:
             [np.sqrt((w_**2).mean()) if w_.size else 0.0 for w_ in wins],
             dtype=np.float32,
         )
+    if kind == "avi":
+        # video: temporal signature — mean intensity of `dim` frames
+        # sampled evenly across the timeline (real decode via the
+        # MJPEG/JPEG path in operators/gifavi.py)
+        from bigartm_spark.operators.gifavi import avi_frames
+
+        pairs = avi_frames(content)
+        picks = np.linspace(0, len(pairs) - 1, dim).round().astype(int)
+        return np.array(
+            [pairs[i][1].mean() / 255.0 for i in picks], dtype=np.float32
+        )
     raise NotImplementedError(
-        "media decode for progressive JPEG/MP3/video requires "
+        "media decode for progressive JPEG/MP3/non-MJPEG video requires "
         "image/audio libraries not present in this container; inject a "
-        "real decode_fn (PPM/BMP/PNG/baseline-JPEG/WAV-PCM decode "
-        "natively via operators/codecs.py + operators/jpeg.py)"
+        "real decode_fn (PPM/BMP/PNG/GIF/baseline-JPEG/WAV-PCM/AVI-MJPEG "
+        "decode natively via operators/{codecs,jpeg,gifavi}.py)"
     )
 
 

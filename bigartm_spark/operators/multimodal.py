@@ -7,12 +7,14 @@ at scale: batch-size-bounded memory, no driver collect, partition-level
 parallelism). Decode is injected via `decode_fn`:
 
 - `operators/codecs.py` decode_media/resize_media — REAL pure-Python
-  decoders for the uncompressed formats (PPM, 24-bit BMP, WAV-PCM),
-  end-to-end testable in this container;
+  decoders (PPM, 24-bit BMP, PNG, baseline JPEG, GIF, WAV-PCM,
+  AVI-MJPEG via operators/{jpeg,gifavi}.py), end-to-end testable in
+  this container;
 - `fake_decode` (default) — deterministic digest-derived stand-in for
   arbitrary bytes;
-- compressed codecs (JPEG/PNG/MP3/...) raise NotImplementedError until
-  a PIL/ffmpeg-backed decode_fn is injected (no such libs here).
+- remaining compressed codecs (progressive JPEG/MP3/non-MJPEG video)
+  raise NotImplementedError until a PIL/ffmpeg-backed decode_fn is
+  injected (no such libs here).
 """
 
 from __future__ import annotations
@@ -212,6 +214,87 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         "media_type",
         F.explode(frames).alias("frame_ts_ms"),
     )
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame_ts_ms", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("mean_rgb", T.ArrayType(T.FloatType()), False),
+        T.StructField("mean_luma", T.FloatType(), False),
+    ]
+)
+
+
+def video_frame_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video frame sampling: decode AVI/MJPEG (operators/gifavi.py
+    riding the baseline-JPEG decoder) or animated GIF bytes, keep one
+    frame per `every_ms` of timeline, and emit per-frame pixel features.
+    The plan-only twin (`frame_sample_plan`) stays for metadata-driven
+    scheduling; this operator reads the actual pixels. mapInPandas keeps
+    executor memory batch-bounded; one output row per sampled frame, so
+    a 1h video at 1 fps sampling emits 3600 rows regardless of source
+    size. Undecodable/non-video rows are dropped (corrupt-asset filter
+    semantics, matching image_content_features)."""
+    from bigartm_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bigartm_spark.operators.codecs import sniff_media
+        from bigartm_spark.operators.gifavi import (
+            avi_frames,
+            gif_frames,
+            sample_frames,
+        )
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "asset_id", "frame_index", "frame_ts_ms", "width",
+                "height", "mean_rgb", "mean_luma",
+            )}
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content)
+                try:
+                    kind = sniff_media(b)
+                    if kind == "avi":
+                        pairs = avi_frames(b)
+                    elif kind == "gif":
+                        pairs = gif_frames(b)
+                        # GIF delays are per-frame gaps; make absolute
+                        ts, acc = [], 0
+                        for delay, frame in pairs:
+                            ts.append((acc, frame))
+                            acc += max(delay, 10)
+                        pairs = ts
+                    else:
+                        continue
+                except Exception:
+                    continue
+                for i, (ts_ms, frame) in enumerate(
+                    sample_frames(pairs, every_ms)
+                ):
+                    px = frame.astype(np.float64)
+                    out["asset_id"].append(int(aid))
+                    out["frame_index"].append(i)
+                    out["frame_ts_ms"].append(int(ts_ms))
+                    out["height"].append(frame.shape[0])
+                    out["width"].append(frame.shape[1])
+                    out["mean_rgb"].append(
+                        px.reshape(-1, 3).mean(axis=0).astype(np.float32)
+                    )
+                    out["mean_luma"].append(
+                        float(
+                            (px.reshape(-1, 3) @ np.array([0.299, 0.587, 0.114])).mean()
+                        )
+                    )
+            if out["asset_id"]:
+                yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, VIDEO_FRAME_SCHEMA)
 
 
 # ------------------------------------------------- real content features

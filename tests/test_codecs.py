@@ -460,3 +460,197 @@ def test_jpeg_through_decode_media_and_content_features(spark):
     np.testing.assert_allclose(
         feats[0]["mean_rgb"], feats[1]["mean_rgb"], atol=2.0
     )
+
+
+# ----------------------------------------------------------- GIF / AVI
+
+
+def test_gif_exact_roundtrip_and_width_growth():
+    """GIF LZW is lossless: a 216-color raster (code width grows past 9
+    bits) and a full-256-color palette both round-trip exactly."""
+    from bigartm_spark.operators.gifavi import decode_gif, encode_gif
+
+    rng = np.random.default_rng(7)
+    img = (rng.integers(0, 6, size=(33, 47, 3)) * 40).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif([img])), img)
+    # exactly 256 unique colors -> 8-bit palette boundary
+    pal = np.stack(
+        [np.arange(256), np.arange(256)[::-1], np.zeros(256)], axis=1
+    ).astype(np.uint8)
+    img2 = pal[rng.integers(0, 256, size=(21, 19))]
+    assert np.array_equal(decode_gif(encode_gif([img2])), img2)
+
+
+def test_gif_animation_frames_and_delays():
+    from bigartm_spark.operators.gifavi import encode_gif, gif_frames
+
+    frames = [np.full((16, 16, 3), c, np.uint8) for c in (0, 85, 170, 255)]
+    out = gif_frames(encode_gif(frames, delays_ms=[100, 200, 300, 400]))
+    assert len(out) == 4
+    assert [d for d, _ in out] == [100, 200, 300, 400]
+    for (_, got), want in zip(out, frames):
+        assert np.array_equal(got, want)
+
+
+def test_gif_interlace_transparency_disposal():
+    """Hand-built GIF89a exercising decoder paths our encoder doesn't
+    emit: interlaced rows, a transparent-index patch compositing over
+    the previous frame, disposal=2 restoring the background."""
+    import struct as _s
+
+    from bigartm_spark.operators.gifavi import (
+        _INTERLACE_PASSES,
+        _lzw_compress,
+        _to_subblocks,
+        gif_frames,
+    )
+
+    w = h = 8
+    # palette: 0=black (background), 1=white, 2=red, 3=unused
+    gct = bytes([0, 0, 0, 255, 255, 255, 255, 0, 0, 9, 9, 9])
+    head = b"GIF89a" + _s.pack("<HHBBB", w, h, 0x80 | 0x01, 0, 0) + gct
+    # frame 1: interlaced horizontal stripes (row index parity)
+    base = np.repeat(np.arange(h) % 2, w).reshape(h, w).astype(np.uint16)
+    order = np.concatenate(
+        [np.arange(s, h, t) for s, t in _INTERLACE_PASSES]
+    )
+    stored = base[order].ravel()  # rows in interlace transmission order
+    img1 = (
+        b"\x2c" + _s.pack("<HHHHB", 0, 0, w, h, 0x40) + bytes([2])
+        + _to_subblocks(_lzw_compress(stored, 2))
+    )
+    # frame 2: 4x4 patch at (2,2), color 2, index 0 transparent,
+    # disposal=2 (restore background after)
+    gce2 = b"\x21\xf9\x04" + bytes([(2 << 2) | 1, 10, 0, 0]) + b"\x00"
+    patch = np.full((4, 4), 2, np.uint16)
+    patch[0, 0] = 0  # transparent hole
+    img2 = (
+        b"\x2c" + _s.pack("<HHHHB", 2, 2, 4, 4, 0) + bytes([2])
+        + _to_subblocks(_lzw_compress(patch.ravel(), 2))
+    )
+    # frame 3: full-size all-white, to observe the disposal-2 reset
+    img3 = (
+        b"\x2c" + _s.pack("<HHHHB", 0, 0, w, h, 0) + bytes([2])
+        + _to_subblocks(_lzw_compress(np.ones(w * h, np.uint16), 2))
+    )
+    frames = gif_frames(head + img1 + gce2 + img2 + img3 + b"\x3b")
+    assert len(frames) == 3
+    f1, f2, f3 = (f for _, f in frames)
+    assert np.array_equal(f1[0], np.zeros((w, 3)))  # row 0 black
+    assert np.array_equal(f1[1], np.full((w, 3), 255))  # row 1 white
+    # patch painted red except the transparent hole, which shows f1
+    assert np.array_equal(f2[2, 2], [0, 0, 0])  # hole: f1 row2 = black
+    assert np.array_equal(f2[2, 3], [255, 0, 0])
+    assert np.array_equal(f2[5, 5], [255, 0, 0])
+    assert np.array_equal(f2[0], f1[0])  # outside the patch untouched
+    assert np.array_equal(f3, np.full((h, w, 3), 255))
+
+
+def test_gif_strictness():
+    from bigartm_spark.operators.gifavi import decode_gif, encode_gif
+
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF")
+    good = bytearray(encode_gif([np.zeros((4, 4, 3), np.uint8)]))
+    # corrupt the LZW min-code-size byte of the image block
+    mcs_pos = good.index(0x2C) + 10
+    good[mcs_pos] = 200
+    with pytest.raises(ValueError):
+        decode_gif(bytes(good))
+    with pytest.raises(ValueError):
+        encode_gif([])
+
+
+def test_avi_mjpeg_roundtrip_and_info():
+    from bigartm_spark.operators.gifavi import (
+        avi_frames,
+        avi_info,
+        decode_avi,
+        encode_avi_mjpeg,
+    )
+
+    base = _smooth_img(24, 32).astype(int)
+    frames = [
+        np.clip(base + 20 * i, 0, 255).astype(np.uint8) for i in range(6)
+    ]
+    avi = encode_avi_mjpeg(frames, fps=5, quality=90)
+    info = avi_info(avi)
+    assert (info["width"], info["height"]) == (32, 24)
+    assert info["total_frames"] == 6 and info["fps"] == 5.0
+    assert info["duration_ms"] == 1200
+    pairs = avi_frames(avi)
+    assert [t for t, _ in pairs] == [0, 200, 400, 600, 800, 1000]
+    for (_, got), want in zip(pairs, frames):
+        assert got.shape == want.shape
+        assert np.abs(got.astype(int) - want.astype(int)).mean() < 4.0
+    assert decode_avi(avi).shape == (24, 32, 3)
+    with pytest.raises(ValueError):
+        avi_info(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_frame_sampling_helper():
+    from bigartm_spark.operators.gifavi import sample_frames
+
+    pairs = [(t, None) for t in (0, 200, 400, 600, 800, 1000)]
+    assert [t for t, _ in sample_frames(pairs, 500)] == [0, 600, 1000]
+    assert [t for t, _ in sample_frames(pairs, 100)] == [t for t, _ in pairs]
+    assert sample_frames([], 100) == []
+
+
+def test_gif_avi_through_decode_media():
+    """sniff + decode_media dispatch: GIF rides the image band-feature
+    contract; AVI yields the temporal mean-intensity signature."""
+    from bigartm_spark.operators.codecs import (
+        decode_media,
+        encode_ppm,
+        sniff_media,
+    )
+    from bigartm_spark.operators.gifavi import encode_avi_mjpeg, encode_gif
+
+    img = _smooth_img(16, 16)
+    g = encode_gif([img])
+    assert sniff_media(g) == "gif"
+    np.testing.assert_allclose(
+        decode_media(g, "image", dim=4),
+        decode_media(encode_ppm(img), "image", dim=4),
+        atol=1e-6,
+    )
+    vid = [np.full((16, 16, 3), v, np.uint8) for v in (0, 128, 255)]
+    avi = encode_avi_mjpeg(vid, fps=2, quality=95)
+    assert sniff_media(avi) == "avi"
+    feats = decode_media(avi, "video", dim=3)
+    assert feats.shape == (3,)
+    assert feats[0] < 0.1 and 0.4 < feats[1] < 0.6 and feats[2] > 0.9
+
+
+def test_video_frame_features_spark(spark):
+    """REAL video frame sampling through Spark: AVI + animated GIF
+    assets expand into per-frame pixel-feature rows; junk rows drop."""
+    from bigartm_spark.operators.gifavi import encode_avi_mjpeg, encode_gif
+    from bigartm_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        video_frame_features,
+    )
+
+    vid = [np.full((16, 16, 3), v, np.uint8) for v in (0, 64, 128, 192)]
+    avi = encode_avi_mjpeg(vid, fps=10, quality=95)  # 100ms apart
+    gif = encode_gif(vid, delays_ms=[250, 250, 250, 250])
+    rows = [
+        (0, "video", bytearray(avi), 16, 16, 400),
+        (1, "video", bytearray(gif), 16, 16, 1000),
+        (2, "video", bytearray(b"not media"), None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = video_frame_features(media, every_ms=200).collect()
+    by_asset = {}
+    for r in out:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    assert set(by_asset) == {0, 1}
+    a = sorted(by_asset[0], key=lambda r: r["frame_index"])
+    assert [r["frame_ts_ms"] for r in a] == [0, 200]  # 100ms frames, 200ms tick
+    assert a[0]["mean_luma"] < 5 and a[1]["mean_luma"] > 100
+    g = sorted(by_asset[1], key=lambda r: r["frame_index"])
+    assert [r["frame_ts_ms"] for r in g] == [0, 250, 500, 750]
+    assert all(r["width"] == 16 and r["height"] == 16 for r in g)
+    lumas = [r["mean_luma"] for r in g]
+    assert lumas == sorted(lumas)  # brightening sequence
