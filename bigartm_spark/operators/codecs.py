@@ -421,10 +421,10 @@ def decode_media(content: bytes, media_type: str, dim: int = 8) -> np.ndarray:
             [pairs[i][1].mean() / 255.0 for i in picks], dtype=np.float32
         )
     raise NotImplementedError(
-        "media decode for progressive JPEG/MP3/non-MJPEG video requires "
-        "image/audio libraries not present in this container; inject a "
-        "real decode_fn (PPM/BMP/PNG/GIF/baseline-JPEG/WAV-PCM/AVI-MJPEG "
-        "decode natively via operators/{codecs,jpeg,gifavi}.py)"
+        "media decode for MP3/non-MJPEG video requires audio/video "
+        "libraries not present in this container; inject a real "
+        "decode_fn (PPM/BMP/PNG/GIF/JPEG-baseline+progressive/WAV-PCM/"
+        "AVI-MJPEG decode natively via operators/{codecs,jpeg,gifavi}.py)"
     )
 
 

@@ -3,15 +3,18 @@ spec) so the multimodal pipeline can decode the one remaining common
 real-world image format without any image library in the container
 (VERDICT r7 next-round #6).
 
-Scope: baseline sequential DCT (SOF0), 8-bit samples, Huffman entropy
-coding, grayscale or YCbCr with sampling factors 1-2 (4:4:4 / 4:2:2 /
-4:2:0), restart intervals, JFIF/EXIF APPn and COM chunks skipped.
-Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical modes
+Scope: baseline sequential DCT (SOF0/SOF1) and progressive DCT (SOF2:
+spectral selection + successive approximation, DC/AC first and
+refinement scans, EOB runs — T.81 G.1.2), 8-bit samples, Huffman
+entropy coding, grayscale or YCbCr with sampling factors 1-2 (4:4:4 /
+4:2:2 / 4:2:0), restart intervals, JFIF/EXIF APPn and COM chunks
+skipped. Arithmetic coding, 12-bit, lossless and hierarchical modes
 raise NotImplementedError.
 
-The encoder (used by tests to generate inputs) writes 4:4:4 baseline
-with the Annex K example quantization + Huffman tables — the same
-public constants every JPEG implementation ships.
+The encoders (used by tests to generate inputs) write 4:4:4/4:2:0
+baseline with the Annex K example quantization + Huffman tables — the
+same public constants every JPEG implementation ships — and
+libjpeg-style multi-scan progressive streams.
 
 This is a correctness-first scalar/numpy implementation: the hot
 per-executor path for production-scale image decode remains the
@@ -255,25 +258,25 @@ def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(t, 1, 255)
 
 
-def _pad_block(plane: np.ndarray, ys: int, xs: int) -> np.ndarray:
-    """8x8 tile at (ys, xs), edge-replicated past the plane boundary."""
-    block = np.zeros((8, 8))
-    tile = plane[ys : ys + 8, xs : xs + 8]
-    block[: tile.shape[0], : tile.shape[1]] = tile
-    if tile.shape[0] < 8:
-        block[tile.shape[0] :, :] = block[max(tile.shape[0] - 1, 0), :]
-    if tile.shape[1] < 8:
-        block[:, tile.shape[1] :] = block[
-            :, max(tile.shape[1] - 1, 0) : max(tile.shape[1], 1)
-        ]
-    return block
-
-
-def _encode_block(writer, plane, ys, xs, q, dctab, actab, pred, ci):
-    block = _pad_block(plane, ys, xs)
-    coef = _A @ block @ _A.T
+def _quantized_blocks(
+    plane: np.ndarray, q: np.ndarray, min_blocks=None
+) -> np.ndarray:
+    """Float plane (level-shifted) -> (BY, BX, 64) zigzag-order
+    quantized DCT coefficients, edge-replicated to whole 8x8 tiles
+    (and up to `min_blocks` = (BY, BX) for MCU-padded layouts). One
+    vectorized DCT shared by the baseline and progressive encoders so
+    both quantize identically."""
+    h, w = plane.shape
+    by = max(-(-h // 8), min_blocks[0] if min_blocks else 0)
+    bx = max(-(-w // 8), min_blocks[1] if min_blocks else 0)
+    padded = np.pad(plane, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge")
+    blocks = padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,abjk,kl->abil", _A, blocks, _A.T)
     quant = np.round(coef / q.reshape(8, 8)).astype(np.int64)
-    zz = quant.reshape(64)[ZIGZAG]
+    return quant.reshape(by, bx, 64)[:, :, ZIGZAG]
+
+
+def _encode_block_zz(writer, zz, dctab, actab, pred, ci):
     diff = int(zz[0]) - pred[ci]
     pred[ci] = int(zz[0])
     cat = _category(diff)
@@ -356,34 +359,41 @@ def encode_jpeg(
     writer = _BitWriter()
     pred = [0] * len(comps)
     if not sub420:
-        bh = (h + 7) // 8
-        bw = (w + 7) // 8
+        zzs = [
+            _quantized_blocks(p, qtabs[min(ci, len(qtabs) - 1)])
+            for ci, p in enumerate(comps)
+        ]
+        bh, bw = zzs[0].shape[:2]
         for by in range(bh):
             for bx in range(bw):
-                for ci, plane in enumerate(comps):
-                    t = 0 if ci == 0 else 1
-                    _encode_block(
-                        writer, plane, by * 8, bx * 8, qtabs[min(t, len(qtabs) - 1)],
-                        enc_dc[t if not gray else 0],
-                        enc_ac[t if not gray else 0], pred, ci,
+                for ci in range(len(comps)):
+                    t = 0 if (ci == 0 or gray) else 1
+                    _encode_block_zz(
+                        writer, zzs[ci][by, bx],
+                        enc_dc[t], enc_ac[t], pred, ci,
                     )
     else:
         mcux = (w + 15) // 16
         mcuy = (h + 15) // 16
+        zzl = _quantized_blocks(
+            comps[0], qtabs[0], min_blocks=(mcuy * 2, mcux * 2)
+        )
+        zzc = [
+            _quantized_blocks(p, qtabs[1], min_blocks=(mcuy, mcux))
+            for p in comps[1:]
+        ]
         for my in range(mcuy):
             for mx in range(mcux):
-                # 4 luma blocks
-                for v in range(2):
+                for v in range(2):  # 4 luma blocks per MCU
                     for hh in range(2):
-                        _encode_block(
-                            writer, comps[0],
-                            (my * 2 + v) * 8, (mx * 2 + hh) * 8,
-                            qtabs[0], enc_dc[0], enc_ac[0], pred, 0,
+                        _encode_block_zz(
+                            writer, zzl[my * 2 + v, mx * 2 + hh],
+                            enc_dc[0], enc_ac[0], pred, 0,
                         )
                 for ci in (1, 2):
-                    _encode_block(
-                        writer, comps[ci], my * 8, mx * 8,
-                        qtabs[1], enc_dc[1], enc_ac[1], pred, ci,
+                    _encode_block_zz(
+                        writer, zzc[ci - 1][my, mx],
+                        enc_dc[1], enc_ac[1], pred, ci,
                     )
     ecs = writer.flush()
 
@@ -422,16 +432,253 @@ def encode_jpeg(
     return bytes(out)
 
 
-# -------------------------------------------------------------- decoder
+# -------------------------------------------------- progressive encoder
+#
+# Multi-scan SOF2 writer (spectral selection + successive approximation)
+# so the progressive decode paths are testable against real streams.
+# AC scans use a flat 256-symbol Huffman table: the Annex K tables lack
+# the EOBn symbols (r<<4 for r>0) progressive needs, and a canonical
+# table with every symbol at 8/9 bits is the simplest valid choice
+# (compression is not the point here; correctness of the scan structure
+# is).
+
+FLAT_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0]
+FLAT_AC_VALS = list(range(255)) + [255]
+
+# libjpeg's default progressive scan script (public source layout):
+# (component indices, Ss, Se, Ah, Al)
+_PROG_SCRIPT_COLOR = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+_PROG_SCRIPT_GRAY = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def _ac_shift(v: int, al: int) -> int:
+    """AC point transform: magnitude shift toward zero (T.81 G.1.2.1)."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def _emit_eobrun(writer, actab, eobrun: int) -> int:
+    if eobrun:
+        r = eobrun.bit_length() - 1
+        code, length = actab[r << 4]
+        writer.write(code, length)
+        if r:
+            writer.write(eobrun - (1 << r), r)
+    return 0
+
+
+def _enc_dc_scan(writer, coef_list, comp_idx, dctabs, ah, al):
+    by, bx = coef_list[0].shape[:2]
+    if ah == 0:
+        pred = {ci: 0 for ci in comp_idx}
+        for y in range(by):
+            for x in range(bx):
+                for ci in comp_idx:
+                    v = int(coef_list[ci][y, x, 0]) >> al
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    cat = _category(diff)
+                    code, length = dctabs[ci][cat]
+                    writer.write(code, length)
+                    if cat:
+                        writer.write(
+                            diff if diff >= 0 else diff + (1 << cat) - 1,
+                            cat,
+                        )
+    else:
+        for y in range(by):
+            for x in range(bx):
+                for ci in comp_idx:
+                    writer.write(
+                        (int(coef_list[ci][y, x, 0]) >> al) & 1, 1
+                    )
+
+
+def _enc_ac_first_scan(writer, coef, actab, ss, se, al):
+    by, bx = coef.shape[:2]
+    eobrun = 0
+    for y in range(by):
+        for x in range(bx):
+            zz = coef[y, x]
+            vals = [_ac_shift(int(zz[k]), al) for k in range(ss, se + 1)]
+            nz = [i for i, v in enumerate(vals) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _emit_eobrun(writer, actab, eobrun)
+                continue
+            eobrun = _emit_eobrun(writer, actab, eobrun)
+            r = 0
+            for i in range(nz[-1] + 1):
+                v = vals[i]
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, length = actab[0xF0]  # ZRL
+                    writer.write(code, length)
+                    r -= 16
+                s = _category(v)
+                code, length = actab[(r << 4) | s]
+                writer.write(code, length)
+                writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+                r = 0
+            if nz[-1] < se - ss:
+                eobrun = 1  # this block ends with an EOB; run may grow
+    _emit_eobrun(writer, actab, eobrun)
+
+
+def _enc_ac_refine_scan(writer, coef, actab, ss, se, al):
+    """Refinement scan encoder, positionally exact against the decoder's
+    traversal: after each symbol, emit exactly the correction bits of
+    the already-nonzero coefficients the decoder passes in that
+    symbol's span (EOB runs kept per-block for simplicity)."""
+    by, bx = coef.shape[:2]
+    for y in range(by):
+        for x in range(bx):
+            zz = coef[y, x]
+            band = list(range(ss, se + 1))
+            t = [abs(int(zz[k])) >> al for k in band]
+            newly = [i for i, v in enumerate(t) if v == 1]
+            pos = 0
+            for target in newly:
+                # decoder span: break at the (r+1)th zero-history
+                # position == target; correction bits along the way
+                while True:
+                    zeros = [
+                        i for i in range(pos, target) if t[i] == 0
+                    ]
+                    if len(zeros) <= 15:
+                        break
+                    # ZRL consumes the first 16 zero-history positions;
+                    # bits for already-nonzero positions before the
+                    # 16th zero travel with it
+                    cut = zeros[15]
+                    code, length = actab[0xF0]
+                    writer.write(code, length)
+                    for i in range(pos, cut):
+                        if t[i] > 1:
+                            writer.write(t[i] & 1, 1)
+                    pos = cut + 1
+                r = len([i for i in range(pos, target) if t[i] == 0])
+                code, length = actab[(r << 4) | 1]
+                writer.write(code, length)
+                writer.write(1 if int(zz[band[target]]) > 0 else 0, 1)
+                for i in range(pos, target):
+                    if t[i] > 1:
+                        writer.write(t[i] & 1, 1)
+                pos = target + 1
+            if pos <= se - ss:
+                code, length = actab[0x00]  # EOB (run of 1)
+                writer.write(code, length)
+                for i in range(pos, se - ss + 1):
+                    if t[i] > 1:
+                        writer.write(t[i] & 1, 1)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 85, scans=None
+) -> bytes:
+    """(H, W, 3) uint8 RGB or (H, W) gray -> progressive JPEG (SOF2,
+    4:4:4, libjpeg-style default scan script: DC first+refine, AC
+    spectral bands with two successive-approximation refinements)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("wants (H, W, 3) RGB or (H, W) gray")
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64) - 128.0]
+    else:
+        r = arr[:, :, 0].astype(np.float64)
+        g = arr[:, :, 1].astype(np.float64)
+        b = arr[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+    qluma = _quality_scale(QUANT_LUMA, quality)
+    qchroma = _quality_scale(QUANT_CHROMA, quality)
+    qtabs = [qluma] if gray else [qluma, qchroma]
+    coef_list = [
+        _quantized_blocks(p, qtabs[0 if ci == 0 else 1])
+        for ci, p in enumerate(planes)
+    ]
+    enc_dc = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+              _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    flat_ac = _canonical_codes(FLAT_AC_BITS, FLAT_AC_VALS)
+    dctabs = {ci: enc_dc[0 if ci == 0 else 1] for ci in range(len(planes))}
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tq, qt in enumerate(qtabs):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq)
+        out += bytes(int(qt[z]) for z in ZIGZAG)
+    ncomp = len(planes)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        out += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+    hts = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+           (0x10, FLAT_AC_BITS, FLAT_AC_VALS)]
+    if not gray:
+        hts.append((0x01, DC_CHROMA_BITS, DC_CHROMA_VALS))
+    for tc_th, bits, vals in hts:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+
+    script = scans or (_PROG_SCRIPT_GRAY if gray else _PROG_SCRIPT_COLOR)
+    for comp_idx, ss, se, ah, al in script:
+        ns = len(comp_idx)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for ci in comp_idx:
+            td = 0 if ci == 0 else 1
+            out += struct.pack("BB", ci + 1, (td << 4) | 0)
+        out += struct.pack("BBB", ss, se, (ah << 4) | al)
+        writer = _BitWriter()
+        if ss == 0:
+            _enc_dc_scan(writer, coef_list, comp_idx, dctabs, ah, al)
+        elif ah == 0:
+            _enc_ac_first_scan(
+                writer, coef_list[comp_idx[0]], flat_ac, ss, se, al
+            )
+        else:
+            _enc_ac_refine_scan(
+                writer, coef_list[comp_idx[0]], flat_ac, ss, se, al
+            )
+        out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Baseline JPEG -> (H, W, 3) uint8 RGB (grayscale replicated).
+    """Baseline (SOF0/SOF1) or progressive (SOF2) JPEG -> (H, W, 3)
+    uint8 RGB (grayscale replicated).
 
-    Implements SOF0 baseline sequential per T.81: marker parse, Huffman
-    entropy decode with byte un-stuffing and restart markers, dequant,
-    zigzag, separable float IDCT, chroma upsampling for sampling
-    factors 1-2, YCbCr->RGB. Progressive/arithmetic/12-bit raise
+    Per T.81: marker parse, Huffman entropy decode with byte
+    un-stuffing and restart markers; progressive spectral-selection +
+    successive-approximation scans (DC first/refine, AC first/refine
+    with EOB runs, T.81 G.1.2) accumulate into per-component
+    coefficient arrays; then one vectorized dequant + IDCT + chroma
+    upsample + YCbCr->RGB reconstruction shared with baseline.
+    Arithmetic coding, 12-bit, lossless and hierarchical modes raise
     NotImplementedError."""
     d = bytes(content)
     if d[:2] != b"\xff\xd8":
@@ -441,8 +688,10 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    coefs = None
     restart_interval = 0
-    while pos + 4 <= len(d):
+    scans_done = 0
+    while pos + 2 <= len(d):
         if d[pos] != 0xFF:
             pos += 1
             continue
@@ -450,9 +699,13 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         if marker == 0xFF:  # fill byte before a marker (B.1.1.2)
             pos += 1
             continue
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
             pos += 2
             continue
+        if pos + 4 > len(d):
+            break
         seglen = struct.unpack_from(">H", d, pos + 2)[0]
         body = d[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT
@@ -481,7 +734,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 tab = _decode_table(bits, vals)
                 (huff_ac if tc else huff_dc)[th] = tab
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -491,106 +744,322 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {
+                "h": h,
+                "w": w,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/SOF1) supported"
+                "only baseline (SOF0/SOF1) and progressive (SOF2) "
+                "Huffman JPEG supported"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = body[0]
             scan = []
             for s in range(ns):
                 cs, tdta = struct.unpack_from("BB", body, 1 + 2 * s)
                 scan.append({"id": cs, "td": tdta >> 4, "ta": tdta & 0xF})
-            pos = pos + 2 + seglen
-            return _decode_scan(
-                d, pos, frame, scan, qtabs, huff_dc, huff_ac,
-                restart_interval,
+            ss, se, ahal = struct.unpack_from("BBB", body, 1 + 2 * ns)
+            ah, al = ahal >> 4, ahal & 0xF
+            if coefs is None:
+                coefs = _alloc_coefs(frame)
+            pos = _decode_scan(
+                d, pos + 2 + seglen, frame, scan, ss, se, ah, al,
+                huff_dc, huff_ac, restart_interval, coefs,
             )
+            scans_done += 1
+            if scans_done > 256:
+                raise ValueError("JPEG has too many scans")
+            continue
         pos += 2 + seglen
-    raise ValueError("JPEG missing SOS")
+    if scans_done == 0:
+        raise ValueError("JPEG missing SOS")
+    return _reconstruct(frame, coefs, qtabs)
 
 
-def _decode_scan(
-    d, pos, frame, scan, qtabs, huff_dc, huff_ac, restart_interval
-):
-    if frame is None:
-        raise ValueError("JPEG SOS before SOF")
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
+def _geometry(frame):
+    comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if hmax > 2 or vmax > 2:
         raise NotImplementedError("JPEG sampling factors above 2")
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    by_id = {c["id"]: c for c in comps}
-    for s in scan:
-        c = by_id[s["id"]]
-        c["td"], c["ta"] = s["td"], s["ta"]
-    planes = {
-        c["id"]: np.zeros(
-            (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
-        )
-        for c in comps
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _alloc_coefs(frame):
+    """Per-component zigzag-order coefficient grids, padded to whole
+    MCUs (progressive scans refine these across multiple passes)."""
+    _, _, mcux, mcuy = _geometry(frame)
+    return {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
     }
+
+
+def _comp_blocks(frame, c):
+    """Non-interleaved block grid of one component: ceil of the
+    component's true sample dimensions (T.81 A.2.2)."""
+    hmax, vmax, _, _ = _geometry(frame)
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_scan(
+    d, pos, frame, scan, ss, se, ah, al, huff_dc, huff_ac,
+    restart_interval, coefs,
+):
+    """Decode one entropy-coded scan into `coefs`; returns the stream
+    position after the scan's last entropy byte."""
     reader = _BitReader(d, pos)
+    try:
+        if not frame["progressive"]:
+            _scan_baseline(
+                reader, frame, scan, huff_dc, huff_ac, restart_interval,
+                coefs,
+            )
+        elif ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            _scan_dc(
+                reader, frame, scan, huff_dc, restart_interval, coefs,
+                ah, al,
+            )
+        else:
+            if len(scan) != 1:
+                raise ValueError("progressive AC scan must be 1 component")
+            if not 1 <= ss <= se <= 63:
+                raise ValueError("bad progressive spectral band")
+            _scan_ac(
+                reader, frame, scan[0], huff_ac, restart_interval, coefs,
+                ss, se, ah, al,
+            )
+    except _MarkerHit:
+        raise ValueError("JPEG entropy data ended early") from None
+    return reader.pos
+
+
+def _scan_baseline(
+    reader, frame, scan, huff_dc, huff_ac, restart_interval, coefs
+):
+    by_id = {c["id"]: c for c in frame["comps"]}
+    comps = [dict(by_id[s["id"]], td=s["td"], ta=s["ta"]) for s in scan]
+    hmax, vmax, mcux, mcuy = _geometry(frame)
     pred = {c["id"]: 0 for c in comps}
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if (
-                restart_interval
-                and mcu_count
-                and mcu_count % restart_interval == 0
-            ):
-                reader.sync_restart()
-                pred = {c["id"]: 0 for c in comps}
-            for c in comps:
-                q = qtabs[c["tq"]]
-                dctab = huff_dc[c["td"]]
-                actab = huff_ac[c["ta"]]
-                for v in range(c["v"]):
-                    for hh in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        try:
-                            t = _huff_decode(reader, dctab)
-                            diff = (
-                                _extend(reader.receive(t), t) if t else 0
+    if len(comps) == 1 and len(frame["comps"]) > 1:
+        # non-interleaved sequential scan: raster over the comp's blocks
+        c = comps[0]
+        bh, bw = _comp_blocks(frame, c)
+        units = [(c, by, bx) for by in range(bh) for bx in range(bw)]
+        unit_size = 1
+    else:
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c in comps:
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            units.append(
+                                (c, my * c["v"] + v, mx * c["h"] + hh)
                             )
-                            pred[c["id"]] += diff
-                            zz[0] = pred[c["id"]]
-                            k = 1
-                            while k < 64:
-                                rs = _huff_decode(reader, actab)
-                                r, size = rs >> 4, rs & 0xF
-                                if size == 0:
-                                    if r == 15:
-                                        k += 16  # ZRL
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    raise ValueError("JPEG AC overrun")
-                                zz[k] = _extend(reader.receive(size), size)
-                                k += 1
-                        except _MarkerHit:
-                            raise ValueError(
-                                "JPEG entropy data ended early"
-                            ) from None
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[ZIGZAG] = zz * q[ZIGZAG]
-                        block = _A.T @ coef.reshape(8, 8) @ _A + 128.0
-                        ys = (my * c["v"] + v) * 8
-                        xs = (mx * c["h"] + hh) * 8
-                        planes[c["id"]][ys : ys + 8, xs : xs + 8] = block
-            mcu_count += 1
-    # upsample to full resolution and crop
+        unit_size = sum(c["v"] * c["h"] for c in comps)
+    count = 0
+    for c, by, bx in units:
+        if (
+            restart_interval
+            and count
+            and count % (restart_interval * unit_size) == 0
+        ):
+            reader.sync_restart()
+            pred = {cc["id"]: 0 for cc in comps}
+        dctab = huff_dc[c["td"]]
+        actab = huff_ac[c["ta"]]
+        blk = coefs[c["id"]][by, bx]
+        t = _huff_decode(reader, dctab)
+        diff = _extend(reader.receive(t), t) if t else 0
+        pred[c["id"]] += diff
+        blk[0] = pred[c["id"]]
+        k = 1
+        while k < 64:
+            rs = _huff_decode(reader, actab)
+            r, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC overrun")
+            blk[k] = _extend(reader.receive(size), size)
+            k += 1
+        count += 1
+
+
+def _scan_dc(reader, frame, scan, huff_dc, restart_interval, coefs, ah, al):
+    """Progressive DC scan: first pass (Ah=0) Huffman diff-codes the
+    point-transformed DC; refinement (Ah>0) reads one bit per block."""
+    by_id = {c["id"]: c for c in frame["comps"]}
+    comps = [dict(by_id[s["id"]], td=s["td"]) for s in scan]
+    hmax, vmax, mcux, mcuy = _geometry(frame)
+    if len(comps) == 1 and len(frame["comps"]) > 1:
+        c = comps[0]
+        bh, bw = _comp_blocks(frame, c)
+        units = [(c, by, bx) for by in range(bh) for bx in range(bw)]
+        unit_size = 1
+    else:
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c in comps:
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            units.append(
+                                (c, my * c["v"] + v, mx * c["h"] + hh)
+                            )
+        unit_size = sum(c["v"] * c["h"] for c in comps)
+    pred = {c["id"]: 0 for c in comps}
+    count = 0
+    every = restart_interval * unit_size
+    for c, by, bx in units:
+        if every and count and count % every == 0:
+            reader.sync_restart()
+            pred = {cc["id"]: 0 for cc in comps}
+        blk = coefs[c["id"]][by, bx]
+        if ah == 0:
+            dctab = huff_dc[c["td"]]
+            t = _huff_decode(reader, dctab)
+            diff = _extend(reader.receive(t), t) if t else 0
+            pred[c["id"]] += diff
+            blk[0] = pred[c["id"]] << al
+        else:
+            if reader.read_bit():
+                blk[0] |= 1 << al
+        count += 1
+
+
+def _scan_ac(
+    reader, frame, s, huff_ac, restart_interval, coefs, ss, se, ah, al
+):
+    """Progressive AC scan over one component's block raster, with EOB
+    runs; first pass (Ah=0) per T.81 G.1.2.2, refinement per G.1.2.3."""
+    by_id = {c["id"]: c for c in frame["comps"]}
+    c = by_id[s["id"]]
+    actab = huff_ac[s["ta"]]
+    bh, bw = _comp_blocks(frame, c)
+    grid = coefs[c["id"]]
+    eobrun = 0
+    count = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and count and count % restart_interval == 0:
+                reader.sync_restart()
+                eobrun = 0
+            blk = grid[by, bx]
+            if ah == 0:
+                eobrun = _ac_first_block(
+                    reader, actab, blk, ss, se, al, eobrun
+                )
+            else:
+                eobrun = _ac_refine_block(
+                    reader, actab, blk, ss, se, al, eobrun
+                )
+            count += 1
+
+
+def _ac_first_block(reader, actab, blk, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, actab)
+        r, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC overrun")
+        blk[k] = _extend(reader.receive(size), size) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, actab, blk, ss, se, al, eobrun):
+    """Successive-approximation AC refinement (T.81 G.1.2.3 /
+    the standard decode_mcu_AC_refine control flow): new coefficients
+    carry (run, 1) symbols + sign bit; already-nonzero coefficients
+    consume one positional correction bit as the band is traversed."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, actab)
+            r, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if size != 1:
+                    raise ValueError("bad JPEG AC refinement symbol")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit() and (int(blk[k]) & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if reader.read_bit() and (int(blk[k]) & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(frame, coefs, qtabs):
+    """Shared final stage: vectorized dequant + 8x8 IDCT over every
+    block of every component, stitch, upsample, color-convert."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     full = []
     for c in comps:
-        p = planes[c["id"]]
+        grid = coefs[c["id"]].astype(np.float64)  # (BY, BX, 64) zigzag
+        q = qtabs[c["tq"]]
+        nat = np.zeros_like(grid)
+        nat[:, :, ZIGZAG] = grid * q[ZIGZAG]
+        by, bx = grid.shape[:2]
+        blocks = nat.reshape(by, bx, 8, 8)
+        pix = np.einsum("ij,abjk,kl->abil", _A.T, blocks, _A) + 128.0
+        p = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1:
             p = np.repeat(p, ry, axis=0)

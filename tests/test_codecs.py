@@ -409,23 +409,102 @@ def test_jpeg_grayscale_and_quality():
 
 
 def test_jpeg_strictness():
-    """Progressive SOF2 raises the documented NotImplementedError;
-    truncated/invalid streams raise ValueError."""
+    """Unsupported SOF markers raise NotImplementedError; truncated /
+    structurally invalid streams raise ValueError."""
     import pytest
 
     from bigartm_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
     good = encode_jpeg(_smooth_img(8, 8))
-    # flip SOF0 (0xC0) to SOF2 (0xC2): progressive must be rejected
-    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    # flip SOF0 to SOF9 (arithmetic coding): must be rejected
+    arith = good.replace(b"\xff\xc0", b"\xff\xc9", 1)
     with pytest.raises(NotImplementedError):
-        decode_jpeg(prog)
+        decode_jpeg(arith)
+    # a baseline stream relabeled SOF2 is INVALID progressive: its one
+    # scan claims Ss=0 (DC) with Se=63
+    with pytest.raises(ValueError):
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
     with pytest.raises(ValueError):
         decode_jpeg(good[:2])  # SOI only, no SOS
     with pytest.raises(ValueError):
         decode_jpeg(good[: len(good) - len(good) // 3])  # truncated ECS
+
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    """SOF2 spectral-selection + successive-approximation decode: the
+    multi-scan stream reconstructs the SAME quantized coefficients as
+    the single-scan baseline encoding, so decodes are bit-identical —
+    on smooth gradients, dense noise (ZRL + refinement correction
+    bits), sparse blocks (EOB runs spanning blocks), color and gray."""
+    from bigartm_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(3)
+    cases = [
+        _smooth_img(37, 50),
+        np.clip(rng.normal(128, 60, size=(33, 47, 3)), 0, 255).astype(
+            np.uint8
+        ),
+        np.zeros((64, 64, 3), np.uint8),  # all-empty bands -> pure EOBRUN
+    ]
+    cases[2][32, 32] = 255
+    for img in cases:
+        for q in (30, 85):
+            prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+            base = decode_jpeg(encode_jpeg(img, quality=q))
+            assert np.array_equal(prog, base)
+    g = cases[1][:, :, 0]
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(g, quality=75)),
+        decode_jpeg(encode_jpeg(g, quality=75)),
+    )
+
+
+def test_jpeg_progressive_custom_scan_script():
+    """A deeper successive-approximation ladder (Al=3 down to 0, DC
+    refined bit-by-bit) still converges to the exact baseline decode,
+    and truncating after the first scans still yields a coarse but
+    decodable image (the progressive preview property)."""
+    from bigartm_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    script = [
+        ((0,), 0, 0, 0, 3), ((0,), 1, 63, 0, 3),
+        ((0,), 1, 63, 3, 2), ((0,), 0, 0, 1, 2),
+        ((0,), 0, 0, 1, 1), ((0,), 1, 63, 2, 1),
+        ((0,), 0, 0, 1, 0), ((0,), 1, 63, 1, 0),
+    ]
+    rng = np.random.default_rng(11)
+    g = np.clip(rng.normal(128, 60, size=(40, 56)), 0, 255).astype(np.uint8)
+    full = encode_jpeg_progressive(g, quality=85, scans=script)
+    assert np.array_equal(
+        decode_jpeg(full), decode_jpeg(encode_jpeg(g, quality=85))
+    )
+    # truncate a smooth image to the first 2 scans (3rd SOS onward
+    # dropped) + EOI: a valid coarse-but-recognizable preview
+    sg = _smooth_img(40, 56)[:, :, 0]
+    full = encode_jpeg_progressive(sg, quality=85, scans=script)
+    sos_positions = []
+    i = 0
+    while True:
+        i = full.find(b"\xff\xda", i + 1)
+        if i < 0:
+            break
+        sos_positions.append(i)
+    assert len(sos_positions) == len(script)
+    preview = full[: sos_positions[2]] + b"\xff\xd9"
+    coarse = decode_jpeg(preview)
+    assert coarse.shape == (40, 56, 3)
+    err = np.abs(coarse[:, :, 0].astype(int) - sg.astype(int)).mean()
+    assert err < 24  # recognizable, not exact
 
 
 def test_jpeg_through_decode_media_and_content_features(spark):
