@@ -9,10 +9,11 @@ end-to-end REAL in a container with no image/video libraries:
   tables, interlace, GCE transparency + disposal methods 0-3, full
   animation frame iteration. Encoder emits a global-palette GIF89a
   with real LZW compression so tests round-trip actual files.
-- AVI/MJPEG (RIFF per the public AVI 1.0 spec): 'hdrl' (avih +
-  strl/strh/strf), 'movi' with one '00dc' JPEG chunk per frame,
-  'idx1' index. Frames decode through operators/jpeg.py's baseline
-  decoder. This is the smallest honest video container: frame bytes
+- AVI (RIFF per the public AVI 1.0 spec): 'hdrl' (avih +
+  strl/strh/strf), 'movi' with one video chunk per frame ('00dc'
+  MJPEG riding operators/jpeg.py, or '00db' uncompressed bottom-up
+  DIB via encode_avi_raw), 'idx1' index.
+  This is the smallest honest video container: frame bytes
   live in the file, frame timestamps derive from the stream rate, and
   the Spark-side sampling operator (multimodal.video_frame_features)
   reads REAL pixels instead of a metadata plan.
@@ -404,18 +405,70 @@ def avi_info(content: bytes) -> dict:
     return info
 
 
+def encode_avi_raw(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """(H, W, 3) uint8 frames -> AVI with one uncompressed DIB stream
+    ('00db' chunks: bottom-up BGR rows padded to 4 bytes — the lossless
+    twin of encode_avi_mjpeg)."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("encode_avi_raw wants at least one frame")
+    h, w = frames[0].shape[:2]
+    row = (w * 3 + 3) & ~3
+    pad = b"\x00" * (row - w * 3)
+    blobs = []
+    for f in frames:
+        bgr = f[:, :, ::-1]
+        blobs.append(
+            b"".join(bgr[y].tobytes() + pad for y in range(h - 1, -1, -1))
+        )
+    usec_per_frame = 1_000_000 // fps
+    avih = struct.pack(
+        "<14I", usec_per_frame, row * h * fps, 0, 0x10, len(frames), 0,
+        1, row * h, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), row * h, 0, 0
+        ) + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"\x00\x00\x00\x00",
+                       row * h, 0, 0, 0, 0)
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = bytearray()
+    idx = bytearray()
+    for blob in blobs:
+        offset = 4 + len(movi_body)
+        movi_body += _riff_chunk(b"00db", blob)
+        idx += b"00db" + struct.pack("<III", 0x10, offset, len(blob))
+    movi = _riff_list(b"movi", bytes(movi_body))
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", bytes(idx))
+    return _riff_chunk(b"RIFF", body)
+
+
+def _decode_dib(blob: bytes, w: int, h: int) -> np.ndarray:
+    """Raw DIB frame (bottom-up BGR, 4-byte-padded rows) -> RGB."""
+    row = (w * 3 + 3) & ~3
+    if len(blob) < row * h:
+        raise ValueError("AVI DIB frame truncated")
+    rows = np.frombuffer(blob, np.uint8, row * h).reshape(h, row)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    return bgr[::-1, :, ::-1].copy()
+
+
 def avi_frames(content: bytes) -> list[tuple[int, np.ndarray]]:
-    """AVI/MJPEG bytes -> [(timestamp_ms, (H, W, 3) uint8 RGB)] by
-    decoding every '00dc'/'00db' video chunk through the baseline JPEG
-    decoder."""
+    """AVI bytes -> [(timestamp_ms, (H, W, 3) uint8 RGB)]: '##dc'
+    chunks decode through the baseline/progressive JPEG decoder
+    (MJPEG), '##db' chunks as uncompressed bottom-up DIB."""
     from bigartm_spark.operators.jpeg import decode_jpeg
 
     content = bytes(content)
     info = avi_info(content)
     usec = info["usec_per_frame"] or int(1_000_000 / info["fps"])
     frames: list[tuple[int, np.ndarray]] = []
-    # walk every chunk; video data chunks are '##dc' (compressed) /
-    # '##db' (uncompressed DIB — not produced by our encoder, skipped)
     stack = [(12, 8 + struct.unpack("<I", content[4:8])[0])]
     n = 0
     while stack:
@@ -427,13 +480,18 @@ def avi_frames(content: bytes) -> list[tuple[int, np.ndarray]]:
                 stack.append((pos + 8 + size + (size & 1), end))
                 pos, end = pos + 12, pos + 8 + size
                 continue
-            if fourcc[2:4] == b"dc" and size:
+            if fourcc[2:4] in (b"dc", b"db") and size:
                 blob = content[pos + 8 : pos + 8 + size]
-                frames.append((n * usec // 1000, decode_jpeg(blob)))
+                frame = (
+                    decode_jpeg(blob)
+                    if fourcc[2:4] == b"dc"
+                    else _decode_dib(blob, info["width"], info["height"])
+                )
+                frames.append((n * usec // 1000, frame))
                 n += 1
             pos += 8 + size + (size & 1)
     if not frames:
-        raise ValueError("AVI contains no MJPEG frames")
+        raise ValueError("AVI contains no video frames")
     return frames
 
 

@@ -733,3 +733,27 @@ def test_video_frame_features_spark(spark):
     assert all(r["width"] == 16 and r["height"] == 16 for r in g)
     lumas = [r["mean_luma"] for r in g]
     assert lumas == sorted(lumas)  # brightening sequence
+
+
+def test_avi_raw_dib_lossless_roundtrip():
+    """Uncompressed '00db' AVI: frames round-trip exactly (bottom-up
+    BGR DIB with 4-byte row padding), including a non-multiple-of-4
+    row width; MJPEG and DIB streams share the frame iterator."""
+    from bigartm_spark.operators.gifavi import (
+        avi_frames,
+        avi_info,
+        encode_avi_raw,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = [
+        rng.integers(0, 256, size=(11, 13, 3)).astype(np.uint8)
+        for _ in range(3)
+    ]
+    avi = encode_avi_raw(frames, fps=4)
+    info = avi_info(avi)
+    assert (info["width"], info["height"], info["fps"]) == (13, 11, 4.0)
+    pairs = avi_frames(avi)
+    assert [t for t, _ in pairs] == [0, 250, 500]
+    for (_, got), want in zip(pairs, frames):
+        assert np.array_equal(got, want)
