@@ -757,3 +757,69 @@ def test_avi_raw_dib_lossless_roundtrip():
     assert [t for t, _ in pairs] == [0, 250, 500]
     for (_, got), want in zip(pairs, frames):
         assert np.array_equal(got, want)
+
+
+def test_jpeg_progressive_parity_property():
+    """Property: for ANY small image and quality, the progressive
+    multi-scan stream decodes bit-identically to the baseline stream
+    (both encoders share one quantization pipeline, and the scan
+    algebra must reassemble the exact coefficients)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigartm_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        quality=st.sampled_from([25, 60, 90]),
+        seed=st.integers(0, 2**31),
+        gray=st.booleans(),
+    )
+    def check(h, w, quality, seed, gray):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if gray else (h, w, 3)
+        img = rng.integers(0, 256, size=shape).astype(np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_progressive(img, quality=quality)),
+            decode_jpeg(encode_jpeg(img, quality=quality)),
+        )
+
+    check()
+
+
+def test_gif_roundtrip_property():
+    """Property: any small raster with <= 256 unique colors survives
+    the GIF LZW encode/decode loop exactly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigartm_spark.operators.gifavi import decode_gif, encode_gif
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        h=st.integers(1, 32),
+        w=st.integers(1, 32),
+        ncolors=st.integers(1, 256),
+        seed=st.integers(0, 2**31),
+    )
+    def check(h, w, ncolors, seed):
+        rng = np.random.default_rng(seed)
+        palette = rng.integers(0, 256, size=(ncolors, 3)).astype(np.uint8)
+        img = palette[rng.integers(0, ncolors, size=(h, w))]
+        assert np.array_equal(decode_gif(encode_gif([img])), img)
+
+    check()
