@@ -337,8 +337,8 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int, int]:
 
 
 def sniff_media(content: bytes) -> str:
-    """Container sniff by magic bytes:
-    'ppm' | 'bmp' | 'png' | 'jpeg' | 'gif' | 'wav' | 'avi' | 'unknown'."""
+    """Container sniff by magic bytes: 'ppm' | 'bmp' | 'png' | 'jpeg' |
+    'gif' | 'wav' | 'flac' | 'avi' | 'unknown'."""
     if content[:2] == b"P6":
         return "ppm"
     if content[:2] == b"BM":
@@ -351,9 +351,25 @@ def sniff_media(content: bytes) -> str:
         return "gif"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"
+    if content[:4] == b"fLaC":
+        return "flac"
     if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
         return "avi"
     return "unknown"
+
+
+def decode_audio(content: bytes) -> tuple[np.ndarray, int, int]:
+    """Sniffing audio decode: WAV-PCM16 or FLAC -> (interleaved
+    samples, sample_rate, num_channels) at 16-bit scale."""
+    kind = sniff_media(bytes(content))
+    if kind == "wav":
+        return decode_wav(content)
+    if kind == "flac":
+        from bigartm_spark.operators.flac import decode_flac
+
+        samples, sr, nch = decode_flac(content)
+        return samples.reshape(-1), sr, nch
+    raise ValueError(f"not a supported audio container ({kind})")
 
 
 def _decode_jpeg(content: bytes):
@@ -399,8 +415,8 @@ def decode_media(content: bytes, media_type: str, dim: int = 8) -> np.ndarray:
             [b.mean() / 255.0 if b.size else 0.0 for b in bands],
             dtype=np.float32,
         )
-    if kind == "wav":
-        samples, _sr, _ch = decode_wav(content)
+    if kind in ("wav", "flac"):
+        samples, _sr, _ch = decode_audio(content)
         if not len(samples):
             return np.zeros(dim, dtype=np.float32)
         x = samples.astype(np.float64) / 32768.0
@@ -424,7 +440,8 @@ def decode_media(content: bytes, media_type: str, dim: int = 8) -> np.ndarray:
         "media decode for MP3/non-MJPEG video requires audio/video "
         "libraries not present in this container; inject a real "
         "decode_fn (PPM/BMP/PNG/GIF/JPEG-baseline+progressive/WAV-PCM/"
-        "AVI-MJPEG decode natively via operators/{codecs,jpeg,gifavi}.py)"
+        "FLAC/AVI-MJPEG+DIB decode natively via "
+        "operators/{codecs,jpeg,gifavi,flac}.py)"
     )
 
 

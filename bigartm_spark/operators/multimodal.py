@@ -402,7 +402,7 @@ def audio_content_features(
     ensure_package_shipped(media.sparkSession)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from bigartm_spark.operators.codecs import decode_wav
+        from bigartm_spark.operators.codecs import decode_audio
 
         for pdf in batches:
             out = {k: [] for k in (
@@ -412,7 +412,7 @@ def audio_content_features(
             )}
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
                 try:
-                    samples, sr, nch = decode_wav(bytes(content))
+                    samples, sr, nch = decode_audio(bytes(content))
                 except Exception:
                     continue
                 if samples.size == 0:

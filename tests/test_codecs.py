@@ -823,3 +823,96 @@ def test_gif_roundtrip_property():
         assert np.array_equal(decode_gif(encode_gif([img])), img)
 
     check()
+
+
+# ---------------------------------------------------------------- FLAC
+
+
+def test_flac_lossless_roundtrip_all_paths():
+    """decode(encode(pcm)) == pcm exactly across subframe types and
+    channel assignments: fixed predictors on a tone, LPC mode, mid/side
+    stereo, constant runs at int16 extremes, partial last block, >127
+    frames (multi-byte coded numbers)."""
+    from bigartm_spark.operators.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(9)
+    t = np.arange(20000)
+    tone = (
+        8000 * np.sin(2 * np.pi * 220 * t / 16000)
+        + rng.normal(0, 200, len(t))
+    ).astype(np.int16)
+    f = encode_flac(tone, 16000)
+    out, sr, ch = decode_flac(f)
+    assert (sr, ch) == (16000, 1)
+    assert np.array_equal(out, tone.astype(np.int32))
+    assert len(f) < tone.nbytes  # actually compresses a tonal signal
+
+    st = np.stack([tone, (tone // 2 + 100).astype(np.int16)], axis=1)
+    for kwargs in ({}, {"mid_side": True}, {"lpc_mode": True}):
+        out, sr, ch = decode_flac(encode_flac(st, 44100, **kwargs))
+        assert (sr, ch) == (44100, 2)
+        assert np.array_equal(out, st.astype(np.int32)), kwargs
+
+    x = np.concatenate([
+        np.full(5000, -32768, np.int16),
+        np.full(4000, 32767, np.int16),
+        rng.integers(-32768, 32768, 300).astype(np.int16),
+    ])
+    out, _, _ = decode_flac(encode_flac(x, 8000, block_size=4096))
+    assert np.array_equal(out, x.astype(np.int32))
+
+    many = rng.integers(-1000, 1000, 130 * 256).astype(np.int16)
+    out, _, _ = decode_flac(encode_flac(many, 8000, block_size=256))
+    assert np.array_equal(out, many.astype(np.int32))
+
+
+def test_flac_strictness_and_crc():
+    from bigartm_spark.operators.flac import decode_flac, encode_flac
+
+    with pytest.raises(ValueError):
+        decode_flac(b"not flac at all")
+    good = bytearray(encode_flac(np.arange(1000, dtype=np.int16), 8000))
+    good[60] ^= 0xFF  # flip a frame byte -> CRC must catch it
+    with pytest.raises(ValueError):
+        decode_flac(bytes(good))
+
+
+def test_flac_through_audio_pipeline(spark):
+    """FLAC rides the same audio feature paths as WAV: decode_media RMS
+    windows agree with the WAV container of the same samples, and
+    audio_content_features dispatches by sniff."""
+    from bigartm_spark.operators.codecs import (
+        decode_media,
+        encode_wav,
+        sniff_media,
+    )
+    from bigartm_spark.operators.flac import encode_flac
+    from bigartm_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_content_features,
+    )
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    sine = (0.5 * 32767 * np.sin(2 * np.pi * 1000.0 * t)).astype(np.int16)
+    flac = encode_flac(sine, sr)
+    wav = encode_wav(sine, sample_rate=sr)
+    assert sniff_media(flac) == "flac"
+    np.testing.assert_allclose(
+        decode_media(flac, "audio", dim=4),
+        decode_media(wav, "audio", dim=4),
+        atol=1e-6,
+    )
+    rows = [
+        (0, "audio", bytearray(flac), None, None, 1000),
+        (1, "audio", bytearray(wav), None, None, 1000),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r["asset_id"]: r for r in audio_content_features(media).collect()
+    }
+    assert set(feats) == {0, 1}
+    for k in ("rms", "zero_crossing_rate", "spectral_centroid_hz"):
+        assert feats[0][k] == pytest.approx(feats[1][k], rel=1e-6)
+    assert feats[0]["sample_rate"] == sr
+    assert feats[0]["rms"] == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)
