@@ -155,26 +155,64 @@ def _png_filter_row(
     return (out & 0xFF).astype(np.uint8)
 
 
-def encode_png(
-    arr: np.ndarray, row_filters: list[int] | None = None
+# Adam7 pass offsets/steps: (xstart, ystart, xstep, ystep)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_scanlines(
+    rows: np.ndarray, bpp: int, row_filters: list[int] | None
 ) -> bytes:
-    """(H, W, 3) uint8 RGB -> PNG (8-bit truecolor, non-interlaced).
+    """(H, stride) row bytes -> filtered scanline stream (encode)."""
+    raw = bytearray()
+    prior = np.zeros(rows.shape[1], dtype=np.uint8)
+    for y in range(rows.shape[0]):
+        ft = row_filters[y % len(row_filters)] if row_filters else 0
+        raw.append(ft)
+        raw += _png_filter_row(ft, rows[y], prior, bpp).tobytes()
+        prior = rows[y]
+    return bytes(raw)
+
+
+def encode_png(
+    arr: np.ndarray,
+    row_filters: list[int] | None = None,
+    depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
+    """(H, W, 3) RGB -> PNG truecolor: uint8 at depth=8, uint16 at
+    depth=16 (big-endian samples); interlace=True writes Adam7 passes.
 
     row_filters optionally pins the filter type per scanline (cycled) —
     lets tests exercise every decode filter path; default is filter 0."""
-    arr = np.asarray(arr, dtype=np.uint8)
+    if depth not in (8, 16):
+        raise ValueError("depth must be 8 or 16")
+    sb = depth // 8
+    arr = np.asarray(arr, dtype=np.uint8 if sb == 1 else np.uint16)
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError("encode_png wants (H, W, 3)")
     h, w, _ = arr.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    bpp = 3 * sb
+
+    def row_bytes(sub: np.ndarray) -> np.ndarray:
+        ph, pw, _ = sub.shape
+        if sb == 1:
+            return sub.reshape(ph, pw * 3)
+        return (
+            sub.astype(">u2").view(np.uint8).reshape(ph, pw * 3 * 2)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 2, 0, 0, int(interlace))
     raw = bytearray()
-    flat = arr.reshape(h, w * 3)
-    prior = np.zeros(w * 3, dtype=np.uint8)
-    for y in range(h):
-        ft = row_filters[y % len(row_filters)] if row_filters else 0
-        raw.append(ft)
-        raw += _png_filter_row(ft, flat[y], prior, 3).tobytes()
-        prior = flat[y]
+    if not interlace:
+        raw += _png_scanlines(row_bytes(arr), bpp, row_filters)
+    else:
+        for xs, ys, xstep, ystep in _ADAM7:
+            sub = arr[ys::ystep, xs::xstep]
+            if sub.shape[0] and sub.shape[1]:
+                raw += _png_scanlines(row_bytes(sub), bpp, row_filters)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -186,10 +224,10 @@ def encode_png(
 def decode_png(content: bytes) -> np.ndarray:
     """PNG -> (H, W, 3) uint8 RGB. Pure Python per the public spec:
     stdlib zlib inflate + scanline unfiltering (all 5 filter types),
-    8-bit gray (0) / truecolor (2) / palette (3) / gray+alpha (4) /
-    RGBA (6). Alpha is dropped, gray replicated, palette looked up.
-    16-bit depth, sub-byte depths, and Adam7 interlace raise
-    NotImplementedError."""
+    gray (0) / truecolor (2) / palette (3) / gray+alpha (4) / RGBA (6)
+    at 8- or 16-bit depth (16-bit reads the high byte), non-interlaced
+    or Adam7. Alpha is dropped, gray replicated, palette looked up.
+    Sub-byte depths raise NotImplementedError."""
     content = bytes(content)
     if content[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG")
@@ -218,50 +256,93 @@ def decode_png(content: bytes) -> np.ndarray:
         raise ValueError(
             f"bad PNG compression/filter method ({comp}, {filt})"
         )
-    if depth != 8:
-        raise NotImplementedError("only 8-bit PNG supported")
-    if interlace:
-        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    if depth not in (8, 16):
+        raise NotImplementedError("only 8/16-bit PNG supported")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {color_type}")
+    if depth == 16 and color_type == 3:
+        raise ValueError("16-bit palette PNG is invalid")
     ch = _PNG_CHANNELS[color_type]
-    stride = w * ch
+    sb = depth // 8
     raw = zlib.decompress(bytes(idat))
-    if len(raw) < h * (stride + 1):
+    if not interlace:
+        recon, _ = _png_unfilter(raw, 0, w, h, ch * sb)
+        img = _png_samples(recon, w, h, ch, sb)
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        img = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for xs, ys, xstep, ystep in _ADAM7:
+            pw = (w - xs + xstep - 1) // xstep
+            ph = (h - ys + ystep - 1) // ystep
+            if pw <= 0 or ph <= 0:
+                continue
+            recon, pos = _png_unfilter(raw, pos, pw, ph, ch * sb)
+            img[ys::ystep, xs::xstep] = _png_samples(recon, pw, ph, ch, sb)
+    if color_type == 2:
+        return img
+    if color_type == 6:
+        return img[:, :, :3]
+    if color_type == 0:
+        return np.repeat(img, 3, axis=2)
+    if color_type == 4:
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    # color_type == 3: palette
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    return plte[img[:, :, 0]]
+
+
+def _png_samples(
+    recon: np.ndarray, w: int, h: int, ch: int, sb: int
+) -> np.ndarray:
+    """Unfiltered row bytes -> (h, w, ch) uint8 (16-bit samples are
+    big-endian; the high byte is the 8-bit view)."""
+    if sb == 1:
+        return recon.reshape(h, w, ch)
+    return recon.reshape(h, w, ch, 2)[:, :, :, 0]
+
+
+def _png_unfilter(
+    raw: bytes, pos: int, w: int, h: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter h scanlines of w pixels at bpp bytes/pixel starting at
+    raw[pos]; returns ((h, w*bpp) uint8, next pos).
+
+    Sub/Average/Paeth depend on the left pixel -> sequential in x, but
+    vectorized across the bpp bytes of each pixel (w steps of
+    pixel-wide numpy ops instead of per-byte steps, matching the
+    encode side's formulation)."""
+    stride = w * bpp
+    if len(raw) - pos < h * (stride + 1):
         raise ValueError("PNG data truncated")
     recon = np.zeros((h, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.int32)
-    pos = 0
     for y in range(h):
         ft = raw[pos]
         pos += 1
         line = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int32)
         pos += stride
-        # Sub/Average/Paeth depend on the left pixel -> sequential in x,
-        # but vectorized across the ch channels of each pixel (w steps
-        # of channel-wide numpy ops instead of stride per-byte steps,
-        # matching the encode side's formulation)
-        lp = line.reshape(w, ch)
-        pp = prior.reshape(w, ch)
+        lp = line.reshape(w, bpp)
+        pp = prior.reshape(w, bpp)
         if ft == 0:
             cur = line
         elif ft == 2:  # Up
             cur = (line + prior) & 0xFF
         elif ft == 1:  # Sub
-            cp = np.empty((w, ch), dtype=np.int32)
+            cp = np.empty((w, bpp), dtype=np.int32)
             cp[0] = lp[0]
             for x in range(1, w):
                 cp[x] = (lp[x] + cp[x - 1]) & 0xFF
             cur = cp.reshape(stride)
         elif ft == 3:  # Average
-            cp = np.empty((w, ch), dtype=np.int32)
+            cp = np.empty((w, bpp), dtype=np.int32)
             cp[0] = (lp[0] + (pp[0] >> 1)) & 0xFF
             for x in range(1, w):
                 cp[x] = (lp[x] + ((cp[x - 1] + pp[x]) >> 1)) & 0xFF
             cur = cp.reshape(stride)
         elif ft == 4:  # Paeth
-            cp = np.empty((w, ch), dtype=np.int32)
-            zero = np.zeros(ch, dtype=np.int32)
+            cp = np.empty((w, bpp), dtype=np.int32)
+            zero = np.zeros(bpp, dtype=np.int32)
             for x in range(w):
                 a = cp[x - 1] if x else zero
                 b = pp[x]
@@ -277,19 +358,7 @@ def decode_png(content: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ft}")
         recon[y] = cur.astype(np.uint8)
         prior = cur
-    img = recon.reshape(h, w, ch)
-    if color_type == 2:
-        return img
-    if color_type == 6:
-        return img[:, :, :3]
-    if color_type == 0:
-        return np.repeat(img, 3, axis=2)
-    if color_type == 4:
-        return np.repeat(img[:, :, :1], 3, axis=2)
-    # color_type == 3: palette
-    if plte is None:
-        raise ValueError("palette PNG missing PLTE")
-    return plte[img[:, :, 0]]
+    return recon, pos
 
 
 # --------------------------------------------------------------- WAV

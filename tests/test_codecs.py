@@ -289,8 +289,8 @@ def test_png_color_types():
 
 
 def test_png_strictness():
-    """Interlace and 16-bit depth raise the documented
-    NotImplementedError; truncated data and bad magic raise ValueError."""
+    """Sub-byte depth raises the documented NotImplementedError;
+    truncated data and bad magic raise ValueError."""
     import struct
     import zlib
 
@@ -310,14 +310,44 @@ def test_png_strictness():
         )
 
     with pytest.raises(NotImplementedError):
-        decode_png(with_ihdr(interlace=1))
-    with pytest.raises(NotImplementedError):
-        decode_png(with_ihdr(depth=16))
+        decode_png(with_ihdr(depth=4))  # sub-byte depth unsupported
+    with pytest.raises(ValueError):
+        decode_png(with_ihdr(depth=16, color_type=3))  # invalid combo
     with pytest.raises(ValueError):
         decode_png(b"\x89PNX" + good[4:])
     # truncate the zlib stream mid-way
     with pytest.raises(Exception):
         decode_png(good[: len(good) // 2])
+
+
+def test_png_adam7_and_16bit():
+    """Adam7 interlace reassembles exactly (incl. degenerate passes on
+    tiny rasters); 16-bit samples decode to their high byte, in both
+    plain and interlaced layouts, under every filter type."""
+    from bigartm_spark.operators.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(23, 17, 3)).astype(np.uint8)
+    assert np.array_equal(
+        decode_png(encode_png(img, row_filters=[0, 1, 2, 3, 4],
+                              interlace=True)),
+        img,
+    )
+    for (h, w) in [(1, 1), (2, 2), (3, 5), (8, 8), (9, 9), (4, 1), (1, 9)]:
+        im = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert np.array_equal(
+            decode_png(encode_png(im, interlace=True)), im
+        ), (h, w)
+    img16 = rng.integers(0, 65536, size=(11, 13, 3)).astype(np.uint16)
+    want = (img16 >> 8).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(img16, depth=16)), want)
+    assert np.array_equal(
+        decode_png(
+            encode_png(img16, depth=16, interlace=True,
+                       row_filters=[4, 3, 2, 1, 0])
+        ),
+        want,
+    )
 
 
 def test_png_through_decode_media_and_content_features(spark):
