@@ -306,95 +306,75 @@ def _encode_block_zz(writer, zz, dctab, actab, pred, ci):
         writer.write(code, length)
 
 
+_SUBSAMPLING = {
+    "4:4:4": (1, 1),  # luma (v, h) factors; chroma always (1, 1)
+    "4:2:2": (1, 2),
+    "4:2:0": (2, 2),
+}
+
+
+def _plane_setup(arr, gray, subsampling, quality):
+    """Shared encoder front end: level-shifted planes, per-component
+    (v, h) factors, quantized zigzag grids padded to whole MCUs."""
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError("subsampling must be one of " + ", ".join(_SUBSAMPLING))
+    lv, lh = (1, 1) if gray else _SUBSAMPLING[subsampling]
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64) - 128.0]
+        factors = [(1, 1)]
+    else:
+        y, cb, cr = _rgb_to_ycbcr(arr)
+        planes = [y, _downsample(cb, lv, lh), _downsample(cr, lv, lh)]
+        factors = [(lv, lh), (1, 1), (1, 1)]
+    qluma = _quality_scale(QUANT_LUMA, quality)
+    qchroma = _quality_scale(QUANT_CHROMA, quality)
+    qtabs = [qluma] if gray else [qluma, qchroma]
+    mcuy = (h + 8 * lv - 1) // (8 * lv)
+    mcux = (w + 8 * lh - 1) // (8 * lh)
+    grids = [
+        _quantized_blocks(
+            p,
+            qtabs[0 if ci == 0 else min(1, len(qtabs) - 1)],
+            min_blocks=(mcuy * factors[ci][0], mcux * factors[ci][1]),
+        )
+        for ci, p in enumerate(planes)
+    ]
+    return grids, factors, qtabs, (mcuy, mcux)
+
+
 def encode_jpeg(
     arr: np.ndarray, quality: int = 85, subsampling: str = "4:4:4"
 ) -> bytes:
     """(H, W, 3) uint8 RGB (or (H, W) grayscale) -> baseline JPEG
-    bytes (SOF0, Annex K Huffman tables). subsampling: '4:4:4' or
-    '4:2:0' (box-filtered chroma, 2x2 luma MCUs)."""
+    bytes (SOF0, Annex K Huffman tables). subsampling: '4:4:4',
+    '4:2:2' (horizontal chroma decimation) or '4:2:0' (box-filtered
+    chroma, 2x2 luma MCUs)."""
     arr = np.asarray(arr, dtype=np.uint8)
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
         raise ValueError("encode_jpeg wants (H, W, 3) RGB or (H, W) gray")
-    if subsampling not in ("4:4:4", "4:2:0"):
-        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
-    sub420 = subsampling == "4:2:0" and not gray
     h, w = arr.shape[:2]
-    if gray:
-        comps = [arr.astype(np.float64) - 128.0]
-    else:
-        r = arr[:, :, 0].astype(np.float64)
-        g = arr[:, :, 1].astype(np.float64)
-        b = arr[:, :, 2].astype(np.float64)
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        comps = [y - 128.0, cb - 128.0, cr - 128.0]
-        if sub420:
-            # box-filter chroma 2x2 (odd edges replicated)
-            def down2(p):
-                pe = np.pad(
-                    p,
-                    ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
-                    mode="edge",
-                )
-                return (
-                    pe[0::2, 0::2]
-                    + pe[1::2, 0::2]
-                    + pe[0::2, 1::2]
-                    + pe[1::2, 1::2]
-                ) / 4.0
-
-            comps = [comps[0], down2(comps[1]), down2(comps[2])]
-
-    qluma = _quality_scale(QUANT_LUMA, quality)
-    qchroma = _quality_scale(QUANT_CHROMA, quality)
-    qtabs = [qluma] if gray else [qluma, qchroma]
-
+    grids, factors, qtabs, (mcuy, mcux) = _plane_setup(
+        arr, gray, subsampling, quality
+    )
     enc_dc = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
               _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
     enc_ac = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
               _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
-
     writer = _BitWriter()
-    pred = [0] * len(comps)
-    if not sub420:
-        zzs = [
-            _quantized_blocks(p, qtabs[min(ci, len(qtabs) - 1)])
-            for ci, p in enumerate(comps)
-        ]
-        bh, bw = zzs[0].shape[:2]
-        for by in range(bh):
-            for bx in range(bw):
-                for ci in range(len(comps)):
-                    t = 0 if (ci == 0 or gray) else 1
-                    _encode_block_zz(
-                        writer, zzs[ci][by, bx],
-                        enc_dc[t], enc_ac[t], pred, ci,
-                    )
-    else:
-        mcux = (w + 15) // 16
-        mcuy = (h + 15) // 16
-        zzl = _quantized_blocks(
-            comps[0], qtabs[0], min_blocks=(mcuy * 2, mcux * 2)
-        )
-        zzc = [
-            _quantized_blocks(p, qtabs[1], min_blocks=(mcuy, mcux))
-            for p in comps[1:]
-        ]
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for v in range(2):  # 4 luma blocks per MCU
-                    for hh in range(2):
+    pred = [0] * len(grids)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, grid in enumerate(grids):
+                cv, chh = factors[ci]
+                t = 0 if (ci == 0 or gray) else 1
+                for v in range(cv):
+                    for hh in range(chh):
                         _encode_block_zz(
-                            writer, zzl[my * 2 + v, mx * 2 + hh],
-                            enc_dc[0], enc_ac[0], pred, 0,
+                            writer, grid[my * cv + v, mx * chh + hh],
+                            enc_dc[t], enc_ac[t], pred, ci,
                         )
-                for ci in (1, 2):
-                    _encode_block_zz(
-                        writer, zzc[ci - 1][my, mx],
-                        enc_dc[1], enc_ac[1], pred, ci,
-                    )
     ecs = writer.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -408,7 +388,7 @@ def encode_jpeg(
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci in range(ncomp):
         tq = 0 if ci == 0 else 1
-        hv = 0x22 if (sub420 and ci == 0) else 0x11
+        hv = (factors[ci][1] << 4) | factors[ci][0]
         out += struct.pack("BBB", ci + 1, hv, tq)
     hts = [
         (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
@@ -473,6 +453,29 @@ def _ac_shift(v: int, al: int) -> int:
     return (abs(v) >> al) * (1 if v >= 0 else -1)
 
 
+def _rgb_to_ycbcr(arr: np.ndarray) -> list[np.ndarray]:
+    """uint8 RGB -> level-shifted float [Y, Cb, Cr] planes."""
+    r = arr[:, :, 0].astype(np.float64)
+    g = arr[:, :, 1].astype(np.float64)
+    b = arr[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return [y - 128.0, cb - 128.0, cr - 128.0]
+
+
+def _downsample(p: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """Box-filter decimation by (fy, fx), odd edges replicated."""
+    if fy == fx == 1:
+        return p
+    pe = np.pad(
+        p, ((0, (-p.shape[0]) % fy), (0, (-p.shape[1]) % fx)), mode="edge"
+    )
+    return pe.reshape(
+        pe.shape[0] // fy, fy, pe.shape[1] // fx, fx
+    ).mean(axis=(1, 3))
+
+
 def _emit_eobrun(writer, actab, eobrun: int) -> int:
     if eobrun:
         r = eobrun.bit_length() - 1
@@ -483,35 +486,40 @@ def _emit_eobrun(writer, actab, eobrun: int) -> int:
     return 0
 
 
-def _enc_dc_scan(writer, coef_list, comp_idx, dctabs, ah, al):
-    by, bx = coef_list[0].shape[:2]
+def _enc_dc_scan(writer, coef_list, comp_idx, dctabs, ah, al, factors, mcu):
+    """DC scan in MCU-interleaved block order (reduces to plain raster
+    at 1x1 factors); factors[ci] = (v, h), mcu = (mcuy, mcux)."""
+    mcuy, mcux = mcu
+    blocks = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in comp_idx:
+                cv, chh = factors[ci]
+                for v in range(cv):
+                    for hh in range(chh):
+                        blocks.append(
+                            (ci, coef_list[ci][my * cv + v, mx * chh + hh])
+                        )
     if ah == 0:
         pred = {ci: 0 for ci in comp_idx}
-        for y in range(by):
-            for x in range(bx):
-                for ci in comp_idx:
-                    v = int(coef_list[ci][y, x, 0]) >> al
-                    diff = v - pred[ci]
-                    pred[ci] = v
-                    cat = _category(diff)
-                    code, length = dctabs[ci][cat]
-                    writer.write(code, length)
-                    if cat:
-                        writer.write(
-                            diff if diff >= 0 else diff + (1 << cat) - 1,
-                            cat,
-                        )
+        for ci, blk in blocks:
+            v = int(blk[0]) >> al
+            diff = v - pred[ci]
+            pred[ci] = v
+            cat = _category(diff)
+            code, length = dctabs[ci][cat]
+            writer.write(code, length)
+            if cat:
+                writer.write(
+                    diff if diff >= 0 else diff + (1 << cat) - 1, cat
+                )
     else:
-        for y in range(by):
-            for x in range(bx):
-                for ci in comp_idx:
-                    writer.write(
-                        (int(coef_list[ci][y, x, 0]) >> al) & 1, 1
-                    )
+        for ci, blk in blocks:
+            writer.write((int(blk[0]) >> al) & 1, 1)
 
 
-def _enc_ac_first_scan(writer, coef, actab, ss, se, al):
-    by, bx = coef.shape[:2]
+def _enc_ac_first_scan(writer, coef, actab, ss, se, al, dims=None):
+    by, bx = dims or coef.shape[:2]
     eobrun = 0
     for y in range(by):
         for x in range(bx):
@@ -544,12 +552,12 @@ def _enc_ac_first_scan(writer, coef, actab, ss, se, al):
     _emit_eobrun(writer, actab, eobrun)
 
 
-def _enc_ac_refine_scan(writer, coef, actab, ss, se, al):
+def _enc_ac_refine_scan(writer, coef, actab, ss, se, al, dims=None):
     """Refinement scan encoder, positionally exact against the decoder's
     traversal: after each symbol, emit exactly the correction bits of
     the already-nonzero coefficients the decoder passes in that
     symbol's span (EOB runs kept per-block for simplicity)."""
-    by, bx = coef.shape[:2]
+    by, bx = dims or coef.shape[:2]
     for y in range(by):
         for x in range(bx):
             zz = coef[y, x]
@@ -593,37 +601,33 @@ def _enc_ac_refine_scan(writer, coef, actab, ss, se, al):
 
 
 def encode_jpeg_progressive(
-    arr: np.ndarray, quality: int = 85, scans=None
+    arr: np.ndarray,
+    quality: int = 85,
+    scans=None,
+    subsampling: str = "4:4:4",
 ) -> bytes:
     """(H, W, 3) uint8 RGB or (H, W) gray -> progressive JPEG (SOF2,
-    4:4:4, libjpeg-style default scan script: DC first+refine, AC
-    spectral bands with two successive-approximation refinements)."""
+    libjpeg-style default scan script: DC first+refine, AC spectral
+    bands with two successive-approximation refinements). subsampling
+    as in encode_jpeg — 4:2:0 exercises the decoder's interleaved-DC /
+    per-component-AC grids, the layout real-world progressive color
+    files use."""
     arr = np.asarray(arr, dtype=np.uint8)
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
         raise ValueError("wants (H, W, 3) RGB or (H, W) gray")
     h, w = arr.shape[:2]
-    if gray:
-        planes = [arr.astype(np.float64) - 128.0]
-    else:
-        r = arr[:, :, 0].astype(np.float64)
-        g = arr[:, :, 1].astype(np.float64)
-        b = arr[:, :, 2].astype(np.float64)
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        planes = [y - 128.0, cb - 128.0, cr - 128.0]
-    qluma = _quality_scale(QUANT_LUMA, quality)
-    qchroma = _quality_scale(QUANT_CHROMA, quality)
-    qtabs = [qluma] if gray else [qluma, qchroma]
-    coef_list = [
-        _quantized_blocks(p, qtabs[0 if ci == 0 else 1])
-        for ci, p in enumerate(planes)
-    ]
+    coef_list, factors, qtabs, mcu = _plane_setup(
+        arr, gray, subsampling, quality
+    )
     enc_dc = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
               _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
     flat_ac = _canonical_codes(FLAT_AC_BITS, FLAT_AC_VALS)
-    dctabs = {ci: enc_dc[0 if ci == 0 else 1] for ci in range(len(planes))}
+    dctabs = {
+        ci: enc_dc[0 if ci == 0 else 1] for ci in range(len(coef_list))
+    }
+    hmax = max(f[1] for f in factors)
+    vmax = max(f[0] for f in factors)
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(
@@ -632,10 +636,11 @@ def encode_jpeg_progressive(
     for tq, qt in enumerate(qtabs):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tq)
         out += bytes(int(qt[z]) for z in ZIGZAG)
-    ncomp = len(planes)
+    ncomp = len(coef_list)
     out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci in range(ncomp):
-        out += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+        hv = (factors[ci][1] << 4) | factors[ci][0]
+        out += struct.pack("BBB", ci + 1, hv, 0 if ci == 0 else 1)
     hts = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS),
            (0x10, FLAT_AC_BITS, FLAT_AC_VALS)]
     if not gray:
@@ -654,15 +659,24 @@ def encode_jpeg_progressive(
         out += struct.pack("BBB", ss, se, (ah << 4) | al)
         writer = _BitWriter()
         if ss == 0:
-            _enc_dc_scan(writer, coef_list, comp_idx, dctabs, ah, al)
-        elif ah == 0:
-            _enc_ac_first_scan(
-                writer, coef_list[comp_idx[0]], flat_ac, ss, se, al
+            _enc_dc_scan(
+                writer, coef_list, comp_idx, dctabs, ah, al, factors, mcu
             )
         else:
-            _enc_ac_refine_scan(
-                writer, coef_list[comp_idx[0]], flat_ac, ss, se, al
-            )
+            # AC scans are non-interleaved: the component's TRUE block
+            # grid (ceil of its subsampled dims), not the MCU-padded one
+            ci = comp_idx[0]
+            cw = -(-w * factors[ci][1] // hmax)
+            chh = -(-h * factors[ci][0] // vmax)
+            dims = (-(-chh // 8), -(-cw // 8))
+            if ah == 0:
+                _enc_ac_first_scan(
+                    writer, coef_list[ci], flat_ac, ss, se, al, dims
+                )
+            else:
+                _enc_ac_refine_scan(
+                    writer, coef_list[ci], flat_ac, ss, se, al, dims
+                )
         out += writer.flush()
     out += b"\xff\xd9"
     return bytes(out)

@@ -946,3 +946,32 @@ def test_flac_through_audio_pipeline(spark):
         assert feats[0][k] == pytest.approx(feats[1][k], rel=1e-6)
     assert feats[0]["sample_rate"] == sr
     assert feats[0]["rms"] == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)
+
+
+def test_jpeg_422_and_subsampled_progressive():
+    """4:2:2 baseline round-trips within quantization error; progressive
+    streams at 4:2:0/4:2:2 (interleaved-DC MCU order + per-component AC
+    grids — the layout real progressive color files use) decode
+    bit-identically to their baseline twins."""
+    from bigartm_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = _smooth_img(37, 50)
+    out = decode_jpeg(encode_jpeg(img, quality=90, subsampling="4:2:2"))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 12 and err.mean() <= 3.0
+    rng = np.random.default_rng(4)
+    for (h, w) in [(16, 16), (33, 47), (9, 17)]:
+        im = np.clip(rng.normal(128, 60, size=(h, w, 3)), 0, 255).astype(
+            np.uint8
+        )
+        for sub in ("4:2:0", "4:2:2"):
+            assert np.array_equal(
+                decode_jpeg(
+                    encode_jpeg_progressive(im, quality=75, subsampling=sub)
+                ),
+                decode_jpeg(encode_jpeg(im, quality=75, subsampling=sub)),
+            ), (h, w, sub)
