@@ -23,7 +23,10 @@ prefixes), and stops LAUNCHING new queries once M minutes have elapsed
 "skip(budget)" (not a failure). The bound is HARD: an in-flight Spark
 query is cancelled (cancelAllJobs) at 1.2x the budget + 60s grace and
 recorded skip(budget), so one heavy row can't double the sweep. A
-typical invocation:
+PER-QUERY cap (--max-query-seconds, default budget/3) additionally
+cancels any single slow query and moves on (skip(slow)) so an unlucky
+rotation start (e.g. the 53-min SemDeDup row) can't consume the whole
+window verifying nothing. A typical invocation:
 
     python tools/check_all_brackets.py --only-sf --sf /tmp/sf10 --budget 25
 
@@ -105,6 +108,12 @@ def main():
         "(default: day-of-year, so rounds cover different subsets)",
     )
     ap.add_argument(
+        "--max-query-seconds", type=float, default=None,
+        help="budget mode: cancel any single Spark query past this and "
+        "move on (skip(slow)) instead of letting one heavy row consume "
+        "the whole window; default budget/3",
+    )
+    ap.add_argument(
         "--hash-cap", type=int, default=2_000_000,
         help="light mode: results above this row count record a "
         "rows-match check instead of a driver-side value hash",
@@ -112,6 +121,8 @@ def main():
     args = ap.parse_args()
     if args.budget is not None:
         args.light = True
+        if args.max_query_seconds is None:
+            args.max_query_seconds = args.budget * 60.0 / 3.0
 
     brackets = [] if args.only_sf else list(BRACKETS)
     extra = os.environ.get("SPARK_GRAFT_EXTRA_BRACKETS", "")
@@ -152,10 +163,21 @@ def main():
         expires is cancelled (sc.cancelAllJobs) rather than allowed to
         overrun the wall bound — at sf10 a single heavy row (SemDeDup
         ran 53 min in the r7 manual sweep) would otherwise double the
-        'bounded' sweep. Returns (timer, fired_event) or (None, None)."""
+        'bounded' sweep. A tighter PER-QUERY cap (--max-query-seconds)
+        cancels just the one slow query and lets the window keep
+        covering the rest (the r8 offset-49 window burned all 25 min on
+        SemDeDup alone and verified nothing). Returns
+        (timer, fired_event, reason) or (None, None, None)."""
         if budget_s is None:
-            return None, None
+            return None, None, None
         remaining = budget_s * 1.2 + 60 - (time.time() - t_start)
+        reason = "budget"
+        if (
+            args.max_query_seconds is not None
+            and args.max_query_seconds < remaining
+        ):
+            remaining = args.max_query_seconds
+            reason = "slow"
         fired = threading.Event()
 
         def cancel():
@@ -164,7 +186,7 @@ def main():
 
         timer = threading.Timer(max(remaining, 1.0), cancel)
         timer.start()
-        return timer, fired
+        return timer, fired, reason
 
     for b in brackets:
         con = duck_con(b)
@@ -174,7 +196,7 @@ def main():
                 continue
             totals[b][2] += 1
             t_q = time.time()
-            timer, fired = spark_deadline_timer()
+            timer, fired, skip_reason = spark_deadline_timer()
             try:
                 df = qs[name](spark, b)
                 if args.light:
@@ -189,7 +211,7 @@ def main():
                     sp_count = len(sp)
             except Exception as e:
                 if fired is not None and fired.is_set():
-                    results[name][b] = "skip(budget)"
+                    results[name][b] = f"skip({skip_reason})"
                     totals[b][2] -= 1
                 else:
                     results[name][b] = f"SPARK-ERR {type(e).__name__}"
@@ -250,7 +272,7 @@ def main():
         for b in brackets:
             cell = results[name].get(b, "-")
             if (
-                cell not in ("ok", "skip(budget)", "-")
+                cell not in ("ok", "skip(budget)", "skip(slow)", "-")
                 and not cell.startswith("rows=")
                 and not cell.startswith("rows-only=")
                 and not cell.startswith("rows-match=")
