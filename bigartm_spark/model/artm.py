@@ -19,6 +19,19 @@ from pyspark.sql import DataFrame
 from bigartm_spark.model import estep, mstep
 from bigartm_spark.model.init import initialize_phi
 from bigartm_spark.model.phi import LocalPhiMatrix, PhiMatrix
+# Dictionary size (Catalyst estimate) under which initialize() collects
+# the (class_id, token) keys in one job instead of running a count job
+# first: ~8 MB of key strings is ~10^5 tokens, far inside the driver
+# budget, and the broadcast-regime init needs the keys anyway.
+SMALL_DICT_MAX_BYTES = 8 * 1024 * 1024
+
+# Conservative bytes-per-occurrence-row used to derive the E-step bucket
+# count from Catalyst's size estimate without a count() job. Real long
+# corpora run ~90B/row (measured on the cached sf0.1 relation), so /40
+# overestimates rows ~2x — erring toward MORE buckets, never fewer, at
+# the scale where bucket count matters.
+CORPUS_BYTES_PER_ROW = 40
+
 from bigartm_spark.model.regularizers import (
     PhiRegularizer,
     RegularizeContext,
@@ -178,6 +191,7 @@ class ARTM:
         ranking gate. Accepts a raw dictionary DataFrame or the named
         Dictionary facade (bigartm_spark/dictionary.py)."""
         from bigartm_spark.dictionary import unwrap_dictionary
+        from bigartm_spark.session import estimated_plan_bytes
 
         dictionary = unwrap_dictionary(dictionary)
         self.dictionary = dictionary.cache()
@@ -189,7 +203,19 @@ class ARTM:
         # C1 join strategy: broadcast phi while |vocab| x T x 8B fits a
         # generous executor budget; beyond that fall back to a shuffle
         # join on (class_id, token) (AQE handles skew).
-        vocab_rows = self.dictionary.count()
+        # When Catalyst's size estimate already proves the dictionary
+        # tiny (accurate for cached/materialized relations and parquet
+        # scans), collect the (class_id, token) keys directly and count
+        # locally — ONE job instead of a count job plus the driver
+        # init's own collect (measured ~115ms/initialize at sf0.1).
+        # Unknown or large estimate -> count() exactly as before.
+        init_pdf = None
+        sz = estimated_plan_bytes(self.dictionary)
+        if sz is not None and sz <= SMALL_DICT_MAX_BYTES:
+            init_pdf = self.dictionary.select("class_id", "token").toPandas()
+            vocab_rows = len(init_pdf)
+        else:
+            vocab_rows = self.dictionary.count()
         self._broadcast_phi = estep.should_broadcast_phi(
             vocab_rows, len(self.topics)
         )
@@ -203,7 +229,7 @@ class ARTM:
             # mstep.normalize's totals subquery). At vocabularies past
             # the broadcast threshold the distributed path below keeps
             # the right shape.
-            self._init_phi_local()
+            self._init_phi_local(init_pdf)
         elif use_reference:
             # bit-parity with the reference default init (see ctor);
             # the sparse-init knobs are srcmain CLI flags the portable
@@ -223,19 +249,22 @@ class ARTM:
             ).cache()
         return self
 
-    def _init_phi_local(self) -> None:
+    def _init_phi_local(self, pdf=None) -> None:
         """Reference-RNG init on the driver: same per-token hash-seeded
         vectors as initialize_phi_reference (helpers.cc:79-135), column-
         normalized per class exactly as mstep.normalize; sets both the
         local pwt relation and the _phi_local driver copy the broadcast
-        E-step feeds on."""
+        E-step feeds on. ``pdf``: the (class_id, token) keys if the
+        caller already collected them (initialize's size-gated single
+        collect); collected here otherwise."""
         from bigartm_spark.model.init import (
             reference_random_matrix,
             reference_token_hash,
         )
         from bigartm_spark.model.mstep import normalize_local
 
-        pdf = self.dictionary.select("class_id", "token").toPandas()
+        if pdf is None:
+            pdf = self.dictionary.select("class_id", "token").toPandas()
         n = len(self.topics)
         hashes = [
             reference_token_hash(c, t, self.seed)
@@ -332,12 +361,23 @@ class ARTM:
                 )
             )
         if self.num_buckets is None:
-            # size E-step buckets from the corpus, not just parallelism:
-            # one count (amortized over all passes) keeps the per-bucket
-            # kernel working set inside the executor budget at any scale
+            # size E-step buckets from the corpus, not just parallelism,
+            # so the per-bucket kernel working set stays inside the
+            # executor budget at any scale. Catalyst's size estimate
+            # (free, driver-side) stands in for the row count via the
+            # conservative CORPUS_BYTES_PER_ROW divisor — it only
+            # OVERestimates rows, so bucket count never comes out lower
+            # than the count-derived value; a count job runs only when
+            # no estimate exists.
+            from bigartm_spark.session import estimated_plan_bytes
+
             sc = docs.sparkSession.sparkContext
+            est = estimated_plan_bytes(docs)
+            approx_rows = (
+                est // CORPUS_BYTES_PER_ROW if est is not None else docs.count()
+            )
             self.num_buckets = estep.choose_num_buckets(
-                docs.count(), len(self.topics), sc.defaultParallelism
+                approx_rows, len(self.topics), sc.defaultParallelism
             )
         prepared = None
         if num_collection_passes > 1:

@@ -121,3 +121,44 @@ def test_calls_are_stateless_despite_shared_rng():
     _ = reference_random_vector(10, h2)
     a2 = reference_random_vector(10, h1)  # re-seeding makes it pure
     assert (a1 == a2).all()
+
+
+def test_vectorized_mt19937_bit_equals_randomstate():
+    """r8 optimization: _mt19937_first_outputs vectorizes the per-token
+    seed+draw across the whole vocabulary. Pin raw uint32 parity with
+    RandomState at the size boundary (227 = last vectorizable width,
+    no in-twist state dependency) and on edge seeds, and pin that
+    reference_random_matrix produces identical rows on both sides of
+    the vectorize/loop switch."""
+    from bigartm_spark.model.init import (
+        _mt19937_first_outputs,
+        reference_random_matrix,
+    )
+
+    rng = np.random.RandomState(7)
+    seeds = np.concatenate(
+        [
+            rng.randint(0, 2**32, size=64, dtype=np.uint32),
+            np.array(
+                [0, 1, 5489, 0x7FFFFFFF, 0x80000000, 0xFFFFFFFF],
+                dtype=np.uint32,
+            ),
+        ]
+    )
+    for size in (1, 10, 227):
+        got = _mt19937_first_outputs(seeds, size)
+        rs = np.random.RandomState(0)
+        for i, s in enumerate(seeds):
+            rs.seed(int(s))
+            want = rs.randint(0, 2**32, size=size, dtype=np.uint32)
+            assert (got[i] == want).all(), (i, int(s), size)
+    # the loop fallback (size > 227) still matches the scalar spec, so
+    # both sides of the vectorize/loop switch share one ground truth
+    # (the vectorized side is pinned against the same spec in
+    # test_matrix_path_bit_equals_scalar_spec)
+    hashes = [int(s) for s in seeds]
+    wide = reference_random_matrix(228, hashes[:4])  # loop fallback
+    assert wide.shape == (4, 228)
+    for i, h in enumerate(hashes[:4]):
+        want = _scalar_reference(228, h).astype("float64")
+        assert (wide[i] == want).all(), i
