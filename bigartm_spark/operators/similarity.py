@@ -199,6 +199,98 @@ def pair_cosine_scores(
     return pairs.select(*keep, col_a, col_b).mapInPandas(score, schema)
 
 
+def blocked_pair_cosine_scores(
+    embeddings: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "cosine",
+    chunk_elems: int = 4_000_000,
+) -> DataFrame:
+    """All within-block pairs (``vec_a < vec_b`` by ``id_col``) with
+    cosine >= ``threshold``: (block, vec_a, vec_b, cosine).
+
+    The guide-§8 shape for block-quadratic verification. The self-join
+    formulation replicates every embedding |block|−1 times through the
+    pair relation (sum|block|² payload rows — ~30 GB of Arrow traffic at
+    the sf10 sweep's 29.6M pairs); here each embedding crosses exactly
+    ONE groupBy(block) exchange and pairs never exist as rows outside
+    the numpy kernel. Scores are computed with the SAME left-to-right
+    float64 column recurrence as ``pair_cosine_scores`` (anchor-chunk ×
+    block-tail broadcasts — identical mul/add sequence and operands per
+    element), so every cosine is bit-identical to the join path
+    (pinned in test_similarity_blocked.py).
+
+    Zero-norm vectors: the join path's kernel yields NaN, which Arrow
+    hands back to the JVM as NULL and the caller's ``isnotnull``-bearing
+    threshold filter drops; numpy's ``NaN >= t`` is False, so this
+    kernel drops exactly the same pairs.
+
+    Memory per task: the |block|×d group frame plus one
+    ``chunk_elems``-double score panel — strictly below the join path's
+    per-task pair batches, and bounded by the same |block| cap that
+    already bounds the sum|block|² compute."""
+    from bigartm_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(embeddings.sparkSession)
+    src = embeddings.select(block_col, id_col, vec_col)
+    id_type = src.schema[id_col].dataType
+    schema = StructType(
+        [
+            src.schema[block_col],
+            StructField("vec_a", id_type, True),
+            StructField("vec_b", id_type, True),
+            StructField(out, DoubleType(), True),
+        ]
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                block_col: pdf[block_col].iloc[:0],
+                "vec_a": pdf[id_col].iloc[:0],
+                "vec_b": pdf[id_col].iloc[:0],
+                out: pd.Series([], dtype="float64"),
+            }
+        )
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values(id_col)
+        E = _stack(pdf[vec_col])
+        ids = pdf[id_col].to_numpy()
+        nrm = np.sqrt(_lr_sq_norm(E))
+        blk = pdf[block_col].iloc[0]
+        frames, s = [], 0
+        while s < n - 1:
+            tail = E[s:]
+            c = max(1, min(n - 1 - s, chunk_elems // (n - s)))
+            anchors = E[s : s + c]
+            D = np.zeros((anchors.shape[0], tail.shape[0]), dtype=np.float64)
+            for j in range(E.shape[1]):
+                D = D + anchors[:, j : j + 1] * tail[:, j][None, :]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = D / (nrm[s : s + c][:, None] * nrm[s:][None, :])
+                keep = np.triu(cos >= threshold, k=1)
+            r, t = np.nonzero(keep)
+            if len(r):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            block_col: np.repeat(blk, len(r)),
+                            "vec_a": ids[s + r],
+                            "vec_b": ids[s + t],
+                            out: cos[r, t],
+                        }
+                    )
+                )
+            s += c
+        return pd.concat(frames) if frames else empty
+
+    return src.groupBy(block_col).applyInPandas(score, schema)
+
+
 def _ranked_topk(scored: DataFrame, k: int, cols: Sequence[str]) -> DataFrame:
     """Distributed top-k (TakeOrderedAndProject via orderBy+limit — no
     global sort), then rank as a window over the k survivors only."""
@@ -340,38 +432,50 @@ def _assign_kernel(
 
 
 def ivf_assign(
-    embeddings: DataFrame, centroids: DataFrame, metric: str = "cosine"
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    metric: str = "cosine",
+    keep_embedding: bool = False,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
     centroid. One mapInPandas pass — no crossJoin row blow-up and no
     per-vector window shuffle; centroids ride along as a (bounded)
-    task closure. centroids(cell_id, centroid array<float|double>)."""
+    task closure. centroids(cell_id, centroid array<float|double>).
+
+    ``keep_embedding`` passes the embedding column through untouched so
+    callers that need (cell_id, embedding) — semantic_dedup's blocked
+    pair scorer — skip a second scan + a vec_id join-back of the
+    payload (guide §2.4: one relation, no re-attach join)."""
     from bigartm_spark.session import ensure_package_shipped
 
     ensure_package_shipped(embeddings.sparkSession)
     cell_ids, C, c_norms = _collect_centroids(centroids)
-    schema = StructType(
-        [
-            embeddings.schema["vec_id"],
-            embeddings.schema["label"],
-            StructField("cell_id", centroids.schema["cell_id"].dataType, True),
-            StructField("centroid_sim", DoubleType(), True),
-        ]
-    )
+    fields = [
+        embeddings.schema["vec_id"],
+        embeddings.schema["label"],
+        StructField("cell_id", centroids.schema["cell_id"].dataType, True),
+        StructField("centroid_sim", DoubleType(), True),
+    ]
+    if keep_embedding:
+        fields.append(embeddings.schema["embedding"])
+    schema = StructType(fields)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             best, sim = _assign_kernel(_stack(pdf["embedding"]), C, c_norms)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "label": pdf["label"].to_numpy(),
-                    "cell_id": cell_ids[best],
-                    "centroid_sim": sim,
-                }
-            )
+            cols = {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "label": pdf["label"].to_numpy(),
+                "cell_id": cell_ids[best],
+                "centroid_sim": sim,
+            }
+            if keep_embedding:
+                # .to_numpy(): index-free, immune to any upstream
+                # non-RangeIndex on the batch frame
+                cols["embedding"] = pdf["embedding"].to_numpy()
+            yield pd.DataFrame(cols)
 
     return embeddings.select("vec_id", "label", "embedding").mapInPandas(
         assign, schema
@@ -624,38 +728,24 @@ def cosine_near_dup_pairs(
     """Embedding near-duplicate pairs, label-blocked. Quadratic within a
     block — use ``near_dup_pairs_lsh`` in production, where the blocking
     key is an LSH bucket with a bounded population."""
-    a = embeddings.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("_ea")
-    )
-    b = embeddings.select(
-        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("_eb")
-    )
-    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
-    return pair_cosine_scores(pairs, "_ea", "_eb", ["label", "vec_a", "vec_b"]).filter(
-        F.col("cosine") >= threshold
-    )
+    return blocked_pair_cosine_scores(embeddings, "label", threshold)
 
 
 def near_dup_pairs_lsh(
     embeddings: DataFrame, threshold: float = 0.9, bits: int = 4
 ) -> DataFrame:
-    """Embedding near-duplicate pairs blocked by sign-LSH bucket: the
-    self-join key is the bucket, so candidate generation is
+    """Embedding near-duplicate pairs blocked by sign-LSH bucket:
+    pair generation stays inside each bucket, so candidate compute is
     sum(|bucket|²) not |vectors|² — the 100TB shape (raise ``bits`` to
-    shrink buckets as the corpus grows)."""
+    shrink buckets as the corpus grows). Since r8 the pairs come from
+    ``blocked_pair_cosine_scores`` (one groupBy(bucket) exchange of the
+    vectors) instead of a bucket self-join that replicated every
+    embedding |bucket|−1 times into the pair relation; cosines are
+    bit-identical."""
     bucketed = embeddings.withColumn(
         "bucket", sign_lsh_bucket(F.col("embedding"), bits)
     )
-    a = bucketed.select(
-        "bucket", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_ea")
-    )
-    b = bucketed.select(
-        "bucket", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_eb")
-    )
-    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
-    return pair_cosine_scores(
-        pairs, "_ea", "_eb", ["bucket", "vec_a", "vec_b"]
-    ).filter(F.col("cosine") >= threshold)
+    return blocked_pair_cosine_scores(bucketed, "bucket", threshold)
 
 
 def semantic_dedup(
@@ -668,30 +758,27 @@ def semantic_dedup(
 
     Returns the survivors: (vec_id, label, cell_id, centroid_sim).
 
-    Scale shape: the pair join is blocked by cell_id — sum(|cell|²), not
-    |vectors|², and |cell| is controlled by k (grow centroids with the
-    corpus). One-sweep canonical selection (drop the higher id of each
-    similar pair) rather than full connected components: matches the
-    published SemDeDup procedure and keeps the op a join + anti-join.
-    Use dedup.dedup_clusters on the pair list when transitive-cluster
+    Scale shape: pair generation is blocked by cell_id — sum(|cell|²)
+    compute, not |vectors|², and |cell| is controlled by k (grow
+    centroids with the corpus). One-sweep canonical selection (drop the
+    higher id of each similar pair) rather than full connected
+    components: matches the published SemDeDup procedure. Use
+    dedup.dedup_clusters on the pair list when transitive-cluster
     canonicals are required.
+
+    Since r8 the within-cell pairs come from
+    ``blocked_pair_cosine_scores`` over the assignment that carries the
+    embedding through (``ivf_assign(keep_embedding=True)``): the old
+    shape re-scanned the vectors, join-attached them to the assignment
+    by vec_id, and then replicated every embedding |cell|−1 times into
+    the pair relation; now the payload crosses one groupBy(cell_id)
+    exchange exactly once (sf10: 53 min → see OPTIMIZATION_r08.md).
+    Cosines are bit-identical, so the survivor set is unchanged.
     """
-    assigned = ivf_assign(embeddings, centroids)
-    withe = assigned.select("vec_id", "cell_id").join(
-        embeddings.select("vec_id", "embedding"), "vec_id"
-    )
-    a = withe.select(
-        "cell_id", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_ea")
-    )
-    b = withe.select(
-        "cell_id", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_eb")
-    )
-    pairs = a.join(b, "cell_id").filter(F.col("vec_a") < F.col("vec_b"))
-    dup = pair_cosine_scores(
-        pairs, "_ea", "_eb", ["cell_id", "vec_a", "vec_b"]
-    ).filter(F.col("cosine") >= threshold)
+    assigned = ivf_assign(embeddings, centroids, keep_embedding=True)
+    dup = blocked_pair_cosine_scores(assigned, "cell_id", threshold)
     drops = dup.select(F.col("vec_b").alias("vec_id")).distinct()
-    return assigned.join(drops, "vec_id", "left_anti")
+    return assigned.drop("embedding").join(drops, "vec_id", "left_anti")
 
 
 # -- persistent IVF index ------------------------------------------------

@@ -169,18 +169,40 @@ def test_mixture_resample_corpus_side_never_shuffles(spark):
 
 
 def test_semantic_dedup_blocks_by_cell(spark):
-    """semantic_dedup's pair join is keyed by cell_id (sum(|cell|^2)
-    candidate generation), and the pair scorer is the Arrow-batched
-    kernel, not an interpreted HOF."""
+    """semantic_dedup pairs are generated inside groupBy(cell_id)
+    (sum(|cell|^2) compute behind ONE payload exchange — r8's blocked
+    scorer), the scorer is the Arrow-batched kernel, and there is no
+    pair self-join, no second scan of the vectors, and no join-back of
+    the payload by vec_id."""
     from bigartm_spark.operators import similarity
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     cents = similarity.seed_centroids(emb, 4)
     plan = _explain(similarity.semantic_dedup(emb, cents, threshold=0.5))
-    assert "MapInPandas" in plan
-    assert "cell_id" in plan  # the join key, not a cross join
+    assert "MapInPandas" in plan  # ivf_assign kernel
+    assert "FlatMapGroupsInPandas" in plan  # blocked pair scorer
+    assert "cell_id" in plan  # the grouping key, not a cross join
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # two scans of the embeddings (assigned feeds both the drops branch
+    # and the survivors left side; the old join-back shape had 5), and
+    # no shuffle join anywhere below the drops branch — the only join
+    # left in the whole plan is the survivors anti-join
+    assert plan.count("Scan parquet") == 2
+
+
+def test_near_dup_lsh_is_joinless(spark):
+    """near_dup_pairs_lsh: one groupBy(bucket) exchange of the vectors,
+    pairs never exist as join rows (r8 blocked scorer)."""
+    from bigartm_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _explain(similarity.near_dup_pairs_lsh(emb, threshold=0.5))
+    assert "FlatMapGroupsInPandas" in plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan, join
+    assert plan.count("Exchange") == 1
 
 
 def test_bucketed_corpus_join_has_no_shuffle(spark, tmp_path):

@@ -1,0 +1,155 @@
+"""r8 optimization: blocked_pair_cosine_scores replaces the bucket/cell
+self-join + per-pair kernel in near_dup_pairs_lsh / semantic_dedup /
+cosine_near_dup_pairs. These tests pin the contract that made the swap
+safe: bit-identical cosines and identical pair sets against the legacy
+join formulation (kept here as the spec), including the zero-norm
+(NaN -> Arrow NULL -> dropped) edge and the chunked score panel."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bigartm_spark.operators.similarity import (
+    blocked_pair_cosine_scores,
+    near_dup_pairs_lsh,
+    pair_cosine_scores,
+    semantic_dedup,
+    seed_centroids,
+    sign_lsh_bucket,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _legacy_join_pairs(bucketed, block_col, threshold):
+    """The pre-r8 formulation, verbatim: self-join on the block key with
+    both payloads, per-pair Arrow kernel, JVM threshold filter."""
+    a = bucketed.select(
+        block_col, F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_ea")
+    )
+    b = bucketed.select(
+        block_col, F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_eb")
+    )
+    pairs = a.join(b, block_col).filter(F.col("vec_a") < F.col("vec_b"))
+    return pair_cosine_scores(
+        pairs, "_ea", "_eb", [block_col, "vec_a", "vec_b"]
+    ).filter(F.col("cosine") >= threshold)
+
+
+def _sorted(pdf, key):
+    return pdf.sort_values(key).reset_index(drop=True)
+
+
+def test_blocked_pairs_bit_equal_join_path(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    bucketed = emb.withColumn("bucket", sign_lsh_bucket(F.col("embedding"), 4))
+    key = ["bucket", "vec_a", "vec_b"]
+    want = _sorted(_legacy_join_pairs(bucketed, "bucket", 0.3).toPandas(), key)
+    got = _sorted(
+        blocked_pair_cosine_scores(bucketed, "bucket", 0.3).toPandas(), key
+    )
+    assert len(want) > 0  # the threshold actually selects something
+    assert len(got) == len(want)
+    assert (got[key].to_numpy() == want[key].to_numpy()).all()
+    # bit-identical, not allclose: downstream threshold/rounding must
+    # be unable to flip a single pair
+    assert (got["cosine"].to_numpy() == want["cosine"].to_numpy()).all()
+
+
+def test_blocked_pairs_chunk_boundaries(spark):
+    """A tiny chunk_elems forces many anchor chunks per block; the pair
+    set and scores must not depend on the chunking."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    bucketed = emb.withColumn("bucket", sign_lsh_bucket(F.col("embedding"), 2))
+    key = ["bucket", "vec_a", "vec_b"]
+    one = _sorted(
+        blocked_pair_cosine_scores(bucketed, "bucket", 0.2).toPandas(), key
+    )
+    many = _sorted(
+        blocked_pair_cosine_scores(
+            bucketed, "bucket", 0.2, chunk_elems=97
+        ).toPandas(),
+        key,
+    )
+    assert len(one) == len(many) > 0
+    assert (one["cosine"].to_numpy() == many["cosine"].to_numpy()).all()
+
+
+def test_blocked_pairs_zero_norm_dropped_like_join_path(spark):
+    """Zero-norm vectors: the join path's NaN cosine crossed Arrow as
+    NULL and died on the isnotnull threshold filter; the blocked kernel
+    must drop exactly the same pairs (numpy NaN >= t is False)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dim = len(emb.select("embedding").first()["embedding"])
+    zeros = spark.createDataFrame(
+        [(99990001, "z1", [0.0] * dim), (99990002, "z2", [0.0] * dim)],
+        "vec_id long, label string, embedding array<double>",
+    )
+    embz = emb.unionByName(zeros)
+    bucketed = embz.withColumn("bucket", sign_lsh_bucket(F.col("embedding"), 4))
+    key = ["bucket", "vec_a", "vec_b"]
+    want = _sorted(_legacy_join_pairs(bucketed, "bucket", 0.3).toPandas(), key)
+    got = _sorted(
+        blocked_pair_cosine_scores(bucketed, "bucket", 0.3).toPandas(), key
+    )
+    assert want["cosine"].notna().all() and got["cosine"].notna().all()
+    assert len(got) == len(want)
+    assert (got[key].to_numpy() == want[key].to_numpy()).all()
+    assert (got["cosine"].to_numpy() == want["cosine"].to_numpy()).all()
+
+
+def test_blocked_pairs_single_and_empty_blocks(spark):
+    """Blocks of size 1 emit nothing and do not crash the kernel."""
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 0.0]), (2, "b", [0.9, 0.1]), (3, "c", [0.0, 1.0])],
+        "vec_id long, label string, embedding array<double>",
+    )
+    out = blocked_pair_cosine_scores(df, "label", 0.0).toPandas()
+    assert len(out) == 0  # every label-block is a singleton
+
+
+def test_near_dup_lsh_unchanged_results(spark):
+    """End-to-end: the rewired operator returns the identical relation
+    the join formulation returned (threshold as in the oracle row)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    bucketed = emb.withColumn("bucket", sign_lsh_bucket(F.col("embedding"), 4))
+    key = ["bucket", "vec_a", "vec_b"]
+    want = _sorted(_legacy_join_pairs(bucketed, "bucket", 0.3).toPandas(), key)
+    got = _sorted(near_dup_pairs_lsh(emb, threshold=0.3).toPandas(), key)
+    assert list(got.columns) == ["bucket", "vec_a", "vec_b", "cosine"]
+    assert len(got) == len(want)
+    assert (got["cosine"].to_numpy() == want["cosine"].to_numpy()).all()
+
+
+def test_semantic_dedup_survivors_unchanged(spark):
+    """The one-exchange semantic_dedup returns exactly the survivor set
+    of the legacy join shape (assign + join-back + pair self-join)."""
+    from bigartm_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = seed_centroids(emb, 8)
+    got = semantic_dedup(emb, cents, threshold=0.3).toPandas()
+
+    assigned = ivf_assign(emb, cents)
+    withe = assigned.select("vec_id", "cell_id").join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    dup = _legacy_join_pairs(
+        withe.withColumnRenamed("cell_id", "bucket"), "bucket", 0.3
+    )
+    drops = dup.select(F.col("vec_b").alias("vec_id")).distinct()
+    want = assigned.join(drops, "vec_id", "left_anti").toPandas()
+
+    key = ["vec_id"]
+    got, want = _sorted(got, key), _sorted(want, key)
+    assert list(got.columns) == ["vec_id", "label", "cell_id", "centroid_sim"]
+    assert len(got) == len(want) > 0
+    assert (got["vec_id"].to_numpy() == want["vec_id"].to_numpy()).all()
+    assert (got["cell_id"].to_numpy() == want["cell_id"].to_numpy()).all()
+    assert (
+        got["centroid_sim"].to_numpy() == want["centroid_sim"].to_numpy()
+    ).all()
