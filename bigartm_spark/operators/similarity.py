@@ -268,8 +268,13 @@ def blocked_pair_cosine_scores(
             c = max(1, min(n - 1 - s, chunk_elems // (n - s)))
             anchors = E[s : s + c]
             D = np.zeros((anchors.shape[0], tail.shape[0]), dtype=np.float64)
+            tmp = np.empty_like(D)
             for j in range(E.shape[1]):
-                D = D + anchors[:, j : j + 1] * tail[:, j][None, :]
+                # out= forms: same IEEE mul/add sequence as the
+                # expression form, minus two panel allocations per
+                # column step (the panels dominate memory traffic)
+                np.multiply(anchors[:, j : j + 1], tail[:, j][None, :], out=tmp)
+                np.add(D, tmp, out=D)
             with np.errstate(invalid="ignore", divide="ignore"):
                 cos = D / (nrm[s : s + c][:, None] * nrm[s:][None, :])
                 keep = np.triu(cos >= threshold, k=1)
