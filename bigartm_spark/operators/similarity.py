@@ -217,20 +217,23 @@ def blocked_pair_cosine_scores(
     the sf10 sweep's 29.6M pairs); here each embedding crosses exactly
     ONE groupBy(block) exchange and pairs never exist as rows outside
     the numpy kernel. Scores are computed with the SAME left-to-right
-    float64 column recurrence as ``pair_cosine_scores`` (anchor-chunk ×
-    block-tail broadcasts — identical mul/add sequence and operands per
-    element), so every cosine is bit-identical to the join path
-    (pinned in test_similarity_blocked.py).
+    float64 column recurrence as ``pair_cosine_scores``, evaluated over
+    L2-resident anchor×tail tiles: per element the mul/add sequence and
+    operands are identical to the join path whatever the tile shape, so
+    every cosine is bit-identical (pinned in test_similarity_blocked.py).
+    Tiling exists because the recurrence makes d passes over the score
+    panel — a DRAM-bandwidth bill when the panel is block-sized
+    (~5× kernel wall measured at 25k×64) but cache-resident per tile.
 
     Zero-norm vectors: the join path's kernel yields NaN, which Arrow
     hands back to the JVM as NULL and the caller's ``isnotnull``-bearing
     threshold filter drops; numpy's ``NaN >= t`` is False, so this
     kernel drops exactly the same pairs.
 
-    Memory per task: the |block|×d group frame plus one
-    ``chunk_elems``-double score panel — strictly below the join path's
-    per-task pair batches, and bounded by the same |block| cap that
-    already bounds the sum|block|² compute."""
+    Memory per task: the |block|×d group frame (twice: C- and F-order)
+    plus one tile panel of at most min(``chunk_elems``, 64×512) doubles —
+    strictly below the join path's per-task pair batches, and bounded by
+    the same |block| cap that already bounds the sum|block|² compute."""
     from bigartm_spark.session import ensure_package_shipped
 
     ensure_package_shipped(embeddings.sparkSession)
@@ -262,36 +265,53 @@ def blocked_pair_cosine_scores(
         ids = pdf[id_col].to_numpy()
         nrm = np.sqrt(_lr_sq_norm(E))
         blk = pdf[block_col].iloc[0]
-        frames, s = [], 0
-        while s < n - 1:
-            tail = E[s:]
-            c = max(1, min(n - 1 - s, chunk_elems // (n - s)))
-            anchors = E[s : s + c]
-            D = np.zeros((anchors.shape[0], tail.shape[0]), dtype=np.float64)
-            tmp = np.empty_like(D)
-            for j in range(E.shape[1]):
-                # out= forms: same IEEE mul/add sequence as the
-                # expression form, minus two panel allocations per
-                # column step (the panels dominate memory traffic)
-                np.multiply(anchors[:, j : j + 1], tail[:, j][None, :], out=tmp)
-                np.add(D, tmp, out=D)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                cos = D / (nrm[s : s + c][:, None] * nrm[s:][None, :])
-                keep = np.triu(cos >= threshold, k=1)
-            r, t = np.nonzero(keep)
-            if len(r):
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            block_col: np.repeat(blk, len(r)),
-                            "vec_a": ids[s + r],
-                            "vec_b": ids[s + t],
-                            out: cos[r, t],
-                        }
+        # F-order so each column slice below is contiguous
+        EF = np.asfortranarray(E)
+        a_rows = max(1, min(64, chunk_elems // 8))
+        t_cols = max(1, min(512, chunk_elems // a_rows))
+        ar_idx = np.arange(a_rows)[:, None]
+        tc_idx = np.arange(t_cols)[None, :]
+        av, bv, cv = [], [], []
+        for s in range(0, n - 1, a_rows):
+            c = min(a_rows, n - 1 - s)
+            anchors = EF[s : s + c]
+            nrm_a = nrm[s : s + c][:, None]
+            for t0 in range(s + 1, n, t_cols):
+                m = min(t_cols, n - t0)
+                tile = EF[t0 : t0 + m]
+                D = np.zeros((c, m), dtype=np.float64)
+                tmp = np.empty_like(D)
+                for j in range(E.shape[1]):
+                    # out= forms: same IEEE mul/add sequence as the
+                    # expression form, minus two panel allocations
+                    # per column step
+                    np.multiply(
+                        anchors[:, j : j + 1], tile[:, j][None, :], out=tmp
                     )
-                )
-            s += c
-        return pd.concat(frames) if frames else empty
+                    np.add(D, tmp, out=D)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = D / (nrm_a * nrm[t0 : t0 + m][None, :])
+                    keep = cos >= threshold
+                if t0 <= s + c - 1:
+                    # tile overlaps the anchor rows: strict upper
+                    # triangle only (global t0+k > s+i)
+                    keep &= tc_idx[:, :m] > (s - t0) + ar_idx[:c]
+                r, t = np.nonzero(keep)
+                if len(r):
+                    av.append(ids[s + r])
+                    bv.append(ids[t0 + t])
+                    cv.append(cos[r, t])
+        if not av:
+            return empty
+        vec_a = np.concatenate(av)
+        return pd.DataFrame(
+            {
+                block_col: np.repeat(blk, len(vec_a)),
+                "vec_a": vec_a,
+                "vec_b": np.concatenate(bv),
+                out: np.concatenate(cv),
+            }
+        )
 
     return src.groupBy(block_col).applyInPandas(score, schema)
 
