@@ -103,18 +103,29 @@ def _spread(documents: DataFrame) -> DataFrame:
     work is the expensive part, so spread rows across the cluster first
     (the shuffle moves only the raw docs, cheap relative to the explode).
 
-    The target is SIZE-aware: ~16 MB of raw docs per task, capped at the
-    cluster parallelism, floored at 4 — a few-MB input doesn't pay
+    The target is SIZE-aware: ~1 MB of raw docs per task, capped at the
+    cluster parallelism, floored at 4 — a sub-MB input doesn't pay
     32-task scheduling (measured 2x on the sf0.1 bench), while a 100 TB
     scan already arrives in thousands of parquet splits and skips the
-    repartition entirely via the partition-count check."""
+    repartition entirely via the partition-count check. The budget is
+    deliberately much smaller than a scan-sized 16-128 MB split: the
+    downstream explode+k-hash work is ~100-300x the raw doc bytes
+    (shingle strings x MINHASH_K hashes), so 1 MB raw is already
+    seconds of per-task compute and a mid-size input (tens of MB on a
+    32-core cluster) gets full parallelism for its map stage. Measured
+    honestly: an interleaved same-process A/B at sf10 (58 MB docs,
+    1 MB -> 32 map tasks vs 16 MB -> 4) showed PARITY on the lsh/
+    jaccard pipelines (32-36s / 40-46s both legs) — their wall is the
+    104M-row pair shuffle, not the map stage — and sf0.1 (584 KB) hits
+    the 4-task floor under either budget, so the smaller budget is
+    free insurance for map-stage-bound callers, not a measured win."""
     from bigartm_spark.session import estimated_plan_bytes
 
     sc = documents.sparkSession.sparkContext
     target = sc.defaultParallelism
     sz = estimated_plan_bytes(documents)
     if sz is not None:  # unknown size -> assume big, keep full spread
-        target = min(target, max(4, int(sz // (16 << 20)) + 1))
+        target = min(target, max(4, int(sz // (1 << 20)) + 1))
     if documents.rdd.getNumPartitions() < target:
         return documents.repartition(target)
     return documents
