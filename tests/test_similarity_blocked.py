@@ -102,6 +102,29 @@ def test_blocked_pairs_zero_norm_dropped_like_join_path(spark):
     assert (got["cosine"].to_numpy() == want["cosine"].to_numpy()).all()
 
 
+def test_blocked_pairs_multi_tile_block(spark):
+    """A single block wider than the default 64x512 tile forces the
+    multi-tile path (several anchor blocks x several column tiles,
+    including the diagonal-overlap mask) at DEFAULT chunk_elems; scores
+    must stay bit-identical to the legacy join spec."""
+    rng = np.random.default_rng(7)
+    n, d = 700, 16
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(d)]) for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).withColumn("bucket", F.lit(0))
+    key = ["bucket", "vec_a", "vec_b"]
+    want = _sorted(_legacy_join_pairs(df, "bucket", 0.2).toPandas(), key)
+    got = _sorted(
+        blocked_pair_cosine_scores(df, "bucket", 0.2).toPandas(), key
+    )
+    assert len(got) == len(want) > 0
+    assert (got[key].to_numpy() == want[key].to_numpy()).all()
+    assert (got["cosine"].to_numpy() == want["cosine"].to_numpy()).all()
+
+
 def test_blocked_pairs_single_and_empty_blocks(spark):
     """Blocks of size 1 emit nothing and do not crash the kernel."""
     df = spark.createDataFrame(
