@@ -199,6 +199,163 @@ def pair_cosine_scores(
     return pairs.select(*keep, col_a, col_b).mapInPandas(score, schema)
 
 
+# Sub-chunk row target for oversized blocks: a (chunk_u, chunk_v) task
+# group holds ≤ ~2×BLOCK_ROW_TARGET rows, so its frame is
+# ~2×BLOCK_ROW_TARGET×d×8 bytes twice (C- and F-order) — 64 MB at d=64.
+# The pre-count that decides splitting is skipped entirely when
+# Catalyst's size estimate proves the whole input below the target.
+BLOCK_ROW_TARGET = 32768
+# Conservative floor for bytes-per-embedding-row when turning a plan
+# size estimate into a row-count UPPER bound (real rows are ≥ d×4 raw).
+_EMB_ROW_MIN_BYTES = 64
+# A split-path task group may exceed 2×target only by hash-binomial
+# spread; 4× is far outside that tail, so a bigger group means the
+# pre-counted source changed under us — fail fast instead of OOMing.
+_SPLIT_GROUP_SLACK = 4
+
+
+def _rows_upper_bound(df) -> int | None:
+    """Catalyst-estimate row-count UPPER bound for an embedding relation
+    (None = unknown, assume big). File-scan estimates are compressed
+    on-disk bytes, so they are inflated before dividing by the
+    conservative per-row floor — the bound errs high, never low."""
+    from bigartm_spark.session import (
+        FILE_SCAN_EST_EXPANSION,
+        estimated_plan_bytes,
+        plan_reads_files,
+    )
+
+    est = estimated_plan_bytes(df)
+    if est is None:
+        return None
+    if plan_reads_files(df):
+        est *= FILE_SCAN_EST_EXPANSION
+    return est // _EMB_ROW_MIN_BYTES
+
+
+def _oversized_blocks(
+    src: DataFrame, block_col: str, max_rows: int
+) -> dict:
+    """{block_value: n_sub_chunks} for blocks larger than ``max_rows``
+    (one lightweight count-by-block job; the block key's cardinality is
+    bounded by construction — 2^bits buckets / k cells — and only
+    over-cap blocks are collected, ≤ total/max_rows of them)."""
+    rows = (
+        src.groupBy(block_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_rows)
+        .collect()
+    )
+    return {
+        r[block_col]: -(-int(r["_n"]) // max_rows) for r in rows
+    }
+
+
+def _tile_pair_scores(anchors, tile, nrm_a, nrm_t, threshold):
+    """Cosines + threshold mask for one anchors×tile panel: the SAME
+    left-to-right float64 column recurrence as ``pair_cosine_scores``
+    (one IEEE mul + add per dim step, in-place out= forms), so every
+    cosine is bit-identical to the join-path kernel regardless of which
+    side is anchor (IEEE mul is commutative). NaN (zero-norm) >= t is
+    False — those pairs drop exactly as the join path's NULLs did."""
+    D = np.zeros((anchors.shape[0], tile.shape[0]), dtype=np.float64)
+    tmp = np.empty_like(D)
+    for j in range(anchors.shape[1]):
+        np.multiply(anchors[:, j : j + 1], tile[:, j][None, :], out=tmp)
+        np.add(D, tmp, out=D)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cos = D / (nrm_a[:, None] * nrm_t[None, :])
+        keep = cos >= threshold
+    return cos, keep
+
+
+def _tile_shape(chunk_elems: int) -> tuple[int, int]:
+    a_rows = max(1, min(64, chunk_elems // 8))
+    t_cols = max(1, min(512, chunk_elems // a_rows))
+    return a_rows, t_cols
+
+
+def _triangle_pairs(pdf, id_col, vec_col, threshold, chunk_elems):
+    """Strict-upper-triangle pairs (by id order; equal-id pairs masked,
+    matching the join spec's ``vec_a < vec_b``) within one frame.
+    Returns (ids_a, ids_b, cos) numpy arrays or None."""
+    n = len(pdf)
+    if n < 2:
+        return None
+    pdf = pdf.sort_values(id_col)
+    E = _stack(pdf[vec_col])
+    ids = pdf[id_col].to_numpy()
+    nrm = np.sqrt(_lr_sq_norm(E))
+    # F-order so each column slice below is contiguous
+    EF = np.asfortranarray(E)
+    a_rows, t_cols = _tile_shape(chunk_elems)
+    ar_idx = np.arange(a_rows)[:, None]
+    tc_idx = np.arange(t_cols)[None, :]
+    av, bv, cv = [], [], []
+    for s in range(0, n - 1, a_rows):
+        c = min(a_rows, n - 1 - s)
+        anchors = EF[s : s + c]
+        nrm_a = nrm[s : s + c]
+        for t0 in range(s + 1, n, t_cols):
+            m = min(t_cols, n - t0)
+            cos, keep = _tile_pair_scores(
+                anchors, EF[t0 : t0 + m], nrm_a, nrm[t0 : t0 + m], threshold
+            )
+            if t0 <= s + c - 1:
+                # tile overlaps the anchor rows: strict upper
+                # triangle only (global t0+k > s+i)
+                keep &= tc_idx[:, :m] > (s - t0) + ar_idx[:c]
+            r, t = np.nonzero(keep)
+            if len(r):
+                ia, ib = ids[s + r], ids[t0 + t]
+                # duplicate id values sort adjacent: mask (id, id)
+                # self-pairs the join spec's vec_a < vec_b excluded
+                ne = ia != ib
+                if not ne.all():
+                    ia, ib, r, t = ia[ne], ib[ne], r[ne], t[ne]
+                if len(r):
+                    av.append(ia)
+                    bv.append(ib)
+                    cv.append(cos[r, t])
+    if not av:
+        return None
+    return np.concatenate(av), np.concatenate(bv), np.concatenate(cv)
+
+
+def _cross_pairs(pa, pb, id_col, vec_col, threshold, chunk_elems):
+    """All cross pairs between two disjoint-id frames, emitted in join
+    order (vec_a = lower id). Same tiled bit-exact kernel as the
+    triangle path."""
+    if len(pa) == 0 or len(pb) == 0:
+        return None
+    EA = np.asfortranarray(_stack(pa[vec_col]))
+    EB = np.asfortranarray(_stack(pb[vec_col]))
+    ids_a, ids_b = pa[id_col].to_numpy(), pb[id_col].to_numpy()
+    nrm_a, nrm_b = np.sqrt(_lr_sq_norm(EA)), np.sqrt(_lr_sq_norm(EB))
+    a_rows, t_cols = _tile_shape(chunk_elems)
+    av, bv, cv = [], [], []
+    for s in range(0, len(ids_a), a_rows):
+        c = min(a_rows, len(ids_a) - s)
+        for t0 in range(0, len(ids_b), t_cols):
+            m = min(t_cols, len(ids_b) - t0)
+            cos, keep = _tile_pair_scores(
+                EA[s : s + c],
+                EB[t0 : t0 + m],
+                nrm_a[s : s + c],
+                nrm_b[t0 : t0 + m],
+                threshold,
+            )
+            r, t = np.nonzero(keep)
+            if len(r):
+                ia, ib = ids_a[s + r], ids_b[t0 + t]
+                av.append(np.minimum(ia, ib))
+                bv.append(np.maximum(ia, ib))
+                cv.append(cos[r, t])
+    if not av:
+        return None
+    return np.concatenate(av), np.concatenate(bv), np.concatenate(cv)
+
+
 def blocked_pair_cosine_scores(
     embeddings: DataFrame,
     block_col: str,
@@ -207,6 +364,7 @@ def blocked_pair_cosine_scores(
     vec_col: str = "embedding",
     out: str = "cosine",
     chunk_elems: int = 4_000_000,
+    max_block_rows: int = BLOCK_ROW_TARGET,
 ) -> DataFrame:
     """All within-block pairs (``vec_a < vec_b`` by ``id_col``) with
     cosine >= ``threshold``: (block, vec_a, vec_b, cosine).
@@ -215,25 +373,42 @@ def blocked_pair_cosine_scores(
     formulation replicates every embedding |block|−1 times through the
     pair relation (sum|block|² payload rows — ~30 GB of Arrow traffic at
     the sf10 sweep's 29.6M pairs); here each embedding crosses exactly
-    ONE groupBy(block) exchange and pairs never exist as rows outside
-    the numpy kernel. Scores are computed with the SAME left-to-right
-    float64 column recurrence as ``pair_cosine_scores``, evaluated over
+    ONE groupBy exchange and pairs never exist as rows outside the numpy
+    kernel. Scores are computed with the SAME left-to-right float64
+    column recurrence as ``pair_cosine_scores``, evaluated over
     L2-resident anchor×tail tiles: per element the mul/add sequence and
     operands are identical to the join path whatever the tile shape, so
     every cosine is bit-identical (pinned in test_similarity_blocked.py).
-    Tiling exists because the recurrence makes d passes over the score
-    panel — a DRAM-bandwidth bill when the panel is block-sized
-    (~5× kernel wall measured at 25k×64) but cache-resident per tile.
+    Equal-id pairs are masked to match the join spec's ``vec_a < vec_b``
+    (duplicate ids in a block previously produced (id, id) self-pairs).
 
     Zero-norm vectors: the join path's kernel yields NaN, which Arrow
     hands back to the JVM as NULL and the caller's ``isnotnull``-bearing
     threshold filter drops; numpy's ``NaN >= t`` is False, so this
     kernel drops exactly the same pairs.
 
-    Memory per task: the |block|×d group frame (twice: C- and F-order)
-    plus one tile panel of at most min(``chunk_elems``, 64×512) doubles —
-    strictly below the join path's per-task pair batches, and bounded by
-    the same |block| cap that already bounds the sum|block|² compute."""
+    Skew safety (``max_block_rows``): groupBy(block).applyInPandas puts
+    each block in ONE task — AQE skew splitting does not apply to
+    FlatMapGroupsInPandas, so a hot block would otherwise be a single
+    task holding a |block|×d frame and doing |block|² work. Blocks
+    larger than ``max_block_rows`` are therefore hash-split into
+    m = ceil(|block|/max_block_rows) chunks on xxhash64(id), and every
+    chunk pair (u ≤ v) becomes its own task group: (c,c) groups score
+    the strict upper triangle within chunk c, (u,v) groups score all
+    cross pairs — a provably exact partition of the pair set (equal ids
+    hash to the same chunk, so cross groups never see an (id, id)
+    pair). Each row is replicated m ways, i.e. |block|²/max_block_rows
+    rows shuffled — dominated by the |block|² kernel work it fans out.
+    The plan keeps exactly ONE exchange (the groupBy); the per-block
+    chunk counts come from one lightweight count-by-block job that is
+    itself SKIPPED when Catalyst's size estimate proves the whole input
+    under ``max_block_rows`` rows (the common small case: zero extra
+    jobs, identical plan).
+
+    Memory per task: ≤ ~2×``max_block_rows``×d doubles (twice: C- and
+    F-order) plus one tile panel of at most min(``chunk_elems``, 64×512)
+    doubles; the split kernel fails fast if a group exceeds the
+    hash-spread slack instead of OOMing."""
     from bigartm_spark.session import ensure_package_shipped
 
     ensure_package_shipped(embeddings.sparkSession)
@@ -248,72 +423,111 @@ def blocked_pair_cosine_scores(
         ]
     )
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        empty = pd.DataFrame(
-            {
-                block_col: pdf[block_col].iloc[:0],
-                "vec_a": pdf[id_col].iloc[:0],
-                "vec_b": pdf[id_col].iloc[:0],
-                out: pd.Series([], dtype="float64"),
-            }
-        )
-        if n < 2:
-            return empty
-        pdf = pdf.sort_values(id_col)
-        E = _stack(pdf[vec_col])
-        ids = pdf[id_col].to_numpy()
-        nrm = np.sqrt(_lr_sq_norm(E))
-        blk = pdf[block_col].iloc[0]
-        # F-order so each column slice below is contiguous
-        EF = np.asfortranarray(E)
-        a_rows = max(1, min(64, chunk_elems // 8))
-        t_cols = max(1, min(512, chunk_elems // a_rows))
-        ar_idx = np.arange(a_rows)[:, None]
-        tc_idx = np.arange(t_cols)[None, :]
-        av, bv, cv = [], [], []
-        for s in range(0, n - 1, a_rows):
-            c = min(a_rows, n - 1 - s)
-            anchors = EF[s : s + c]
-            nrm_a = nrm[s : s + c][:, None]
-            for t0 in range(s + 1, n, t_cols):
-                m = min(t_cols, n - t0)
-                tile = EF[t0 : t0 + m]
-                D = np.zeros((c, m), dtype=np.float64)
-                tmp = np.empty_like(D)
-                for j in range(E.shape[1]):
-                    # out= forms: same IEEE mul/add sequence as the
-                    # expression form, minus two panel allocations
-                    # per column step
-                    np.multiply(
-                        anchors[:, j : j + 1], tile[:, j][None, :], out=tmp
-                    )
-                    np.add(D, tmp, out=D)
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    cos = D / (nrm_a * nrm[t0 : t0 + m][None, :])
-                    keep = cos >= threshold
-                if t0 <= s + c - 1:
-                    # tile overlaps the anchor rows: strict upper
-                    # triangle only (global t0+k > s+i)
-                    keep &= tc_idx[:, :m] > (s - t0) + ar_idx[:c]
-                r, t = np.nonzero(keep)
-                if len(r):
-                    av.append(ids[s + r])
-                    bv.append(ids[t0 + t])
-                    cv.append(cos[r, t])
-        if not av:
-            return empty
-        vec_a = np.concatenate(av)
+    def _result(pdf, blk, trio):
+        if trio is None:
+            return pd.DataFrame(
+                {
+                    block_col: pdf[block_col].iloc[:0],
+                    "vec_a": pdf[id_col].iloc[:0],
+                    "vec_b": pdf[id_col].iloc[:0],
+                    out: pd.Series([], dtype="float64"),
+                }
+            )
+        ids_a, ids_b, cos = trio
         return pd.DataFrame(
             {
-                block_col: np.repeat(blk, len(vec_a)),
-                "vec_a": vec_a,
-                "vec_b": np.concatenate(bv),
-                out: np.concatenate(cv),
+                block_col: np.repeat(blk, len(ids_a)),
+                "vec_a": ids_a,
+                "vec_b": ids_b,
+                out: cos,
             }
         )
 
-    return src.groupBy(block_col).applyInPandas(score, schema)
+    rows_ub = _rows_upper_bound(src)
+    hot = (
+        {}
+        if rows_ub is not None and rows_ub <= max_block_rows
+        else _oversized_blocks(src, block_col, max_block_rows)
+    )
+
+    if not hot:
+
+        def score(pdf: pd.DataFrame) -> pd.DataFrame:
+            trio = _triangle_pairs(pdf, id_col, vec_col, threshold, chunk_elems)
+            blk = pdf[block_col].iloc[0] if len(pdf) else None
+            return _result(pdf, blk, trio)
+
+        return src.groupBy(block_col).applyInPandas(score, schema)
+
+    # ---- split path: hot blocks fan out over (chunk_u, chunk_v) groups
+    if len(hot) <= 4096:
+        # bounded literal map: zero extra exchanges in the plan
+        entries = []
+        for k, m in hot.items():
+            entries += [F.lit(k), F.lit(int(m))]
+        m_col = F.coalesce(
+            F.element_at(F.create_map(*entries), F.col(block_col)), F.lit(1)
+        )
+    else:  # degenerate block-key cardinality: broadcast-join the map
+        mdf = src.sparkSession.createDataFrame(
+            [(k, int(m)) for k, m in hot.items()], [block_col, "_m"]
+        )
+        src = src.join(F.broadcast(mdf), block_col, "left")
+        m_col = F.coalesce(F.col("_m"), F.lit(1))
+    chunk = F.pmod(F.xxhash64(F.col(id_col)), m_col).cast("int")
+    salted = (
+        src.withColumn("_chunk", chunk)
+        .withColumn(
+            "_t",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), m_col - 1),
+                    lambda o: F.struct(
+                        F.least(o, F.col("_chunk")).alias("u"),
+                        F.greatest(o, F.col("_chunk")).alias("v"),
+                    ),
+                )
+            ),
+        )
+        .select(
+            block_col,
+            id_col,
+            vec_col,
+            "_chunk",
+            F.col("_t.u").alias("_u"),
+            F.col("_t.v").alias("_v"),
+        )
+    )
+    group_cap = _SPLIT_GROUP_SLACK * max_block_rows
+
+    def score_split(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > group_cap:
+            raise ValueError(
+                f"blocked pair scorer: task group of {len(pdf)} rows "
+                f"exceeds {_SPLIT_GROUP_SLACK}x max_block_rows "
+                f"({max_block_rows}) — the pre-counted source changed "
+                "between the sizing pass and execution"
+            )
+        blk = pdf[block_col].iloc[0] if len(pdf) else None
+        u = int(pdf["_u"].iloc[0]) if len(pdf) else 0
+        v = int(pdf["_v"].iloc[0]) if len(pdf) else 0
+        if u == v:
+            trio = _triangle_pairs(pdf, id_col, vec_col, threshold, chunk_elems)
+        else:
+            ch = pdf["_chunk"].to_numpy()
+            trio = _cross_pairs(
+                pdf[ch == u],
+                pdf[ch == v],
+                id_col,
+                vec_col,
+                threshold,
+                chunk_elems,
+            )
+        return _result(pdf, blk, trio)
+
+    return salted.groupBy(block_col, "_u", "_v").applyInPandas(
+        score_split, schema
+    )
 
 
 def _ranked_topk(scored: DataFrame, k: int, cols: Sequence[str]) -> DataFrame:
@@ -756,17 +970,43 @@ def cosine_near_dup_pairs(
     return blocked_pair_cosine_scores(embeddings, "label", threshold)
 
 
+def derive_lsh_bits(
+    embeddings: DataFrame,
+    default: int = 4,
+    target_bucket_rows: int = BLOCK_ROW_TARGET,
+) -> int:
+    """Sign-LSH bit width sized from the corpus, not a constant: enough
+    bits that an AVERAGE bucket holds ≤ ``target_bucket_rows`` vectors
+    (2^bits buckets over the estimated row count), floored at
+    ``default`` and capped at 24 (buckets must come from leading
+    embedding coordinates). Uses Catalyst's size estimate only — no
+    job; unknown estimate keeps the default (the downstream block
+    splitter still bounds any single task)."""
+    rows_ub = _rows_upper_bound(embeddings)
+    if rows_ub is None or rows_ub <= 0:
+        return default
+    need = math.ceil(math.log2(max(rows_ub / target_bucket_rows, 1.0)))
+    return max(default, min(int(need), 24))
+
+
 def near_dup_pairs_lsh(
-    embeddings: DataFrame, threshold: float = 0.9, bits: int = 4
+    embeddings: DataFrame, threshold: float = 0.9, bits: int | None = None
 ) -> DataFrame:
     """Embedding near-duplicate pairs blocked by sign-LSH bucket:
     pair generation stays inside each bucket, so candidate compute is
-    sum(|bucket|²) not |vectors|² — the 100TB shape (raise ``bits`` to
-    shrink buckets as the corpus grows). Since r8 the pairs come from
+    sum(|bucket|²) not |vectors|² — the 100TB shape. ``bits=None``
+    (default) derives the bucket count from the corpus size estimate
+    (``derive_lsh_bits``), so buckets SHRINK as the corpus grows instead
+    of a fixed 2^4 = 16 buckets concentrating n²/16 work; pass an
+    explicit ``bits`` to pin the candidate set (the oracle-paired query
+    pins 4, matching its frozen SQL). Since r8 the pairs come from
     ``blocked_pair_cosine_scores`` (one groupBy(bucket) exchange of the
     vectors) instead of a bucket self-join that replicated every
     embedding |bucket|−1 times into the pair relation; cosines are
-    bit-identical."""
+    bit-identical, and since r9 oversized buckets additionally fan out
+    over sub-chunk task groups (see the scorer's skew-safety note)."""
+    if bits is None:
+        bits = derive_lsh_bits(embeddings)
     bucketed = embeddings.withColumn(
         "bucket", sign_lsh_bucket(F.col("embedding"), bits)
     )

@@ -499,9 +499,13 @@ FROM pairs WHERE cosine >= 0.3
 )
 def embedding_near_dup_pairs(spark, sf_dir):
     """Near-dup pairs blocked by sign-LSH bucket (not label): candidate
-    generation is sum(|bucket|²), the scale-safe shape."""
+    generation is sum(|bucket|²), the scale-safe shape. bits=4 pinned
+    explicitly — the oracle SQL above hardcodes the 4-bit bucket, and
+    the operator's default now derives bits from the corpus size."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return _r6(similarity.near_dup_pairs_lsh(emb, threshold=0.3), "cosine")
+    return _r6(
+        similarity.near_dup_pairs_lsh(emb, threshold=0.3, bits=4), "cosine"
+    )
 
 
 @register(

@@ -118,6 +118,33 @@ def estimated_plan_bytes(df) -> int | None:
     return sz if 0 <= sz < (1 << 60) else None
 
 
+# A file-source sizeInBytes is COMPRESSED on-disk bytes; dictionary/RLE
+# parquet packs small rows well under their in-memory width, so a
+# row-count derived from it UNDERcounts. Callers sizing per-task work
+# from an estimate multiply file-scan estimates by this factor so the
+# derived row count errs high (more buckets/splits, never fewer) while
+# in-memory relations — whose stats are accurate — stay untouched.
+FILE_SCAN_EST_EXPANSION = 4
+
+
+def plan_reads_files(df) -> bool:
+    """True when any leaf of the optimized logical plan is a file/table
+    scan (LogicalRelation, DataSourceV2, Hive) — i.e. the plan's
+    sizeInBytes is on-disk (compressed) bytes. Cached (InMemoryRelation)
+    and driver-local (LocalRelation) leaves report in-memory bytes and
+    return False. Unknown/unreachable plans return True (assume the
+    less-trusting case)."""
+    _MEMORY_LEAVES = {"InMemoryRelation", "LocalRelation", "OneRowRelation"}
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        return any(
+            leaves.apply(i).getClass().getSimpleName() not in _MEMORY_LEAVES
+            for i in range(leaves.size())
+        )
+    except Exception:
+        return True
+
+
 def coalesce_if_small(
     df, target: int = 2, max_bytes: int = SMALL_INPUT_MAX_BYTES
 ):

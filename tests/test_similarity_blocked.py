@@ -176,3 +176,105 @@ def test_semantic_dedup_survivors_unchanged(spark):
     assert (
         got["centroid_sim"].to_numpy() == want["centroid_sim"].to_numpy()
     ).all()
+
+
+def _explain(df, mode: str = "simple") -> str:
+    jqe = df._jdf.queryExecution()
+    return df.sparkSession._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        jqe, mode
+    )
+
+
+def test_hot_block_splits_fan_out_bit_identical(spark):
+    """r9 skew safety: a block past max_block_rows is hash-split into
+    chunk-pair task groups (≥K-way fan-out instead of one |block|² task).
+    The pair set and cosine BITS must be identical to the unsplit path
+    and to the legacy join spec, the plan must stay one Exchange +
+    FlatMapGroupsInPandas with no joins, and duplicate ids must not
+    produce (id, id) self-pairs on either path."""
+    from bigartm_spark.operators.similarity import _oversized_blocks
+
+    rng = np.random.default_rng(11)
+    d = 8
+    rows = [
+        (0, i, [float(x) for x in rng.standard_normal(d)]) for i in range(260)
+    ]
+    rows += [
+        (1, 1000 + i, [float(x) for x in rng.standard_normal(d)])
+        for i in range(30)
+    ]
+    # duplicate id inside the hot block: the join spec (vec_a < vec_b)
+    # never pairs it with itself
+    rows.append((0, 7, [float(x) for x in rng.standard_normal(d)]))
+    df = spark.createDataFrame(
+        rows, "bucket int, vec_id long, embedding array<double>"
+    )
+    key = ["bucket", "vec_a", "vec_b"]
+    # createDataFrame has no size estimate -> "assume big" -> the split
+    # decision runs the count-by-block pass on both calls below
+    plain = blocked_pair_cosine_scores(
+        df, "bucket", 0.2, max_block_rows=10**9
+    )
+    split = blocked_pair_cosine_scores(df, "bucket", 0.2, max_block_rows=40)
+    want = _sorted(_legacy_join_pairs(df, "bucket", 0.2).toPandas(), key)
+    p = _sorted(plain.toPandas(), key)
+    s = _sorted(split.toPandas(), key)
+    assert len(p) == len(s) == len(want) > 0
+    assert (p[key].to_numpy() == s[key].to_numpy()).all()
+    assert (p["cosine"].to_numpy() == s["cosine"].to_numpy()).all()
+    assert (s[key].to_numpy() == want[key].to_numpy()).all()
+    assert (s["cosine"].to_numpy() == want["cosine"].to_numpy()).all()
+    assert (s["vec_a"] != s["vec_b"]).all()  # no self-pairs
+    # ≥K-way fan-out: the hot block (261 rows / cap 40) splits 7 ways ->
+    # 7*8/2 = 28 chunk-pair task groups instead of 1
+    assert _oversized_blocks(
+        df.select("bucket", "vec_id", "embedding"), "bucket", 40
+    ) == {0: 7}
+    # plan: still exactly one exchange feeding FlatMapGroupsInPandas,
+    # pairs never exist as join rows
+    plan = _explain(
+        blocked_pair_cosine_scores(df, "bucket", 0.2, max_block_rows=40)
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") == 1, plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan, join
+
+
+def test_small_input_skips_the_sizing_job(spark):
+    """Catalyst-estimate gate: a parquet-backed input provably under
+    max_block_rows runs NO pre-count job and keeps the r8 single-group
+    plan (groupBy(block) only — no _u/_v salt columns)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    bucketed = emb.withColumn("bucket", sign_lsh_bucket(F.col("embedding"), 4))
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    out = blocked_pair_cosine_scores(bucketed, "bucket", 0.3)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "size-gated path must not run a sizing job"
+    plan = _explain(out)
+    assert "_chunk" not in plan and "_u" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_derive_lsh_bits_scales_with_corpus(spark):
+    """bits grows with the estimated corpus size (floor 4, cap 24) so
+    the default near_dup_pairs_lsh bucket population stays bounded."""
+    from bigartm_spark.operators.similarity import (
+        BLOCK_ROW_TARGET,
+        derive_lsh_bits,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assert derive_lsh_bits(emb) == 4  # tiny corpus keeps the default
+    # no estimate -> default
+    local = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    assert derive_lsh_bits(local) == 4
+    # a corpus estimated at ~2^20 x target rows needs 20 bits; the cap
+    # holds at 24 for anything larger
+    assert derive_lsh_bits(emb, target_bucket_rows=1) > 4
+    big = derive_lsh_bits(emb, target_bucket_rows=1)
+    assert big <= 24
