@@ -138,6 +138,20 @@ def main():
     bench("ann_cosine_topk", lambda: brute_force_topk(emb, 0, 10).count())
     bench("text_quality", lambda: quality_score(documents).count())
 
+    # ---- core-count scaling probe (added r9, VERDICT r8 #2/#3): every
+    # other query here is sub-second stage-latency-bound at sf0.1, so
+    # the driver's 8-core/32-core ratios all sit near 1.0 and give it no
+    # way to verify that $SPARK_GRAFT_CPUS took effect (r8's
+    # suspect_cpus_ignored false alarm). This one is deliberately
+    # COMPUTE-bound — a fixed volume of chained xxhash64 work fanned
+    # over defaultParallelism partitions, seeded from the documents
+    # table — so its runtime MUST move ~linearly with the core count.
+    # It measures the harness contract, not an analytics operator.
+    probe = _scaling_probe(spark, documents)
+    probe()  # untimed codegen warmup, same discipline as above
+    bench("scaling_probe_hashcpu", probe)
+
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -150,6 +164,22 @@ def main():
         "queries": timings,
         "sf": sf_val,
         "timing": "min of 3 runs per query (steady-state)",
+        # observability (r9): prove the core-count knob took effect —
+        # the master really is local[$SPARK_GRAFT_CPUS]
+        "cpus": cpus_env,
+        "parallelism": spark.sparkContext.defaultParallelism,
+        "total_sans_probe": round(
+            sum(v for k, v in timings.items() if k != "scaling_probe_hashcpu"),
+            3,
+        ),
+        "scaling_probe_note": (
+            "scaling_probe_hashcpu (added r9) is a fixed volume of "
+            "chained-xxhash64 compute spread over defaultParallelism "
+            "partitions: its seconds scale ~1/cores where the other "
+            "(sub-second, stage-latency-bound) queries stay flat, giving "
+            "the cross-core bench runs one ratio that verifies the cpu "
+            "knob; compare totals round-over-round via total_sans_probe"
+        ),
     }
 
     if not os.environ.get("SPARK_GRAFT_NO_DUCKDB"):
@@ -217,6 +247,36 @@ def main():
         }
     print(json.dumps(out))
     spark.stop()
+
+
+def _scaling_probe(spark, documents, replicas: int = 16384, chain: int = 32):
+    """A fixed, embarrassingly parallel compute volume: every document
+    row is hashed, replicated ``replicas`` ways via sequence-explode
+    (rows are GENERATED inside each task — no I/O, no shuffle beyond
+    the initial spread), and each replica runs a ``chain`` of dependent
+    xxhash64 calls inside whole-stage codegen. Work is spread over
+    defaultParallelism partitions, so wall time ~ volume / cores: the
+    one bench entry whose 8-vs-32-core ratio must be far from 1.0."""
+    from pyspark.sql import functions as F
+
+    def run():
+        # built FRESH per invocation (like every other bench query):
+        # re-collecting one DataFrame object would reuse its
+        # materialized AQE shuffle stages and time ~nothing
+        par = spark.sparkContext.defaultParallelism
+        base = documents.select(F.xxhash64("doc_id", "text").alias("_h0"))
+        rep = base.repartition(par).select(
+            "_h0",
+            F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("_r"),
+        )
+        col = F.xxhash64("_h0", "_r")
+        for _ in range(chain):
+            col = F.xxhash64(col)
+        # avg, not sum: ANSI mode (Spark 4 default) raises on long-sum
+        # overflow; avg accumulates in double
+        rep.select(col.alias("_h")).agg(F.avg("_h").alias("s")).collect()
+
+    return run
 
 
 # bench.py query name -> oracle_sql() key with the equivalent workload.

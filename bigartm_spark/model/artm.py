@@ -24,6 +24,9 @@ from bigartm_spark.model.phi import LocalPhiMatrix, PhiMatrix
 # first: ~8 MB of key strings is ~10^5 tokens, far inside the driver
 # budget, and the broadcast-regime init needs the keys anyway.
 SMALL_DICT_MAX_BYTES = 8 * 1024 * 1024
+# floor for bytes-per-dictionary-row when turning a size estimate into
+# a row-count UPPER bound (rows carry class_id + token strings + stats)
+DICT_ROW_MIN_BYTES = 16
 
 # Conservative bytes-per-occurrence-row used to derive the E-step bucket
 # count from Catalyst's size estimate without a count() job. Real long
@@ -204,14 +207,34 @@ class ARTM:
         # generous executor budget; beyond that fall back to a shuffle
         # join on (class_id, token) (AQE handles skew).
         # When Catalyst's size estimate already proves the dictionary
-        # tiny (accurate for cached/materialized relations and parquet
-        # scans), collect the (class_id, token) keys directly and count
+        # tiny (accurate for cached/materialized relations; file-scan
+        # estimates are compressed bytes, inflated so the row bound errs
+        # high), collect the (class_id, token) keys directly and count
         # locally — ONE job instead of a count job plus the driver
         # init's own collect (measured ~115ms/initialize at sf0.1).
-        # Unknown or large estimate -> count() exactly as before.
+        # The collect additionally requires that should_broadcast_phi
+        # would choose the broadcast regime even at the estimate's
+        # row-count UPPER bound (monotone: fewer true rows only keeps it
+        # True) — a small-bytes dictionary with many short tokens or a
+        # large T could otherwise send the decision to False and strand
+        # the collected keys as wasted driver work. Unknown or large
+        # estimate, or a non-broadcast regime -> count() as before.
+        from bigartm_spark.session import (
+            FILE_SCAN_EST_EXPANSION,
+            plan_reads_files,
+        )
+
         init_pdf = None
         sz = estimated_plan_bytes(self.dictionary)
-        if sz is not None and sz <= SMALL_DICT_MAX_BYTES:
+        if sz is not None and plan_reads_files(self.dictionary):
+            sz *= FILE_SCAN_EST_EXPANSION
+        if (
+            sz is not None
+            and sz <= SMALL_DICT_MAX_BYTES
+            and estep.should_broadcast_phi(
+                sz // DICT_ROW_MIN_BYTES, len(self.topics)
+            )
+        ):
             init_pdf = self.dictionary.select("class_id", "token").toPandas()
             vocab_rows = len(init_pdf)
         else:
@@ -365,14 +388,25 @@ class ARTM:
             # so the per-bucket kernel working set stays inside the
             # executor budget at any scale. Catalyst's size estimate
             # (free, driver-side) stands in for the row count via the
-            # conservative CORPUS_BYTES_PER_ROW divisor — it only
-            # OVERestimates rows, so bucket count never comes out lower
-            # than the count-derived value; a count job runs only when
-            # no estimate exists.
-            from bigartm_spark.session import estimated_plan_bytes
+            # conservative CORPUS_BYTES_PER_ROW divisor, calibrated on
+            # IN-MEMORY relation stats (~90 B/row) so it OVERestimates
+            # rows there. A raw file scan's sizeInBytes is COMPRESSED
+            # on-disk bytes — dictionary/RLE occurrence tables pack well
+            # under 40 B/row, which would UNDERcount rows and let the
+            # per-bucket working set blow past BUCKET_TARGET_BYTES — so
+            # file-backed plans inflate the estimate first (more
+            # buckets, never fewer). A count job runs only when no
+            # estimate exists.
+            from bigartm_spark.session import (
+                FILE_SCAN_EST_EXPANSION,
+                estimated_plan_bytes,
+                plan_reads_files,
+            )
 
             sc = docs.sparkSession.sparkContext
             est = estimated_plan_bytes(docs)
+            if est is not None and plan_reads_files(docs):
+                est *= FILE_SCAN_EST_EXPANSION
             approx_rows = (
                 est // CORPUS_BYTES_PER_ROW if est is not None else docs.count()
             )

@@ -297,27 +297,72 @@ def minhash_jaccard_estimate(
     """(doc_a, doc_b, est_jaccard) for LSH candidate pairs: the fraction
     of agreeing signature components — the standard cheap estimate
     (E[fraction] = true Jaccard) used to filter candidates BEFORE any
-    exact shingle-set verification. One extra join of the candidate
-    pairs against the wide signature rows; never touches raw text."""
-    wide = _tracked_cache(_minhash_wide(documents, n, hash_fn))
-    cand = lsh_candidate_pairs(documents, n, hash_fn).select(
-        "doc_a", "doc_b"
-    ).distinct()
-    a = wide.select(
+    exact shingle-set verification. Never touches raw text.
+
+    Shape (r9): the FULL signature rides each side of the band
+    self-join (8 longs per band row — |docs|×n_bands rows either way),
+    so agreement is computed inline and a pair that collides in several
+    bands is kept only at its FIRST colliding band — recomputable from
+    the two signatures in the same row, i.e. an exact map-side dedup.
+    The old shape shuffled the band-duplicated pair relation through a
+    distinct (104M rows → 33.6M at sf10) and then shuffle-joined the
+    signatures back on doc_a and doc_b (2 × 33.6M pair rows): three
+    pair-sized exchanges replaced by ZERO — candidate pairs now never
+    cross an exchange at all."""
+    n_bands = MINHASH_K // LSH_BAND_SIZE
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"_m{band * LSH_BAND_SIZE + j}").cast("string")
+                    for j in range(LSH_BAND_SIZE)
+                ],
+            ).alias("band_sig"),
+        )
+        for band in range(n_bands)
+    ]
+    sigs = [f"_m{i}" for i in range(MINHASH_K)]
+    bands = _tracked_cache(  # both sides of the self-join read this
+        _minhash_wide(documents, n, hash_fn)
+        .select("doc_id", *sigs, F.explode(F.array(*band_structs)).alias("_b"))
+        .select("doc_id", *sigs, "_b.band", "_b.band_sig")
+    )
+    a = bands.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"_m{i}").alias(f"_a{i}") for i in range(MINHASH_K)],
+        "band",
+        "band_sig",
     )
-    b = wide.select(
+    b = bands.select(
         F.col("doc_id").alias("doc_b"),
         *[F.col(f"_m{i}").alias(f"_b{i}") for i in range(MINHASH_K)],
+        "band",
+        "band_sig",
+    )
+    # band j collides iff every component in it agrees; the join row's
+    # own band always collides, so first_band is never NULL
+    collides = []
+    for j in range(n_bands):
+        c = None
+        for t in range(LSH_BAND_SIZE):
+            eq = F.col(f"_a{j * LSH_BAND_SIZE + t}") == F.col(
+                f"_b{j * LSH_BAND_SIZE + t}"
+            )
+            c = eq if c is None else c & eq
+        collides.append(c)
+    first_band = F.coalesce(
+        *[F.when(collides[j], F.lit(j)) for j in range(n_bands)]
     )
     matches = sum(
         F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
         for i in range(MINHASH_K)
     )
     return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.col("band") == first_band)
         .select(
             "doc_a",
             "doc_b",
@@ -346,16 +391,31 @@ def ngram_jaccard_pairs(
     exact Jaccard over the REDUCED shingle universe — a deliberate
     semantic change, so it is opt-in: the default (None) is the exact
     Jaccard over all shingles; pass a cap (e.g. 100) at scale-sensitive
-    call sites."""
-    sh = _tracked_cache(doc_shingles(documents, n))
+    call sites.
+
+    Capped shape (r9): the cap is pushed BEFORE the wide distinct. The
+    old order materialized + cached the full distinct (doc, shingle)
+    index (26.5M rows at sf10) only to keep ~2% of it after the cap —
+    and the capped join was recomputed for each of its three consumers
+    (sizes, both self-join sides). Now one pass over the raw exploded
+    stream aggregates per-shingle df (count_distinct(doc_id) — the
+    same distinct-doc count the old keep computed; partial aggregation
+    collapses within-partition duplicates before the shuffle), the raw
+    stream is semi-joined against the ≤cap shingle set (AQE broadcasts
+    it when small), and only the SURVIVORS pay the distinct — a tiny
+    shuffle — and the cache. Identical result set; the heavy relation
+    is never cached or re-scanned."""
     if max_shingle_df is not None:
+        raw = doc_shingles(documents, n, distinct=False)
         keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
+            raw.groupBy("shingle")
+            .agg(F.count_distinct("doc_id").alias("_df"))
             .filter(F.col("_df") <= max_shingle_df)
             .select("shingle")
         )
-        sh = sh.join(keep, "shingle")
+        sh = _tracked_cache(raw.join(keep, "shingle").distinct())
+    else:
+        sh = _tracked_cache(doc_shingles(documents, n))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -407,13 +467,18 @@ def dedup_clusters(
     the same count() action that fills the round's cache (the old
     separate probe join doubled the per-round job count). Every 5th
     round the label relation is localCheckpointed so a deep component
-    can't build a max_iterations-deep recursive plan."""
+    can't build a max_iterations-deep recursive plan.
+
+    The pair list is deduplicated before the edge union (r9): LSH
+    callers hand over one row per COLLIDING BAND (104M rows for 33.6M
+    distinct pairs at sf10), and CC is invariant under duplicate edges —
+    without the distinct every propagation round joins and the edge
+    cache pins ~3× the necessary rows."""
+    ded = pairs.select("doc_a", "doc_b").distinct().cache()
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        ded.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
-            pairs.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-            )
+            ded.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .cache()  # read once per propagation round
     )
@@ -477,6 +542,7 @@ def dedup_clusters(
             stacklevel=2,
         )
     edges.unpersist()  # labels are checkpoint-materialized
+    ded.unpersist()
     return labels.select("doc_id", F.col("label").alias("canonical"))
 
 

@@ -199,12 +199,23 @@ def pair_cosine_scores(
     return pairs.select(*keep, col_a, col_b).mapInPandas(score, schema)
 
 
-# Sub-chunk row target for oversized blocks: a (chunk_u, chunk_v) task
-# group holds ≤ ~2×BLOCK_ROW_TARGET rows, so its frame is
-# ~2×BLOCK_ROW_TARGET×d×8 bytes twice (C- and F-order) — 64 MB at d=64.
-# The pre-count that decides splitting is skipped entirely when
-# Catalyst's size estimate proves the whole input below the target.
+# Bucket-population target for the size-derived LSH bit width, and the
+# row bound past which semantic_dedup materializes its assignment.
 BLOCK_ROW_TARGET = 32768
+# Sub-chunk row target for oversized blocks (max_block_rows default):
+# a (chunk_u, chunk_v) task group holds ≤ ~2×BLOCK_SPLIT_TARGET rows,
+# so its frame is ~2×2048×d×8 bytes twice (C- and F-order) — 4 MB at
+# d=64 — and its kernel does ~cap²·d mul+adds ≈ 0.1-0.3 s: enough work
+# to amortize scheduling, small enough that sum|block|² compute fans
+# out across the cluster instead of one task per block. Replication
+# cost is |block|/cap copies of each row, i.e. ≥ ~0.2×cap FLOPs per
+# shuffled byte at d=64 — compute-dominated at any scale. Measured
+# sf10 U-curve (identical row sets): semantic_dedup 95.7s (cap 32768,
+# ~1 task/cell) → 21s (2048) → 21s (512); near_dup bits=4 26s → 11s
+# (2048) → 10.5s (1024). The pre-count that decides splitting is
+# skipped entirely when Catalyst's size estimate proves the whole
+# input below the cap.
+BLOCK_SPLIT_TARGET = 2048
 # Conservative floor for bytes-per-embedding-row when turning a plan
 # size estimate into a row-count UPPER bound (real rows are ≥ d×4 raw).
 _EMB_ROW_MIN_BYTES = 64
@@ -364,7 +375,7 @@ def blocked_pair_cosine_scores(
     vec_col: str = "embedding",
     out: str = "cosine",
     chunk_elems: int = 4_000_000,
-    max_block_rows: int = BLOCK_ROW_TARGET,
+    max_block_rows: int = BLOCK_SPLIT_TARGET,
 ) -> DataFrame:
     """All within-block pairs (``vec_a < vec_b`` by ``id_col``) with
     cosine >= ``threshold``: (block, vec_a, vec_b, cosine).
@@ -1039,8 +1050,18 @@ def semantic_dedup(
     the pair relation; now the payload crosses one groupBy(cell_id)
     exchange exactly once (sf10: 53 min → see OPTIMIZATION_r08.md).
     Cosines are bit-identical, so the survivor set is unchanged.
+
+    r9: past the scorer's split gate the assignment is
+    localCheckpoint'ed first — the assignment kernel otherwise runs
+    THREE times (the scorer's block-sizing count, the pair branch, and
+    the survivors branch each recompute the lineage). Materializing n×d
+    rows once is linear work inside the query (never reused across
+    runs); small inputs keep the r8 lazy two-scan plan.
     """
     assigned = ivf_assign(embeddings, centroids, keep_embedding=True)
+    rows_ub = _rows_upper_bound(assigned)
+    if rows_ub is None or rows_ub > BLOCK_ROW_TARGET:
+        assigned = assigned.localCheckpoint(eager=True)
     dup = blocked_pair_cosine_scores(assigned, "cell_id", threshold)
     drops = dup.select(F.col("vec_b").alias("vec_id")).distinct()
     return assigned.drop("embedding").join(drops, "vec_id", "left_anti")

@@ -137,3 +137,74 @@ def test_minhash_xxhash64_ignores_extra_whitespace(spark):
     sa = sorted((r.sig_idx, r.minhash) for r in minhash_signatures(a).collect())
     sb = sorted((r.sig_idx, r.minhash) for r in minhash_signatures(b).collect())
     assert sa == sb and len(sa) == 8
+
+
+def test_minhash_jaccard_estimate_matches_legacy_join_shape(spark):
+    """r9: minhash_jaccard_estimate keeps each colliding pair at its
+    first colliding band (map-side exact dedup) and computes agreement
+    from signatures carried through the band join. Pin the result
+    identical to the legacy shape — distinct candidate pairs joined back
+    against the wide signature rows — on a fixture with multi-band
+    collisions (exact dups collide in EVERY band)."""
+    from bigartm_spark.operators.dedup import (
+        MINHASH_K,
+        _minhash_wide,
+        lsh_candidate_pairs,
+        minhash_jaccard_estimate,
+        release_dedup_caches,
+    )
+
+    docs = _docs(spark)
+    for hash_fn in ("md5", "xxhash64"):
+        got = sorted(
+            tuple(r)
+            for r in minhash_jaccard_estimate(docs, hash_fn=hash_fn).collect()
+        )
+        wide = _minhash_wide(docs, 3, hash_fn)
+        cand = (
+            lsh_candidate_pairs(docs, 3, hash_fn)
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        a = wide.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"_m{i}").alias(f"_a{i}") for i in range(MINHASH_K)],
+        )
+        b = wide.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"_m{i}").alias(f"_b{i}") for i in range(MINHASH_K)],
+        )
+        matches = sum(
+            F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+            for i in range(MINHASH_K)
+        )
+        want = sorted(
+            tuple(r)
+            for r in cand.join(a, "doc_a")
+            .join(b, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                (matches.cast("double") / F.lit(float(MINHASH_K))).alias(
+                    "est_jaccard"
+                ),
+            )
+            .collect()
+        )
+        release_dedup_caches()
+        assert len(got) == len(want) > 0, hash_fn
+        assert got == want, hash_fn
+
+
+def test_dedup_clusters_band_duplicate_pairs_are_deduped(spark):
+    """The CC loop dedupes its pair input (LSH hands one row per
+    colliding band): duplicate and reversed duplicates must not change
+    the labels."""
+    from bigartm_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 2), (2, 3), (5, 7), (5, 7)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["canonical"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 5}

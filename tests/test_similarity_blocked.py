@@ -245,12 +245,19 @@ def test_hot_block_splits_fan_out_bit_identical(spark):
 def test_small_input_skips_the_sizing_job(spark):
     """Catalyst-estimate gate: a parquet-backed input provably under
     max_block_rows runs NO pre-count job and keeps the r8 single-group
-    plan (groupBy(block) only — no _u/_v salt columns)."""
+    plan (groupBy(block) only — no _u/_v salt columns). Uses an
+    explicit cap the sf0.001 estimate clearly clears — the default
+    BLOCK_SPLIT_TARGET is deliberately small enough that mid-size
+    inputs DO pay the one sizing job."""
+    from bigartm_spark.operators.similarity import BLOCK_ROW_TARGET
+
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     bucketed = emb.withColumn("bucket", sign_lsh_bucket(F.col("embedding"), 4))
     tracker = spark.sparkContext.statusTracker()
     before = set(tracker.getJobIdsForGroup(None) or [])
-    out = blocked_pair_cosine_scores(bucketed, "bucket", 0.3)
+    out = blocked_pair_cosine_scores(
+        bucketed, "bucket", 0.3, max_block_rows=BLOCK_ROW_TARGET
+    )
     after = set(tracker.getJobIdsForGroup(None) or [])
     assert after == before, "size-gated path must not run a sizing job"
     plan = _explain(out)
