@@ -291,24 +291,17 @@ def lsh_candidate_pairs(
     )
 
 
-def minhash_jaccard_estimate(
+def _first_band_pairs(
     documents: DataFrame, n: int = 3, hash_fn: str = "xxhash64"
 ) -> DataFrame:
-    """(doc_a, doc_b, est_jaccard) for LSH candidate pairs: the fraction
-    of agreeing signature components — the standard cheap estimate
-    (E[fraction] = true Jaccard) used to filter candidates BEFORE any
-    exact shingle-set verification. Never touches raw text.
-
-    Shape (r9): the FULL signature rides each side of the band
-    self-join (8 longs per band row — |docs|×n_bands rows either way),
-    so agreement is computed inline and a pair that collides in several
-    bands is kept only at its FIRST colliding band — recomputable from
-    the two signatures in the same row, i.e. an exact map-side dedup.
-    The old shape shuffled the band-duplicated pair relation through a
-    distinct (104M rows → 33.6M at sf10) and then shuffle-joined the
-    signatures back on doc_a and doc_b (2 × 33.6M pair rows): three
-    pair-sized exchanges replaced by ZERO — candidate pairs now never
-    cross an exchange at all."""
+    """Each LSH candidate pair exactly ONCE, deduped map-side: the FULL
+    signature rides each side of the band self-join (k longs/strings per
+    band row — |docs|×n_bands rows either way), and a pair that collides
+    in several bands is kept only at its FIRST colliding band — which is
+    recomputable from the two signatures in the same row, i.e. an exact
+    dedup with no pair-sized shuffle. Columns: doc_a, doc_b plus both
+    carried signatures (_a0.._ak / _b0.._bk) for consumers that score
+    agreement inline."""
     n_bands = MINHASH_K // LSH_BAND_SIZE
     band_structs = [
         F.struct(
@@ -355,21 +348,50 @@ def minhash_jaccard_estimate(
     first_band = F.coalesce(
         *[F.when(collides[j], F.lit(j)) for j in range(n_bands)]
     )
-    matches = sum(
-        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
-        for i in range(MINHASH_K)
-    )
     return (
         a.join(b, ["band", "band_sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(F.col("band") == first_band)
-        .select(
-            "doc_a",
-            "doc_b",
-            (matches.cast("double") / F.lit(float(MINHASH_K))).alias(
-                "est_jaccard"
-            ),
-        )
+    )
+
+
+def lsh_unique_pairs(
+    documents: DataFrame, n: int = 3, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(doc_a, doc_b), one row per LSH candidate pair — the deduplicated
+    face of ``lsh_candidate_pairs`` (which emits one row per colliding
+    band). The dedup happens inside the band-join stage (first-band
+    filter, see ``_first_band_pairs``), so no pair-sized relation ever
+    crosses an exchange — the shape for pair consumers that don't need
+    the band column (CC clustering, estimate joins)."""
+    return _first_band_pairs(documents, n, hash_fn).select("doc_a", "doc_b")
+
+
+def minhash_jaccard_estimate(
+    documents: DataFrame, n: int = 3, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) for LSH candidate pairs: the fraction
+    of agreeing signature components — the standard cheap estimate
+    (E[fraction] = true Jaccard) used to filter candidates BEFORE any
+    exact shingle-set verification. Never touches raw text.
+
+    Shape (r9): rides ``_first_band_pairs`` — agreement is computed
+    inline from the signatures carried through the band join. The old
+    shape shuffled the band-duplicated pair relation through a distinct
+    (104M rows → 33.6M at sf10) and then shuffle-joined the signatures
+    back on doc_a and doc_b (2 × 33.6M pair rows): three pair-sized
+    exchanges replaced by ZERO — candidate pairs never cross an
+    exchange at all (sf10: 50.4 s → 37.5 s, identical 33,591,728 rows)."""
+    matches = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    )
+    return _first_band_pairs(documents, n, hash_fn).select(
+        "doc_a",
+        "doc_b",
+        (matches.cast("double") / F.lit(float(MINHASH_K))).alias(
+            "est_jaccard"
+        ),
     )
 
 
@@ -393,27 +415,42 @@ def ngram_jaccard_pairs(
     Jaccard over all shingles; pass a cap (e.g. 100) at scale-sensitive
     call sites.
 
-    Capped shape (r9): the cap is pushed BEFORE the wide distinct. The
-    old order materialized + cached the full distinct (doc, shingle)
-    index (26.5M rows at sf10) only to keep ~2% of it after the cap —
-    and the capped join was recomputed for each of its three consumers
-    (sizes, both self-join sides). Now one pass over the raw exploded
-    stream aggregates per-shingle df (count_distinct(doc_id) — the
-    same distinct-doc count the old keep computed; partial aggregation
-    collapses within-partition duplicates before the shuffle), the raw
-    stream is semi-joined against the ≤cap shingle set (AQE broadcasts
-    it when small), and only the SURVIVORS pay the distinct — a tiny
-    shuffle — and the cache. Identical result set; the heavy relation
-    is never cached or re-scanned."""
+    Capped index shape (r9): the old order cached the full distinct
+    (doc, shingle) index (26.5M rows at sf10) only to keep ~2% of it
+    after the cap, and recomputed the capped join for each of its three
+    consumers (sizes, both self-join sides). Now the df aggregate and
+    the survivors join both hang off the SAME distinct relation, so its
+    exchange is planned once and reused (AQE stage reuse — the heavy
+    relation is computed exactly once and never enters the block
+    cache); the ≤cap shingle set is broadcast-joined back (forced under
+    a size gate — a shuffle join here would re-shuffle the full index
+    by the shingle key, whose hot values are exactly the over-cap
+    stop-shingles the join is about to drop), and only the ~2%
+    surviving rows are cached for the three consumers."""
     if max_shingle_df is not None:
-        raw = doc_shingles(documents, n, distinct=False)
+        from bigartm_spark.session import (
+            FILE_SCAN_EST_EXPANSION,
+            estimated_plan_bytes,
+            plan_reads_files,
+        )
+
+        pairs_d = doc_shingles(documents, n)  # distinct (doc, shingle)
         keep = (
-            raw.groupBy("shingle")
-            .agg(F.count_distinct("doc_id").alias("_df"))
+            pairs_d.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") <= max_shingle_df)
             .select("shingle")
         )
-        sh = _tracked_cache(raw.join(keep, "shingle").distinct())
+        est = estimated_plan_bytes(documents)
+        if est is not None and plan_reads_files(documents):
+            est *= FILE_SCAN_EST_EXPANSION
+        if est is not None and est <= (4 << 30):
+            # the ≤cap shingle set of a ≤4 GiB corpus fits the
+            # broadcast budget comfortably; past that, leave the
+            # strategy to AQE (and raise the cap / pre-hash shingles
+            # at true 100 TB deployments — see SCALE.md)
+            keep = F.broadcast(keep)
+        sh = _tracked_cache(pairs_d.join(keep, "shingle"))
     else:
         sh = _tracked_cache(doc_shingles(documents, n))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_sz"))
@@ -450,7 +487,9 @@ def ngram_jaccard_pairs(
 
 
 def dedup_clusters(
-    pairs: DataFrame, max_iterations: int = 20
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    assume_unique: bool = False,
 ) -> DataFrame:
     """Connected components over candidate pairs -> (doc_id, canonical):
     the cluster representative is the minimum doc_id reachable through
@@ -470,17 +509,26 @@ def dedup_clusters(
     can't build a max_iterations-deep recursive plan.
 
     The pair list is deduplicated before the edge union (r9): LSH
-    callers hand over one row per COLLIDING BAND (104M rows for 33.6M
-    distinct pairs at sf10), and CC is invariant under duplicate edges —
-    without the distinct every propagation round joins and the edge
-    cache pins ~3× the necessary rows."""
-    ded = pairs.select("doc_a", "doc_b").distinct().cache()
-    edges = (
-        ded.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            ded.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .cache()  # read once per propagation round
+    callers may hand over one row per COLLIDING BAND (104M rows for
+    33.6M distinct pairs at sf10 — prefer ``lsh_unique_pairs``, whose
+    dedup is map-side), and CC is invariant under duplicate edges —
+    without the distinct every propagation round would join ~3× the
+    necessary rows. Callers that already guarantee one row per pair
+    (``lsh_unique_pairs``) pass ``assume_unique=True`` and skip that
+    pair-sized exchange outright — the measured r9 corpus_survivors
+    regression (131.5 → 139.9 s at sf10) was exactly this distinct
+    re-shuffling an already-unique relation. Only the deduped
+    undirected pair list is cached; the doubled directed edge view is
+    derived from it per round (same cache bytes read, half the cache
+    storage)."""
+    ded = pairs.select("doc_a", "doc_b")
+    if not assume_unique:
+        ded = ded.distinct()
+    ded = ded.cache()
+    edges = ded.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        ded.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
@@ -541,8 +589,7 @@ def dedup_clusters(
             RuntimeWarning,
             stacklevel=2,
         )
-    edges.unpersist()  # labels are checkpoint-materialized
-    ded.unpersist()
+    ded.unpersist()  # labels are checkpoint-materialized
     return labels.select("doc_id", F.col("label").alias("canonical"))
 
 
@@ -564,10 +611,11 @@ def deduplicate_corpus(
     survivors = documents.join(canon_exact, "doc_id")
     if not use_lsh:
         return survivors
-    pairs = lsh_candidate_pairs(survivors, n, hash_fn=hash_fn).select(
-        "doc_a", "doc_b"
-    )
-    clusters = dedup_clusters(pairs)
+    # unique pairs (first-band dedup inside the band join) rather than
+    # the band-duplicated relation: the CC step's distinct then touches
+    # |pairs| rows instead of |pair, band| rows (r9)
+    pairs = lsh_unique_pairs(survivors, n, hash_fn=hash_fn)
+    clusters = dedup_clusters(pairs, assume_unique=True)
     # materialize the (tiny) drop list eagerly so every upstream cache
     # (band relation, per-round labels) can be released NOW instead of
     # accreting in executor storage for the life of the session

@@ -265,12 +265,14 @@ SELECT doc_id, MIN(label) AS canonical FROM reach GROUP BY doc_id
 def dedup_cluster_canonicals(spark, sf_dir):
     """Connected components over the MinHash-LSH candidate graph: the
     canonical (min doc_id) per duplicate cluster — min-label propagation
-    on Spark vs a recursive reachability CTE in the oracle."""
+    on Spark vs a recursive reachability CTE in the oracle. Pairs come
+    from lsh_unique_pairs (r9): the same candidate SET as the oracle's
+    DISTINCT over band collisions, deduped map-side inside the band
+    join instead of through a pair-sized distinct shuffle."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pairs = dedup.lsh_candidate_pairs(docs, hash_fn="md5").select(
-        "doc_a", "doc_b"
+    return dedup.dedup_clusters(
+        dedup.lsh_unique_pairs(docs, hash_fn="md5"), assume_unique=True
     )
-    return dedup.dedup_clusters(pairs)
 
 
 @register(

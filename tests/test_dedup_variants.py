@@ -196,6 +196,51 @@ def test_minhash_jaccard_estimate_matches_legacy_join_shape(spark):
         assert got == want, hash_fn
 
 
+def test_lsh_unique_pairs_matches_distinct_candidates(spark):
+    """r9: lsh_unique_pairs dedupes inside the band join (first-band
+    filter) — its pair SET must equal distinct(lsh_candidate_pairs) with
+    no duplicate rows, under both hash variants, on a fixture where
+    exact dups collide in every band."""
+    from bigartm_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_unique_pairs,
+        release_dedup_caches,
+    )
+
+    docs = _docs(spark)
+    for hash_fn in ("md5", "xxhash64"):
+        got = [tuple(r) for r in lsh_unique_pairs(docs, hash_fn=hash_fn).collect()]
+        want = sorted(
+            tuple(r)
+            for r in lsh_candidate_pairs(docs, hash_fn=hash_fn)
+            .select("doc_a", "doc_b")
+            .distinct()
+            .collect()
+        )
+        release_dedup_caches()
+        assert len(got) == len(set(got)), hash_fn  # truly unique rows
+        assert sorted(got) == want, hash_fn
+        assert len(want) > 0, hash_fn
+
+
+def test_dedup_clusters_assume_unique_matches_default(spark):
+    """assume_unique=True skips the input distinct (the caller
+    guarantees one row per pair) — labels must be identical to the
+    default path on unique input."""
+    from bigartm_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 7), (8, 9), (9, 10)],
+        "doc_a long, doc_b long",
+    )
+    want = {r["doc_id"]: r["canonical"] for r in dedup_clusters(pairs).collect()}
+    got = {
+        r["doc_id"]: r["canonical"]
+        for r in dedup_clusters(pairs, assume_unique=True).collect()
+    }
+    assert got == want == {1: 1, 2: 1, 3: 1, 5: 5, 7: 5, 8: 8, 9: 8, 10: 8}
+
+
 def test_dedup_clusters_band_duplicate_pairs_are_deduped(spark):
     """The CC loop dedupes its pair input (LSH hands one row per
     colliding band): duplicate and reversed duplicates must not change
