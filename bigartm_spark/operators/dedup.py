@@ -508,6 +508,19 @@ def dedup_clusters(
     round the label relation is localCheckpointed so a deep component
     can't build a max_iterations-deep recursive plan.
 
+    Frontier propagation (r9): labels are non-increasing, so a node
+    whose label did NOT change in round t-1 would resend the exact
+    message (its label) it sent before — a value every neighbor already
+    folded in. Round t therefore joins the edge list only against the
+    FRONTIER (nodes changed in t-1): per-round labels are provably
+    identical to full propagation round-by-round, but the per-round
+    aggregate input shrinks from |edges| to edges incident to the
+    frontier — after round 0 that is nearly nothing for the
+    tiny-diameter components LSH produces, where the old shape paid
+    the full |edges|-row aggregate again every round. Round 0 itself
+    skips the label join outright: initial labels are the identity, so
+    the first neighbor-min is just groupBy(src).min(dst).
+
     The pair list is deduplicated before the edge union (r9): LSH
     callers may hand over one row per COLLIDING BAND (104M rows for
     33.6M distinct pairs at sf10 — prefer ``lsh_unique_pairs``, whose
@@ -530,24 +543,33 @@ def dedup_clusters(
     ).unionByName(
         ded.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    labels = (
+    cached_labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
     ).cache()
+    labels = cached_labels
     changed = 0
+    frontier = None  # None = round 0 (identity labels, every node sends)
     for it in range(max_iterations):
-        nbr_min = (
-            edges.join(
-                labels.select(
-                    F.col("doc_id").alias("dst"),
-                    F.col("label").alias("_nl"),
-                ),
-                "dst",
+        if frontier is None:
+            # identity labels: min neighbor label == min neighbor id —
+            # one groupBy with map-side partial min, no join
+            nbr_min = edges.groupBy(F.col("src").alias("doc_id")).agg(
+                F.min("dst").alias("_nbr")
             )
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("_nl").alias("_nbr"))
-        )
+        else:
+            nbr_min = (
+                edges.join(
+                    frontier.select(
+                        F.col("doc_id").alias("dst"),
+                        F.col("label").alias("_nl"),
+                    ),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("doc_id"))
+                .agg(F.min("_nl").alias("_nbr"))
+            )
         obs = Observation()
         new_labels = (
             labels.join(nbr_min, "doc_id", "left")
@@ -558,13 +580,15 @@ def dedup_clusters(
                     "label", F.coalesce("_nbr", F.col("label"))
                 ).alias("label"),
             )
+            .select(
+                "doc_id",
+                "label",
+                (F.col("label") < F.col("_old")).alias("_chg"),
+            )
             .observe(
                 obs,
-                F.sum(
-                    (F.col("label") < F.col("_old")).cast("long")
-                ).alias("changed"),
+                F.sum(F.col("_chg").cast("long")).alias("changed"),
             )
-            .select("doc_id", "label")
             .cache()
         )
         if (it + 1) % 5 == 0:
@@ -576,8 +600,10 @@ def dedup_clusters(
         else:
             new_labels.count()  # the round's ONE action
         changed = int(obs.get["changed"] or 0)
-        labels.unpersist()
-        labels = new_labels
+        cached_labels.unpersist()
+        cached_labels = new_labels
+        labels = new_labels.select("doc_id", "label")
+        frontier = new_labels.filter("_chg").select("doc_id", "label")
         if changed == 0:
             break
     if changed != 0:

@@ -253,3 +253,45 @@ def test_dedup_clusters_band_duplicate_pairs_are_deduped(spark):
     )
     got = {r["doc_id"]: r["canonical"] for r in dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 5}
+
+
+def test_dedup_clusters_frontier_long_chain(spark):
+    """r9 frontier propagation: a path graph of diameter 9 needs many
+    rounds where the frontier (changed nodes) shrinks to the chain's
+    moving head — labels must still converge to the global min exactly
+    as full propagation does (per-round equality is the invariant: an
+    unchanged node's message is already folded into every neighbor)."""
+    import warnings as _warnings
+
+    from bigartm_spark.operators.dedup import dedup_clusters
+
+    # path 20-19-...-11 (descending ids so the min label must travel the
+    # full diameter), plus a reversed-duplicate edge and a 2-clique
+    edges = [(i - 1, i) for i in range(12, 21)] + [(12, 11), (30, 31)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")  # converges -> no warning
+        got = {
+            r["doc_id"]: r["canonical"]
+            for r in dedup_clusters(pairs, max_iterations=20).collect()
+        }
+    want = {i: 11 for i in range(11, 21)}
+    want.update({30: 30, 31: 30})
+    assert got == want
+
+
+def test_dedup_clusters_nonconvergence_warns(spark):
+    """max_iterations below the component diameter still warns (the
+    frontier rewrite must not change the convergence accounting)."""
+    import warnings as _warnings
+
+    from bigartm_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i - 1, i) for i in range(2, 9)], "doc_a long, doc_b long"
+    )
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        out = dedup_clusters(pairs, max_iterations=2)
+        out.collect()
+        assert any("did not converge" in str(x.message) for x in w)
